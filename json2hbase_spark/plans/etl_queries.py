@@ -1,0 +1,211 @@
+"""A-ops: scans / sources / sinks (SURVEY.md §2 A1–A8).
+
+These re-express the reference json2hbase pipeline Spark-first:
+``read.json → kv_flatten → rowkey_derive → hbase sink`` plus the
+relational-scan surface the engine needs. Each query is paired with a
+DuckDB oracle twin where SQL-expressible.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from json2hbase_spark.io import load
+from json2hbase_spark.operators.flatten import kv_flatten
+from json2hbase_spark.operators.hbase import derive_rowkey, prepare_hbase_cells, region_bucket
+from json2hbase_spark.registry import query
+
+PEOPLE_JSONL = "/root/repo/fixtures/people.jsonl"
+NATION_CSV = "/root/repo/fixtures/nation.csv"
+
+
+@query(
+    "a1_parquet_scan",
+    oracle="""
+    SELECT p_partkey, p_name, p_size
+    FROM part
+    WHERE p_size < 15
+    """,
+)
+def a1_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar scan with predicate pushdown + column pruning: the
+    filter and 3-column projection both reach the parquet reader
+    (verify via .explain → PushedFilters / ReadSchema)."""
+    return (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_size") < 15)
+        .select("p_partkey", "p_name", "p_size")
+    )
+
+
+@query(
+    "a2_json_scan",
+    oracle=f"""
+    SELECT id, name, active, score, address.city AS city, len(tags) AS n_tags
+    FROM read_json_auto('{PEOPLE_JSONL}')
+    """,
+)
+def a2_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingest with schema inference — the reference's input stage.
+    Nested object access + array cardinality prove the inferred
+    struct/array schema."""
+    df = spark.read.json(PEOPLE_JSONL)
+    return df.select(
+        "id",
+        "name",
+        "active",
+        "score",
+        F.col("address.city").alias("city"),
+        F.size("tags").alias("n_tags"),
+    )
+
+
+@query(
+    "a3_kv_flatten",
+    oracle="""
+    SELECT CAST(o_orderkey AS VARCHAR) AS rowkey, 'd' AS cf,
+           'doc.status' AS qualifier, o_orderstatus AS "value" FROM orders
+    UNION ALL
+    SELECT CAST(o_orderkey AS VARCHAR), 'd', 'doc.total',
+           CAST(o_totalprice AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT CAST(o_orderkey AS VARCHAR), 'd', 'doc.meta.date',
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT CAST(o_orderkey AS VARCHAR), 'd', 'doc.meta.priority',
+           o_orderpriority FROM orders
+    UNION ALL
+    SELECT CAST(o_orderkey AS VARCHAR), 'd', 'doc.keys.0',
+           CAST(o_custkey AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT CAST(o_orderkey AS VARCHAR), 'd', 'doc.keys.1',
+           CAST(o_orderkey AS VARCHAR) FROM orders
+    """,
+)
+def a3_kv_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json2hbase core: nested document → HBase-cell long format.
+    Builds a nested doc (struct + inner struct + array) from orders,
+    then flattens with the recursive schema-walk operator — dotted
+    paths, 0-based array indices, canonical string values."""
+    orders = load(spark, sf_dir, "orders")
+    docs = orders.select(
+        F.col("o_orderkey").alias("rk"),
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("total"),
+            F.struct(
+                F.col("o_orderdate").cast("date").cast("string").alias("date"),
+                F.col("o_orderpriority").alias("priority"),
+            ).alias("meta"),
+            F.array(F.col("o_custkey"), F.col("o_orderkey")).alias("keys"),
+        ).alias("doc"),
+    )
+    return kv_flatten(docs, "rk", cf="d")
+
+
+@query(
+    "a4_json_normalize",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+)
+def a4_json_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-string column → typed columns (events.props)."""
+    events = load(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+@query("a5_hbase_sink")  # rows-only: region assignment uses xxhash64 (Spark-specific)
+def a5_hbase_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emulated HBase sink path: flatten → region-partition → sort →
+    write HFile-ordered parquet; returns the written cells + region id.
+    Real deployment swaps the writer for the hbase-spark DataSource."""
+    events = load(spark, sf_dir, "events").limit(2000)
+    docs = events.select(
+        F.col("event_id").alias("rk"),
+        F.struct(
+            F.col("event_type").alias("type"),
+            F.col("value").alias("value"),
+            F.col("props").alias("props"),
+        ).alias("e"),
+    )
+    kv = kv_flatten(docs, "rk", cf="e")
+    cells = prepare_hbase_cells(kv, n_regions=16).withColumn(
+        "region", region_bucket(F.col("rowkey"), 16)
+    )
+    out_dir = tempfile.mkdtemp(prefix="json2hbase_sink_")
+    cells.write.mode("overwrite").parquet(out_dir)
+    return spark.read.parquet(out_dir)
+
+
+@query(
+    "a6_rowkey_derive",
+    oracle="""
+    SELECT c_custkey,
+           substr(md5(CAST(c_custkey AS VARCHAR) || '#' || c_mktsegment), 1, 2)
+             || '#' || CAST(c_custkey AS VARCHAR) || '#' || c_mktsegment AS rowkey
+    FROM customer
+    """,
+)
+def a6_rowkey_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted composite rowkey: hash-prefix salt spreads monotonically
+    increasing keys across HBase regions (hot-spot avoidance)."""
+    customer = load(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        derive_rowkey("c_custkey", "c_mktsegment", salt_len=2).alias("rowkey"),
+    )
+
+
+@query(
+    "a7_csv_scan",
+    oracle=f"""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM read_csv('{NATION_CSV}', header = true)
+    WHERE n_regionkey <= 2
+    """,
+)
+def a7_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delimited-text ingest with an explicit schema."""
+    df = spark.read.csv(
+        NATION_CSV,
+        header=True,
+        schema="n_nationkey INT, n_name STRING, n_regionkey INT",
+    )
+    return df.filter(F.col("n_regionkey") <= 2)
+
+
+@query(
+    "a8_stream_source",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def a8_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming source: a REAL streaming query (file source →
+    streaming aggregation → memory sink, availableNow trigger) whose
+    final result must equal the batch plan on the same data."""
+    from json2hbase_spark.io import load_events_stream
+
+    stream = load_events_stream(spark, sf_dir)
+    counts = stream.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("a8_stream_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("a8_stream_counts")

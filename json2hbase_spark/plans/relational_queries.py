@@ -1,0 +1,545 @@
+"""B/C/D-ops: projection/filter, joins, aggregations (SURVEY.md §2).
+
+All pure DataFrame plans — Catalyst handles pushdown, pruning, join
+strategy selection (broadcast vs sort-merge vs BNLJ) and AQE handles
+skew/coalescing at runtime. Conventions: every computed column aliased,
+float aggregates rounded, timestamps surfaced as date-strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from json2hbase_spark.functions import exact
+from json2hbase_spark.io import load, register_views
+from json2hbase_spark.registry import query
+
+# ---------------------------------------------------------------- B ops
+
+
+@query(
+    "b1_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_quantity AS qty,
+           l_extendedprice * (1 - l_discount) AS disc_price,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+    FROM lineitem
+    """,
+)
+def b1_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("qty"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias(
+            "charge"
+        ),
+    )
+
+
+@query(
+    "b2_filter",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
+    FROM part
+    WHERE p_size BETWEEN 10 AND 30
+      AND p_brand IN ('Brand#1', 'Brand#3', 'Brand#5', 'Brand#12', 'Brand#21')
+      AND NOT (p_retailprice < 920.0)
+      AND p_name LIKE '%o%'
+      AND regexp_matches(p_type, '^(ECONOMY|PROMO|SMALL)')
+      AND p_name IS NOT NULL
+    """,
+)
+def b2_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_size").between(10, 30)
+        & F.col("p_brand").isin("Brand#1", "Brand#3", "Brand#5", "Brand#12", "Brand#21")
+        & ~(F.col("p_retailprice") < 920.0)
+        & F.col("p_name").like("%o%")
+        & F.col("p_type").rlike("^(ECONOMY|PROMO|SMALL)")
+        & F.col("p_name").isNotNull()
+    ).select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+
+
+@query(
+    "b3_cast_case",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+           CASE WHEN o_totalprice > 200000 THEN 'big'
+                WHEN o_totalprice > 50000 THEN 'mid'
+                ELSE 'small' END AS bucket,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_norm
+    FROM orders
+    """,
+)
+def b3_cast_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.floor("o_totalprice").cast("bigint").alias("price_floor"),
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_norm"
+        ),
+    )
+
+
+# ---------------------------------------------------------------- C ops
+
+
+@query(
+    "c1_join_broadcast",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_items,
+           SUM(l_quantity) AS sum_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def c1_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dim equi join: explicit broadcast hint keeps the fact-table
+    scan shuffle-free (map-side hash join) — the right plan at 100 TB
+    when the dim fits in executor memory."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "c2_join_smj",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def c2_join_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large equi join — planner picks sort-merge (or shuffled
+    hash under AQE); both sides shuffle on the join key once."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            exact.e(exact.SUM_REVENUE, "revenue"),
+        )
+    )
+
+
+@query(
+    "c3_join_outer",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_rows,
+           COUNT(o_orderkey) AS n_orders,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orderless
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def c3_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("n_orderless"),
+        )
+    )
+
+
+@query(
+    "c4_join_semi",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n_customers
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def c4_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "c5_join_anti",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def c5_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "c6_join_theta",
+    oracle="""
+    SELECT a.o_orderstatus, COUNT(*) AS n_pairs
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey AND a.o_orderdate < b.o_orderdate
+    GROUP BY a.o_orderstatus
+    """,
+)
+def c6_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range predicate: planner does a hash join on the equi part
+    with the range predicate as a post-join filter — far better than a
+    pure BNLJ at scale (the equi key bounds the pair space)."""
+    o = load(spark, sf_dir, "orders")
+    a = o.alias("a")
+    b = o.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderdate") < F.col("b.o_orderdate")),
+        )
+        .groupBy(F.col("a.o_orderstatus").alias("o_orderstatus"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@query(
+    "c8_join_star",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY n_name
+    """,
+)
+def c8_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join (TPC-H Q5 shape): fact table shuffles once
+    per big join; nation/region/customer broadcast so the star closes
+    without extra fact shuffles. CBO/AQE reorder as stats allow."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("1996-01-01"))
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            exact.e(exact.SUM_REVENUE, "revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "c9_join_cross",
+    oracle="""
+    SELECT r_name, n_name
+    FROM region CROSS JOIN nation
+    """,
+)
+def c9_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+# ---------------------------------------------------------------- D ops
+
+
+@query(
+    "d1_agg_hash",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           SUM(l_quantity) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def d1_agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-style pricing summary — partial (map-side)
+    + final hash aggregation over a low-cardinality key."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            exact.e(exact.dec_sum("l_extendedprice"), "sum_base_price"),
+            exact.e(exact.SUM_REVENUE, "sum_disc_price"),
+            exact.e(exact.SUM_CHARGE, "sum_charge"),
+            F.expr("SUM(l_quantity) / COUNT(*)").alias("avg_qty"),
+            F.expr(exact.dec_sum("l_extendedprice") + " / COUNT(*)").alias("avg_price"),
+            F.expr(exact.dec_sum("l_discount", 4, 2) + " / COUNT(*)").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "d2_agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def d2_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query("d3_agg_approx")  # rows-only: HLL++ estimate is engine-specific
+def d3_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate count-distinct (HyperLogLog++): constant-memory
+    per group — the 100 TB substitute for exact distinct counts."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "d4_agg_having",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12 AND SUM(CAST(o_totalprice AS DECIMAL(12,2))) > 1000000
+    """,
+)
+def d4_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            exact.e(exact.dec_sum("o_totalprice"), "total_spend"),
+        )
+        .filter((F.col("n_orders") >= 12) & (F.col("total_spend") > 1000000))
+    )
+
+
+@query(
+    "d5_agg_rollup",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           SUM(l_quantity) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def d5_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@query(
+    "d6_agg_cube",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           GROUPING(o_orderstatus, o_orderpriority) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def d6_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            exact.e(exact.dec_sum("o_totalprice"), "total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "n",
+            "total",
+        )
+    )
+
+
+@query(
+    "d7_agg_grouping_sets",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def d7_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via the SQL path (SURVEY §3.4)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "d8_agg_conditional",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) AS sum_a,
+           CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) AS sum_n,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE) AS sum_r,
+           COUNT(CASE WHEN l_quantity > 25 THEN 1 END) AS n_bulk
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def d8_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    def cond_sum(flag: str) -> str:
+        return (
+            f"CAST(SUM(CASE WHEN l_returnflag = '{flag}' "
+            "THEN CAST(l_extendedprice AS DECIMAL(12,2)) END) AS DOUBLE)"
+        )
+
+    return li.groupBy("l_linestatus").agg(
+        exact.e(cond_sum("A"), "sum_a"),
+        exact.e(cond_sum("N"), "sum_n"),
+        exact.e(cond_sum("R"), "sum_r"),
+        F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_bulk"),
+    )
+
+
+@query(
+    "d9_agg_collect",
+    oracle="""
+    SELECT o_orderpriority,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def d9_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordered collection — sorted so output is deterministic
+    (collect_set order is not)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus"))).alias("statuses"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "d10_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           median(l_quantity) AS med_qty,
+           round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def d10_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.median("l_quantity").alias("med_qty"),
+        F.round(F.percentile("l_extendedprice", 0.9), 2).alias("p90_price"),
+    )

@@ -1,0 +1,530 @@
+"""E/F/G/H-ops: windows, sorts/limits, set ops, scalar-function bundles
+(SURVEY.md §2). All native expressions — no UDFs, whole-stage codegen
+throughout; window ops shuffle once on their partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from json2hbase_spark.io import load
+from json2hbase_spark.registry import query
+
+# ---------------------------------------------------------------- E ops
+
+
+@query(
+    "e1_win_rank",
+    oracle="""
+    SELECT c_nationkey, c_custkey,
+           row_number()   OVER w AS rn,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 4) AS prank
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def e1_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("prank"),
+    )
+
+
+@query(
+    "e2_win_lag",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           o_totalprice AS price,
+           lag(o_totalprice)  OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           o_totalprice - coalesce(lag(o_totalprice) OVER w, 0) AS delta
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def e2_win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        (F.col("o_totalprice") - F.coalesce(F.lag("o_totalprice").over(w), F.lit(0))).alias(
+            "delta"
+        ),
+    )
+
+
+@query(
+    "e3_win_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+    FROM orders
+    """,
+)
+def e3_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(w).cast("double").alias(
+            "running_spend"
+        ),
+        F.count("*").over(w).alias("running_n"),
+    )
+
+
+@query(
+    "e4_win_moving",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS ma5,
+           MIN(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS min5
+    FROM orders
+    """,
+)
+def e4_win_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(-4, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(w).cast("double")
+            / F.count("*").over(w)
+        ).alias("ma5"),
+        F.min("o_totalprice").over(w).alias("min5"),
+    )
+
+
+@query(
+    "e5_win_firstlast",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice)  OVER w AS last_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def e5_win_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+    )
+
+
+@query(
+    "e6_topk_pergroup",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal AS acctbal, rn AS rank_in_nation
+    FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    )
+    WHERE rn <= 3
+    """,
+)
+def e6_topk_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("rn").alias("rank_in_nation"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- F ops
+
+
+@query(
+    "f1_sort_multi",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal AS acctbal
+    FROM supplier
+    ORDER BY s_nationkey ASC, s_acctbal DESC NULLS LAST, s_name ASC
+    """,
+)
+def f1_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key global sort (range-partitioned exchange + per-partition
+    sort). The driver hash is order-insensitive; determinism of content
+    is what matters."""
+    s = load(spark, sf_dir, "supplier")
+    return s.orderBy(
+        F.col("s_nationkey").asc(),
+        F.col("s_acctbal").desc_nulls_last(),
+        F.col("s_name").asc(),
+    ).select("s_suppkey", "s_name", "s_nationkey", F.col("s_acctbal").alias("acctbal"))
+
+
+@query(
+    "f2_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice AS price
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 100
+    """,
+)
+def f2_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy("o_orderkey")
+        .limit(100)
+        .select("o_orderkey", "o_custkey", F.col("o_totalprice").alias("price"))
+    )
+
+
+@query(
+    "f3_topk_global",
+    oracle="""
+    SELECT o_orderkey, o_totalprice AS price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def f3_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k WITHOUT a total sort: orderBy().limit() planned as
+    TakeOrderedAndProject — per-partition heaps + driver merge, the
+    only top-k that works on 100 TB."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.col("o_totalprice").alias("price"))
+    )
+
+
+# ---------------------------------------------------------------- G ops
+
+
+@query(
+    "g1_union_all",
+    oracle="""
+    SELECT c_custkey AS custkey, 'BUILDING' AS src FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT o_custkey AS custkey, 'URGENT' AS src FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def g1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    left = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey"), F.lit("BUILDING").alias("src")
+    )
+    right = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey"), F.lit("URGENT").alias("src")
+    )
+    return left.unionByName(right)
+
+
+@query(
+    "g2_union_distinct",
+    oracle="""
+    SELECT custkey FROM (
+      SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      UNION
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def g2_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    left = c.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("custkey"))
+    right = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return left.unionByName(right).distinct()
+
+
+@query(
+    "g3_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def g3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "g4_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def g4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return c.subtract(o)
+
+
+# ---------------------------------------------------------------- H ops
+
+
+@query(
+    "h1_fn_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_up,
+           lower(p_name) AS name_lo,
+           substr(p_name, 1, 6) AS name6,
+           length(p_name) AS name_len,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           replace(p_type, 'TYPE', 'T') AS type_short,
+           string_split(p_type, '_')[1] AS type_head,
+           regexp_extract(p_type, '([0-9]+)$', 1) AS type_num,
+           concat(p_brand, ':', p_type) AS brand_type,
+           trim('  x  ') AS trimmed
+    FROM part
+    """,
+)
+def h1_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_up"),
+        F.lower("p_name").alias("name_lo"),
+        F.substring("p_name", 1, 6).alias("name6"),
+        F.length("p_name").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.replace(F.col("p_type"), F.lit("TYPE"), F.lit("T")).alias("type_short"),
+        F.element_at(F.split("p_type", "_"), 1).alias("type_head"),
+        F.regexp_extract("p_type", "([0-9]+)$", 1).alias("type_num"),
+        F.concat("p_brand", F.lit(":"), "p_type").alias("brand_type"),
+        F.trim(F.lit("  x  ")).alias("trimmed"),
+    )
+
+
+@query(
+    "h2_fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mo,
+           day(o_orderdate) AS dy,
+           quarter(o_orderdate) AS qtr,
+           CAST(date_trunc('month', o_orderdate) AS DATE)::VARCHAR AS month_start,
+           datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE)::VARCHAR AS plus30,
+           last_day(CAST(o_orderdate AS DATE))::VARCHAR AS month_end
+    FROM orders
+    """,
+)
+def h2_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_trunc("month", "o_orderdate").cast("date").cast("string").alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).alias("days_to_2002"),
+        F.date_add(d, 30).cast("string").alias("plus30"),
+        F.last_day(d).cast("string").alias("month_end"),
+    )
+
+
+@query(
+    "h3_fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)), 1) AS DOUBLE) AS price_r1,
+           abs(l_discount - 0.05) AS disc_dev,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           round(sqrt(l_extendedprice), 4) AS price_sqrt,
+           round(ln(l_extendedprice), 4) AS price_ln,
+           round(log10(l_extendedprice), 4) AS price_log10,
+           round(pow(l_quantity, 2), 2) AS qty_sq,
+           l_orderkey % 7 AS key_mod,
+           CAST(sign(l_discount - 0.05) AS INTEGER) AS disc_sign,
+           greatest(l_quantity, 25.0) AS qty_hi,
+           least(l_quantity, 25.0) AS qty_lo
+    FROM lineitem
+    """,
+)
+def h3_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice").cast("decimal(12,2)"), 1).cast("double").alias(
+            "price_r1"
+        ),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_extendedprice").cast("bigint").alias("price_ceil"),
+        F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 4).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 4).alias("price_log10"),
+        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.sign(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+        F.greatest("l_quantity", F.lit(25.0)).alias("qty_hi"),
+        F.least("l_quantity", F.lit(25.0)).alias("qty_lo"),
+    )
+
+
+@query(
+    "h4_fn_array",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum'), 4) AS norm2,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_val,
+           round(CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE), 4) AS first_two_sum
+    FROM embeddings
+    """,
+)
+def h4_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — the JVM-native path for vector
+    math (no Python UDF, stays in codegen)."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.round(
+            F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x), 4
+        ).alias("norm2"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+        F.round(F.array_max(emb).cast("double"), 4).alias("max_val"),
+        F.round(
+            F.element_at(emb, 1).cast("double") + F.element_at(emb, 2).cast("double"), 4
+        ).alias("first_two_sum"),
+    )
+
+
+@query(
+    "h5_fn_map",
+    oracle="""
+    SELECT event_id,
+           event_type AS type_from_map,
+           2 AS n_keys,
+           CAST(round(value, 2) AS VARCHAR) AS val_str
+    FROM events
+    """,
+)
+def h5_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + extraction (oracle states the equivalent
+    result directly — DuckDB's map dialect differs, the values don't)."""
+    ev = load(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("val"), F.round("value", 2).cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, F.lit("type")).alias("type_from_map"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, F.lit("val")).alias("val_str"),
+    )
+
+
+@query(
+    "h6_fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS k_missing,
+           to_json(json_object('k', CAST(json_extract_string(props, '$.k') AS INTEGER)))::VARCHAR AS rebuilt
+    FROM events
+    """,
+)
+def h6_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k_int = F.get_json_object("props", "$.k").cast("int")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        k_int.alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("k_missing"),
+        F.to_json(F.struct(k_int.alias("k"))).alias("rebuilt"),
+    )
+
+
+@query(
+    "h7_fn_hash",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name) AS name_md5,
+           sha256(c_name) AS name_sha256,
+           substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2) AS key_salt
+    FROM customer
+    """,
+)
+def h7_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2("c_name", 256).alias("name_sha256"),
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 2).alias("key_salt"),
+    )
+
+
+@query("h7b_fn_hash_native")  # rows-only: xxhash64/crc32 are Spark-specific hashes
+def h7b_fn_hash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native hash functions (used by minhash j9 and region
+    bucketing) — no DuckDB equivalent, rows-only check."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.xxhash64("c_name").alias("name_xxh"),
+        F.crc32("c_name").alias("name_crc32"),
+        F.hash("c_name").alias("name_murmur"),
+    )

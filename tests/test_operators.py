@@ -1,0 +1,101 @@
+"""Unit tests: rowkey derivation, hbase sink emulation, join/agg edge
+cases on literal fixtures (FIXTURES.md §3)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from json2hbase_spark.operators.flatten import kv_flatten
+from json2hbase_spark.operators.hbase import (
+    derive_rowkey,
+    prepare_hbase_cells,
+    write_hbase_emulated,
+)
+
+
+def test_derive_rowkey_composite_and_salt(spark):
+    df = spark.createDataFrame([(1, "BUILDING")], "k INT, seg STRING")
+    row = df.select(
+        derive_rowkey("k", "seg").alias("plain"),
+        derive_rowkey("k", "seg", salt_len=2).alias("salted"),
+    ).first()
+    assert row.plain == "1#BUILDING"
+    assert row.salted.endswith("#1#BUILDING") and len(row.salted.split("#")[0]) == 2
+
+
+def test_hbase_sink_sorted_within_regions(spark):
+    df = spark.createDataFrame(
+        [(f"k{i:03d}", {"a": i, "b": i * 2}) for i in range(100)],
+        "id STRING, doc MAP<STRING, BIGINT>",
+    )
+    kv = kv_flatten(df, "id")
+    with tempfile.TemporaryDirectory() as tmp:
+        write_hbase_emulated(kv, tmp, n_regions=4)
+        back = spark.read.parquet(tmp)
+        assert back.count() == 200
+    # HFile contract: within each partition, rows sorted by (rowkey, cf, qualifier)
+    parts = prepare_hbase_cells(kv, 4).rdd.glom().collect()
+    for part in parts:
+        keys = [(r.rowkey, r.cf, r.qualifier) for r in part]
+        assert keys == sorted(keys)
+
+
+def test_join_null_semantics(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c"), (None, "n")], "id INT, v STRING")
+    right = spark.createDataFrame([(2, "x"), (3, "y"), (4, "z"), (None, "m")], "id INT, w STRING")
+    inner = left.join(right, "id").count()
+    assert inner == 2  # null never matches null
+    full = left.join(right, "id", "full").count()
+    assert full == 6  # 2 matched + 2 left-only (1, null) + 2 right-only (4, null)
+    semi = left.join(right, "id", "left_semi").count()
+    anti = left.join(right, "id", "left_anti").count()
+    assert semi == 2 and anti == 2
+
+
+def test_agg_null_vs_empty(spark):
+    df = spark.createDataFrame(
+        [("g1", None), ("g1", None), ("g2", 5.0)], "g STRING, x DOUBLE"
+    )
+    rows = {
+        r.g: r
+        for r in df.groupBy("g")
+        .agg(F.sum("x").alias("s"), F.count("x").alias("cx"), F.count("*").alias("call"))
+        .collect()
+    }
+    assert rows["g1"].s is None and rows["g1"].cx == 0 and rows["g1"].call == 2
+    assert rows["g2"].s == 5.0
+    # empty relation: global agg yields one row with null sum / zero count
+    empty = df.filter(F.lit(False)).agg(F.sum("x").alias("s"), F.count("*").alias("n")).first()
+    assert empty.s is None and empty.n == 0
+
+
+def test_window_ties_rank_vs_dense_vs_rownumber(spark):
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [("k", 10), ("k", 10), ("k", 20), ("k", 30), ("k", 30)], "k STRING, ord INT"
+    )
+    w = Window.partitionBy("k").orderBy("ord")
+    out = df.select(
+        "ord",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    ).collect()
+    by_ord = sorted([(r.ord, r.rnk, r.drnk) for r in out])
+    assert by_ord == [(10, 1, 1), (10, 1, 1), (20, 3, 2), (30, 4, 3), (30, 4, 3)]
+    assert sorted(r.rn for r in out) == [1, 2, 3, 4, 5]
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert "d1_agg_hash" in qs and "a3_kv_flatten" in qs
