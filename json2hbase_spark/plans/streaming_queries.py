@@ -1,1 +1,299 @@
-"""C7 as-of join + I-ops streaming (SURVEY.md §2) — filled in slice 3."""
+"""C7 as-of join + I-ops: event-time windowing & Structured Streaming
+(SURVEY.md §2 C7, I1–I7).
+
+Streaming queries run REAL micro-batch executions (file source →
+availableNow trigger → memory sink) and return the sink contents as a
+batch DataFrame, so the driver's oracle can check streaming results
+against batch SQL. Window/session ops use the batch-equivalent plans
+directly where noted — identical logical semantics, strongest oracle.
+
+All event-time outputs are surfaced as epoch-microsecond BIGINTs
+(``unix_micros`` / DuckDB ``epoch_us``) — immune to timestamp
+formatting drift between engines.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from json2hbase_spark.io import load, load_events_stream
+from json2hbase_spark.operators.asof import asof_join
+from json2hbase_spark.operators.sessionize import sessionize
+from json2hbase_spark.registry import query
+
+SUM_VALUE = "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)"
+
+
+def _run_to_memory(writer_df: DataFrame, name: str, output_mode: str) -> None:
+    q = (
+        writer_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+# ---------------------------------------------------------------- c7
+
+
+@query(
+    "c7_join_asof",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts::TIMESTAMP AS cts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT user_id, ts::TIMESTAMP AS pts, event_id AS purchase_id, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.purchase_id, epoch_us(p.pts) AS ts_us, p.value,
+           c.click_id, epoch_us(c.cts) AS click_ts_us
+    FROM p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.pts >= c.cts
+    """,
+)
+def c7_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest click at
+    or before the purchase time (union-tag + window rewrite — one
+    shuffle, no pair explosion; see operators/asof.py)."""
+    ev = load(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"), "value"
+    )
+    joined = asof_join(purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts")
+    return joined.select(
+        "user_id",
+        "purchase_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        "click_id",
+        F.unix_micros("matched_ts").alias("click_ts_us"),
+    )
+
+
+# ---------------------------------------------------------------- i1/i2
+
+
+@query(
+    "i1_win_tumbling",
+    oracle=f"""
+    SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP)) AS win_start_us,
+           event_type,
+           COUNT(*) AS n_events,
+           {SUM_VALUE} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def i1_win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed event-time windows via F.window (epoch-aligned, the same
+    operator streaming uses) — batch execution, strong oracle."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.expr(SUM_VALUE).alias("sum_value"))
+        .select(
+            F.unix_micros("w.start").alias("win_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "i2_win_sliding",
+    oracle="""
+    SELECT epoch_us(time_bucket(INTERVAL 15 MINUTES, ts::TIMESTAMP)
+                    - k.k * INTERVAL 15 MINUTES) AS win_start_us,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events, (SELECT unnest(range(4)) AS k) k
+    GROUP BY 1, 2
+    """,
+)
+def i2_win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping windows (1 h length, 15 min slide): every event lands
+    in 4 windows; F.window generates them natively."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.unix_micros("w.start").alias("win_start_us"), "event_type", "n_events")
+    )
+
+
+# ---------------------------------------------------------------- i3
+
+
+@query(
+    "i3_win_session",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts::TIMESTAMP AS ts, value FROM events
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 43200000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           min(epoch_us(ts)) AS session_start_us,
+           COUNT(*) AS n_events,
+           {SUM_VALUE} AS sum_value
+    FROM sess
+    GROUP BY 1, 2
+    """,
+)
+def i3_win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (12 h gap): lag + cumulative-flag-sum
+    batch algorithm — the same semantics F.session_window implements
+    incrementally (streaming variant smoke-tested in tests)."""
+    ev = load(spark, sf_dir, "events")
+    sessions = sessionize(ev, "user_id", "ts", gap_seconds=12 * 3600, tiebreak="event_id")
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min(F.unix_micros("ts")).alias("session_start_us"),
+        F.count("*").alias("n_events"),
+        F.expr(SUM_VALUE).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------- i4–i7 (real streaming)
+
+
+@query(
+    "i4_watermark",
+    oracle="""
+    WITH mx AS (SELECT max(ts::TIMESTAMP) AS m FROM events)
+    SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP)) AS win_start_us,
+           event_type, COUNT(*) AS n_events
+    FROM events, mx
+    WHERE time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP) + INTERVAL 1 HOUR
+          <= mx.m - INTERVAL 2 HOUR
+    GROUP BY 1, 2
+    """,
+)
+def i4_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked windowed aggregation in APPEND mode: only windows
+    the 2 h watermark has closed are emitted — the oracle reproduces
+    the eviction rule (window_end <= max_ts - 2h) in SQL."""
+    stream = load_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.unix_micros("w.start").alias("win_start_us"), "event_type", "n_events")
+    )
+    _run_to_memory(agg, "i4_mem", "append")
+    return spark.table("i4_mem")
+
+
+@query(
+    "i5_stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def i5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on event_id within the watermark, append mode;
+    the deduped stream lands in the sink and is counted in batch."""
+    stream = load_events_stream(spark, sf_dir)
+    deduped = stream.withWatermark("ts", "2 hours").dropDuplicates(["event_id"])
+    _run_to_memory(deduped.select("event_id", "event_type"), "i5_mem", "append")
+    return spark.table("i5_mem").groupBy("event_type").agg(
+        F.count("*").alias("n_unique")
+    )
+
+
+@query(
+    "i6_stateful",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def i6_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary per-key state via applyInPandasWithState: running
+    per-user event count + value total (in integer cents so state is
+    exact). Update mode, availableNow → final state equals the batch
+    aggregate."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update_fn(key, pdfs, state):
+        cnt, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            cents += int((pdf["value"] * 100).round().sum())
+        state.update((cnt, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [cnt], "cents": [cents]}
+        )
+
+    stream = load_events_stream(spark, sf_dir)
+    stateful = stream.groupBy("user_id").applyInPandasWithState(
+        update_fn,
+        outputStructType="user_id BIGINT, n_events BIGINT, cents BIGINT",
+        stateStructType="cnt BIGINT, cents BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    _run_to_memory(stateful, "i6_mem", "update")
+    return spark.table("i6_mem")
+
+
+@query(
+    "i7_late_policy",
+    oracle=f"""
+    SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts::TIMESTAMP)) AS win_start_us,
+           event_type,
+           COUNT(*) AS n_events,
+           {SUM_VALUE} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def i7_late_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode: every window changed in the batch is
+    (re)emitted, so unlike i4's append none are withheld — the final
+    sink equals the complete batch result. Append-vs-update semantics
+    are exactly the i4/i7 output difference the oracles encode."""
+    stream = load_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.expr(SUM_VALUE).alias("sum_value"))
+        .select(
+            F.unix_micros("w.start").alias("win_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    _run_to_memory(agg, "i7_mem", "update")
+    return spark.table("i7_mem")
