@@ -1,0 +1,141 @@
+"""Deduplication operators for LLM training-data pipelines
+(SURVEY.md §2 J1/J2/J9; PAPERS.md similarity corpus).
+
+Exact dedup is a hash group-by. Near-dup is the classic
+shingle → MinHash → LSH-banding pipeline, built ENTIRELY from native
+Catalyst expressions (higher-order functions + xxhash64) — no Python
+UDFs, so the hot path stays in whole-stage codegen.
+
+Scale analysis (the reason this shape wins at 100 TB):
+- signatures: narrow map, O(docs × shingles × hashes) CPU, no shuffle
+- banding: explode to bands (×B rows), shuffle on (band, band_hash) —
+  O(n·B) shuffled rows instead of the O(n²) crossJoin a naive
+  similarity join needs
+- candidate pairs: only docs sharing a band bucket meet; verification
+  (exact Jaccard on shingle sets) touches candidates only.
+Skewed buckets (boilerplate docs) are handled by AQE skew-join splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column) -> Column:
+    """j1 normalization: casefold + whitespace collapse."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def char_shingles(col: Column, k: int = 8) -> Column:
+    """Distinct k-char shingles of a string (empty if len < k)."""
+    n = F.length(col) - (k - 1)
+    return F.when(
+        n >= 1,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n), lambda i: col.substr(i, F.lit(k)))
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """j9: MinHash signature as array<bigint> — element h is
+    min(xxhash64(h, shingle)) over the shingle set. Seed-mixing via the
+    leading literal gives ``num_hashes`` independent hash families."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(h), s)))
+            for h in range(num_hashes)
+        ]
+    )
+
+
+def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
+    """Split a signature into ``bands`` buckets of ``rows`` values and
+    hash each band: array<struct<band int, bh bigint>>."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.slice(sig, b * rows + 1, rows)).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two string sets."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """j2: candidate pairs via MinHash-LSH banding, verified with exact
+    shingle Jaccard >= threshold. Returns (doc_a, doc_b, jaccard).
+
+    With 16 bands × 4 rows, P(candidate) = 1-(1-J^4)^16: ~0.04 at
+    J=0.4, ~0.93 at J=0.8 — the usual S-curve for near-dup mining.
+    """
+    rows = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        char_shingles(normalize_text(F.col(text_col)), shingle_k).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+    sigs = base.withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+    banded = sigs.select(
+        "_id", "_sh", F.explode(lsh_bands(F.col("_sig"), bands, rows)).alias("_b")
+    ).select("_id", "_sh", "_b.band", "_b.bh")
+
+    left = banded.select(
+        F.col("band").alias("l_band"), F.col("bh").alias("l_bh"),
+        F.col("_id").alias("doc_a"), F.col("_sh").alias("sh_a"),
+    )
+    right = banded.select(
+        F.col("band").alias("r_band"), F.col("bh").alias("r_bh"),
+        F.col("_id").alias("doc_b"), F.col("_sh").alias("sh_b"),
+    )
+    cands = (
+        left.join(
+            right,
+            (left.l_band == right.r_band)
+            & (left.l_bh == right.r_bh)
+            & (left.doc_a < right.doc_b),
+        )
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cands.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash64(tokens: Column) -> Column:
+    """SimHash over a token array: sign-sum of per-token xxhash64 bits,
+    built from native expressions (64 bit-vote aggregates folded into a
+    single BIGINT). Cheap complement to MinHash for near-dup blocking."""
+    def bit_vote(bit: int) -> Column:
+        # +1 when the token hash has ``bit`` set, else -1; majority wins
+        votes = F.aggregate(
+            tokens,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(F.shiftright(F.xxhash64(t), bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        return F.when(votes > 0, F.lit(2 ** bit if bit < 63 else -(2 ** 63))).otherwise(F.lit(0))
+
+    out = F.lit(0).cast("long")
+    for b in range(64):
+        out = out + bit_vote(b)
+    return out

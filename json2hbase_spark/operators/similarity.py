@@ -1,0 +1,111 @@
+"""Vector similarity operators (SURVEY.md §2 J3/J4/J5/J10).
+
+All vector math is native Catalyst higher-order functions
+(``zip_with`` + ``aggregate``) — JVM-side, codegen'd, no Python. The
+fold is SEQUENTIAL over the array, which makes results bit-identical
+to any engine that folds in list order (the DuckDB oracles use
+``list_aggregate(list_transform(...), 'sum')`` with the same per-element
+double math — so similarity scores compare exactly, no rounding).
+
+Scale paths:
+- brute-force top-k: broadcast the (small) query set against the
+  candidate corpus — no shuffle on the big side, heap-based rank
+  filter per query.
+- LSH-bucketed ANN: random-hyperplane signs bucket candidates; only
+  same-bucket pairs are scored — O(n·probes) instead of O(n·q).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm2(a: Column) -> Column:
+    return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(norm2(a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def l2_normalize(a: Column) -> Column:
+    """j10: unit-length embedding (pre-normalize once so cosine becomes
+    a plain dot product downstream — the 100 TB trick)."""
+    n = l2_norm(a)
+    return F.transform(a, lambda x: x.cast("double") / n)
+
+
+def cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    q_id: str = "qid",
+    q_vec: str = "qvec",
+    c_id: str = "cid",
+    c_vec: str = "cvec",
+) -> DataFrame:
+    """Brute-force exact top-k cosine neighbors per query vector.
+    Queries are broadcast; the candidate scan never shuffles."""
+    joined = candidates.crossJoin(F.broadcast(queries)).filter(F.col(q_id) != F.col(c_id))
+    scored = joined.select(
+        q_id, c_id, cosine(F.col(q_vec), F.col(c_vec)).alias("sim")
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "sim", "rank")
+    )
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: sign bit per plane packed into
+    an int. ``planes`` are plan-time constants (deterministic seeds)."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(float(v)) for v in p]), lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(2 ** i)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_topk_lsh(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    planes: list[list[float]],
+    q_id: str = "qid",
+    q_vec: str = "qvec",
+    c_id: str = "cid",
+    c_vec: str = "cvec",
+) -> DataFrame:
+    """Approximate top-k: score only candidates in the query's
+    hyperplane bucket. Trades recall for an O(n/2^planes) candidate
+    set per query — the scale path when queries are many."""
+    qb = queries.withColumn("_bucket", lsh_bucket(F.col(q_vec), planes))
+    cb = candidates.withColumn("_bucket", lsh_bucket(F.col(c_vec), planes))
+    joined = cb.join(F.broadcast(qb), "_bucket").filter(F.col(q_id) != F.col(c_id))
+    scored = joined.select(q_id, c_id, cosine(F.col(q_vec), F.col(c_vec)).alias("sim"))
+    w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "sim", "rank")
+    )

@@ -1,0 +1,129 @@
+"""Text-analysis operators for training-data pipelines
+(SURVEY.md §2 J6–J8 + langid / quality / fingerprint extensions).
+
+Everything is native expressions: tokenization is a split+explode,
+counting is hash aggregation, language-ID is a corpus-trained
+top-token-overlap vote, fingerprinting is a min-hash over shingles.
+No Python UDFs anywhere — at 100 TB these run inside codegen and
+shuffle only on aggregate keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# "BPE-ish" token pattern: letter runs, digit runs, single other glyphs
+BPE_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+def whitespace_tokens(col: Column) -> Column:
+    return F.filter(F.split(col, " "), lambda t: t != "")
+
+
+def bpe_ish_tokens(col: Column) -> Column:
+    return F.regexp_extract_all(F.lower(col), F.lit(BPE_TOKEN_RE), 0)
+
+
+def token_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """j6: global term counts (explode → hash agg; partial aggregation
+    collapses per-partition duplicates before the shuffle)."""
+    return (
+        df.select(F.explode(whitespace_tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def tf_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """j7: smooth tf-idf per (doc, term): tf × (ln((N+1)/(df+1)) + 1)."""
+    n_docs = df.count()  # plan-time scalar (one cheap count job)
+    terms = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(whitespace_tokens(F.col(text_col))).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    return tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (
+            F.col("tf")
+            * (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + F.lit(1.0))
+        ).alias("tfidf"),
+    )
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Quality-scoring features: length, token stats, stopword ratio,
+    punctuation/digit density. Combine however the pipeline wants."""
+    toks = whitespace_tokens(col)
+    n_tok = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    n_chars = F.length(col)
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "avg_token_len": F.when(
+            n_tok > 0,
+            F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double") / n_tok,
+        ).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(n_tok > 0, stop_hits.cast("double") / n_tok).otherwise(
+            F.lit(0.0)
+        ),
+        "digit_ratio": (
+            n_chars - F.length(F.regexp_replace(col, r"[0-9]", ""))
+        ).cast("double")
+        / F.greatest(n_chars, F.lit(1)),
+        "punct_ratio": (
+            n_chars - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+        ).cast("double")
+        / F.greatest(n_chars, F.lit(1)),
+    }
+
+
+def fingerprint(col: Column, k: int = 8) -> Column:
+    """Winnowing-style document fingerprint: lexicographic min of the
+    md5 hashes of the k-gram shingles (stable under reordering-free
+    edits elsewhere in the doc; cheap blocking key for dedup)."""
+    from json2hbase_spark.operators.dedup import char_shingles, normalize_text
+
+    sh = char_shingles(normalize_text(col), k)
+    return F.array_min(F.transform(sh, lambda s: F.md5(s)))
+
+
+def langid_train_classify(
+    df: DataFrame, id_col: str, text_col: str, lang_col: str, top_n: int = 20
+) -> DataFrame:
+    """Language-ID by corpus-trained token vote: learn the top-N tokens
+    per language from labeled rows, then classify each doc by which
+    language's token set it overlaps most (ties → lexicographically
+    first language). Self-contained n-gram-style heuristic — no model
+    files, pure SQL semantics, scales as two hash aggs + one join."""
+    tokens = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        F.explode(whitespace_tokens(F.col(text_col))).alias("token"),
+    )
+    freq = tokens.groupBy("lang", "token").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    top = freq.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= top_n)
+
+    doc_tokens = tokens.select("doc_id", "token").distinct()
+    votes = (
+        doc_tokens.join(
+            top.select(F.col("lang").alias("cand_lang"), "token"), "token"
+        )
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    wv = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("cand_lang"))
+    return (
+        votes.withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") == 1)
+        .select("doc_id", F.col("cand_lang").alias("pred_lang"), "hits")
+    )

@@ -1,1 +1,537 @@
-"""J-ops: LLM-data-pipeline operators (SURVEY.md §2) — filled in slice 4."""
+"""J-ops: LLM training-data pipeline queries (SURVEY.md §2 J1–J10 +
+langid/quality/fingerprint extensions + multimodal plumbing).
+
+Float conventions (see functions/exact.py): vector dot products /
+norms use sequential folds expressed identically in both engines → no
+rounding; genuinely order-dependent aggregates (centroid avg, tf-idf's
+log, quality score's log) round to 4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from json2hbase_spark.io import load
+from json2hbase_spark.operators import multimodal
+from json2hbase_spark.operators.dedup import (
+    char_shingles,
+    jaccard,
+    lsh_bands,
+    minhash_signature,
+    near_dup_pairs,
+    normalize_text,
+)
+from json2hbase_spark.operators.similarity import (
+    cosine,
+    cosine_topk,
+    l2_norm,
+    norm2,
+)
+from json2hbase_spark.operators.text import (
+    bpe_ish_tokens,
+    fingerprint,
+    langid_train_classify,
+    quality_features,
+    tf_idf,
+    token_counts,
+    whitespace_tokens,
+)
+from json2hbase_spark.registry import query
+
+# DuckDB twins of the sequential-fold vector math (bit-identical to
+# zip_with/aggregate: per-element double products, left-fold sum)
+def _duck_dot(a: str, b: str) -> str:
+    return f"list_aggregate(list_transform(range(1,65), i -> CAST({a}[i] AS DOUBLE) * {b}[i]), 'sum')"
+
+
+def _duck_norm(a: str) -> str:
+    return f"sqrt({_duck_dot(a, a)})"
+
+
+DUCK_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(len({t}) - 7, 0) + 1),"
+    " i -> substr({t}, i, 8)))"
+)
+
+
+# ---------------------------------------------------------------- j1
+
+
+@query(
+    "j1_dedup_exact",
+    oracle="""
+    WITH normed AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    kept AS (
+      SELECT lang, row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+      FROM normed
+    )
+    SELECT lang,
+           COUNT(*) FILTER (rn = 1) AS n_kept,
+           COUNT(*) AS n_docs
+    FROM kept
+    GROUP BY lang
+    """,
+)
+def j1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text: keep the lowest doc_id per
+    normalized form (hash-partitioned window — one shuffle)."""
+    docs = load(spark, sf_dir, "documents")
+    normed = docs.select("doc_id", "lang", normalize_text(F.col("text")).alias("norm"))
+    w = Window.partitionBy("norm").orderBy("doc_id")
+    kept = normed.withColumn("rn", F.row_number().over(w))
+    return kept.groupBy("lang").agg(
+        F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------- j2 / j9
+
+
+@query("j2_dedup_near")  # rows-only: xxhash64-based MinHash is Spark-specific
+def j2_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup mining: shingle → MinHash(64) → LSH(16 bands) →
+    candidate join → exact-Jaccard verification (operators/dedup.py).
+    Fixture plants 22 near-dup prefixes at sf0.01 → must find pairs."""
+    docs = load(spark, sf_dir, "documents")
+    return near_dup_pairs(docs, "doc_id", "text", threshold=0.3).select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard_r")
+    )
+
+
+@query(
+    "j2v_jaccard_verify",
+    oracle=f"""
+    WITH normed AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, substr(norm, 1, 40) AS block,
+             {DUCK_SHINGLES.format(t="norm")} AS shingles
+      FROM normed WHERE len(norm) >= 8
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+             AS jaccard
+    FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+          >= 0.3
+    """,
+)
+def j2v_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable exact near-dup step: block on the normalized
+    60-char-prefix family (first 40 chars), compute exact shingle
+    Jaccard within blocks — validates the verification stage of j2
+    against DuckDB list algebra."""
+    docs = load(spark, sf_dir, "documents")
+    normed = docs.select("doc_id", normalize_text(F.col("text")).alias("norm")).filter(
+        F.length("norm") >= 8
+    )
+    sh = normed.select(
+        "doc_id",
+        F.substring("norm", 1, 40).alias("block"),
+        char_shingles(F.col("norm"), 8).alias("shingles"),
+    )
+    a = sh.select(
+        F.col("block"), F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("block").alias("block_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, (F.col("block") == F.col("block_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.3)
+    )
+
+
+@query("j9_minhash_sig")  # rows-only: xxhash64 signatures are Spark-specific
+def j9_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reusable MinHash signature column (array<bigint>, persisted for
+    incremental dedup); surfaced here as per-doc signature stats."""
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", char_shingles(normalize_text(F.col("text")), 8).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sigs = sh.withColumn("sig", minhash_signature(F.col("sh"), 64)).withColumn(
+        "bands", lsh_bands(F.col("sig"), 16, 4)
+    )
+    return sigs.select(
+        "doc_id",
+        F.size("sig").alias("sig_len"),
+        F.element_at("sig", 1).alias("sig0"),
+        F.size("bands").alias("n_bands"),
+    )
+
+
+# ---------------------------------------------------------------- j3/j4/j5/j10
+
+
+@query(
+    "j3_sim_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+    s AS (
+      SELECT qid, cid,
+             {_duck_dot("qe", "ce")} / ({_duck_norm("qe")} * {_duck_norm("ce")}) AS sim
+      FROM c, q WHERE qid != cid
+    )
+    SELECT qid, cid, sim, rank FROM (
+      SELECT qid, cid, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+      FROM s
+    ) WHERE rank <= 5
+    """,
+)
+def j3_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for 10 query vectors: broadcast
+    queries × candidate scan, native zip_with/aggregate dot products
+    (bit-identical to the oracle's sequential list fold — no rounding)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    candidates = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    return cosine_topk(queries, candidates, k=5)
+
+
+@query(
+    "j4_knn_label",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS cid, embedding AS ce, label FROM embeddings),
+    s AS (
+      SELECT qid, cid, label,
+             {_duck_dot("qe", "ce")} / ({_duck_norm("qe")} * {_duck_norm("ce")}) AS sim
+      FROM c, q WHERE qid != cid
+    ),
+    topk AS (
+      SELECT qid, label FROM (
+        SELECT qid, label, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS r
+        FROM s
+      ) WHERE r <= 5
+    ),
+    votes AS (SELECT qid, label, COUNT(*) AS n FROM topk GROUP BY 1, 2)
+    SELECT qid, label AS pred_label, n AS votes FROM (
+      SELECT qid, label, n, row_number() OVER (PARTITION BY qid ORDER BY n DESC, label) AS r
+      FROM votes
+    ) WHERE r = 1
+    """,
+)
+def j4_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN majority-label classification on top of j3 (deterministic
+    tie-break: highest count, then smallest label)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    candidates = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    topk = cosine_topk(queries, candidates, k=5)
+    labels = emb.select(F.col("vec_id").alias("cid"), "label")
+    votes = (
+        topk.join(F.broadcast(labels), "cid")
+        .groupBy("qid", "label")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("n"), F.asc("label"))
+    return (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("qid", F.col("label").alias("pred_label"), F.col("n").alias("votes"))
+    )
+
+
+@query(
+    "j5_centroid",
+    oracle="""
+    SELECT label, i.i AS pos,
+           round(avg(CAST(embedding[i.i + 1] AS DOUBLE)), 4) AS centroid_val
+    FROM embeddings, (SELECT unnest(range(64)) AS i) i
+    GROUP BY 1, 2
+    """,
+)
+def j5_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of 64-dim embeddings via posexplode — the
+    long-format path (no per-row Python, scales as one hash agg)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 4).alias("centroid_val"))
+    )
+
+
+@query(
+    "j10_embed_norm",
+    oracle=f"""
+    SELECT vec_id,
+           {_duck_norm("embedding")} AS norm,
+           CAST(embedding[1] AS DOUBLE) / {_duck_norm("embedding")} AS e0_normed
+    FROM embeddings
+    """,
+)
+def j10_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization (prereq for dot-product-only similarity at
+    scale); norms bit-match the oracle's sequential fold."""
+    emb = load(spark, sf_dir, "embeddings")
+    n = l2_norm(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        n.alias("norm"),
+        (F.element_at("embedding", 1).cast("double") / n).alias("e0_normed"),
+    )
+
+
+# ---------------------------------------------------------------- j6/j7/j8
+
+
+@query(
+    "j6_text_tokens",
+    oracle="""
+    SELECT token, n FROM (
+      SELECT token, COUNT(*) AS n
+      FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+        FROM documents
+      )
+      GROUP BY token
+    )
+    ORDER BY n DESC, token
+    LIMIT 100
+    """,
+)
+def j6_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global term counts, top-100 (explode → partial+final hash agg →
+    TakeOrdered)."""
+    docs = load(spark, sf_dir, "documents")
+    return token_counts(docs, "text").orderBy(F.desc("n"), F.asc("token")).limit(100)
+
+
+@query(
+    "j7_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, df,
+           round(tf * (ln((n.n_docs + 1.0) / (df + 1)) + 1.0), 4) AS tfidf_r
+    FROM tf JOIN dfreq USING (term), n
+    WHERE doc_id < 50
+    """,
+)
+def j7_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smooth tf-idf per (doc, term); df side is a broadcastable
+    aggregate, tf side shuffles once on (doc, term)."""
+    docs = load(spark, sf_dir, "documents")
+    out = tf_idf(docs, "doc_id", "text")
+    return out.filter(F.col("doc_id") < 50).select(
+        "doc_id", "term", "tf", "df", F.round("tfidf", 4).alias("tfidf_r")
+    )
+
+
+@query(
+    "j8_text_stats",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           round(stddev_samp(n_chars), 4) AS sd_chars,
+           CAST(SUM(CASE WHEN n_chars = len(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_len_valid
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def j8_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling per (lang, source) incl. metadata validation
+    (n_chars == length(text))."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.stddev_samp("n_chars"), 4).alias("sd_chars"),
+        F.sum(
+            F.when(F.col("n_chars") == F.length("text"), 1).otherwise(0)
+        ).alias("n_len_valid"),
+    )
+
+
+# ---------------------------------------------------------------- langid / quality / fingerprint
+
+
+@query(
+    "j11_langid",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+      FROM documents
+    ),
+    freq AS (SELECT lang, token, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+    top AS (
+      SELECT lang AS cand_lang, token FROM (
+        SELECT lang, token, row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS r
+        FROM freq
+      ) WHERE r <= 20
+    ),
+    doc_tokens AS (SELECT DISTINCT doc_id, token FROM toks),
+    votes AS (
+      SELECT doc_id, cand_lang, COUNT(*) AS hits
+      FROM doc_tokens JOIN top USING (token)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, cand_lang AS pred_lang, hits FROM (
+      SELECT doc_id, cand_lang, hits,
+             row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS r
+      FROM votes
+    ) WHERE r = 1
+    """,
+)
+def j11_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID: corpus-trained top-20-token vote (see
+    operators/text.py) — a self-contained n-gram-style classifier."""
+    docs = load(spark, sf_dir, "documents")
+    return langid_train_classify(docs, "doc_id", "text", "lang", top_n=20)
+
+
+@query(
+    "j12_quality_score",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             len(text) AS n_chars,
+             len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
+             CAST(list_aggregate(list_transform(list_filter(string_split(text, ' '), x -> x != ''),
+                  t -> len(t)), 'sum') AS DOUBLE)
+               / greatest(len(list_filter(string_split(text, ' '), x -> x != '')), 1) AS avg_token_len,
+             CAST(len(list_filter(list_filter(string_split(text, ' '), x -> x != ''),
+                  t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t)))
+                  AS DOUBLE)
+               / greatest(len(list_filter(string_split(text, ' '), x -> x != '')), 1) AS stopword_ratio,
+             CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+               / greatest(len(text), 1) AS digit_ratio
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens, avg_token_len, stopword_ratio, digit_ratio,
+           round(ln(1 + n_tokens) * (1.0 - digit_ratio) * (0.5 + stopword_ratio), 4) AS quality
+    FROM f
+    """,
+)
+def j12_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring from native text features (length,
+    token shape, stopword density, digit density)."""
+    docs = load(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    n_tok = F.greatest(feats["n_tokens"], F.lit(1))
+    toks = whitespace_tokens(F.col("text"))
+    avg_tok = (
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double") / n_tok
+    )
+    stop_ratio = (
+        F.size(
+            F.filter(
+                toks,
+                lambda t: t.isin("the", "a", "of", "and", "to", "in", "is", "on", "for", "with"),
+            )
+        ).cast("double")
+        / n_tok
+    )
+    quality = F.round(
+        F.log(1 + feats["n_tokens"]) * (1.0 - feats["digit_ratio"]) * (0.5 + stop_ratio), 4
+    )
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        avg_tok.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        feats["digit_ratio"].alias("digit_ratio"),
+        quality.alias("quality"),
+    )
+
+
+@query(
+    "j13_fingerprint",
+    oracle="""
+    WITH normed AS (
+      SELECT doc_id, lang, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           list_min(list_transform(
+             list_distinct(list_transform(range(1, greatest(len(norm) - 7, 0) + 1),
+                                          i -> substr(norm, i, 8))),
+             s -> md5(s))) AS fp
+    FROM normed
+    WHERE len(norm) >= 8
+    """,
+)
+def j13_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint (min md5 over 8-gram shingles) —
+    a cheap stable blocking key for incremental dedup."""
+    docs = load(spark, sf_dir, "documents")
+    normed = docs.select("doc_id", "lang", normalize_text(F.col("text")).alias("norm")).filter(
+        F.length("norm") >= 8
+    )
+    return normed.select("doc_id", "lang", fingerprint(F.col("norm"), 8).alias("fp"))
+
+
+# ---------------------------------------------------------------- multimodal
+
+
+@query(
+    "m1_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           hex(substr(text, 1, 8)) AS header_hex,
+           octet_length(CAST(text AS BLOB)) % 640 AS fake_width,
+           octet_length(CAST(text AS BLOB)) % 480 AS fake_height
+    FROM documents
+    """,
+)
+def m1_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary assets → Arrow-batched
+    mapInPandas metadata extraction (codec itself stubbed; see
+    operators/multimodal.py for the partition-sizing contract)."""
+    docs = load(spark, sf_dir, "documents")
+    assets = multimodal.binary_assets_from_documents(docs)
+    return multimodal.extract_metadata(assets)
+
+
+@query(
+    "m2_frame_sample",
+    oracle="""
+    SELECT doc_id, unnest(range(0, greatest(octet_length(CAST(text AS BLOB)) % 100 - 1, 0) + 1, 10))
+             AS frame_idx
+    FROM documents
+    """,
+)
+def m2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out: one row per sampled frame index — the
+    explode pattern that turns per-video work into per-frame tasks."""
+    docs = load(spark, sf_dir, "documents")
+    assets = multimodal.binary_assets_from_documents(docs)
+    return multimodal.frame_sample_plan(assets, every_n=10)

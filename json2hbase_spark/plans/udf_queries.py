@@ -1,1 +1,144 @@
-"""K-ops: UDF/UDAF/UDTF surface (SURVEY.md §2) — filled in slice 4."""
+"""K-ops: the UDF/UDAF/UDTF escape hatches (SURVEY.md §2 K1–K4).
+
+Engine policy: these exist for semantics the native surface can't
+express; every hot path elsewhere stays JVM-side. k1 is the
+row-at-a-time anti-pattern kept as a declared-slow reference point;
+k2/k3 are the sanctioned Arrow-batched forms; k4 is a Python UDTF
+driven through SQL LATERAL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType
+
+from json2hbase_spark.io import load, register_views
+from json2hbase_spark.registry import query
+
+
+@query(
+    "k1_udf_py",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN n_chars < 150 THEN 'short'
+                WHEN n_chars < 350 THEN 'medium'
+                ELSE 'long' END AS size_bucket
+    FROM documents
+    """,
+)
+def k1_udf_py(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-wise Python UDF (the slow path — one Python round trip per
+    row; kept only as the semantics reference for k2's batched form)."""
+
+    @F.udf(returnType=StringType())
+    def bucket(n: int) -> str:
+        if n < 150:
+            return "short"
+        if n < 350:
+            return "medium"
+        return "long"
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", bucket("n_chars").alias("size_bucket"))
+
+
+@query(
+    "k2_udf_pandas",
+    oracle="""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_aggregate(list_transform(range(1,65),
+                   i -> CAST(embedding[i] AS DOUBLE) * qe[i]), 'sum'), 4) AS dot_q
+    FROM embeddings, q
+    """,
+)
+def k2_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (Arrow) pandas UDF: numpy batch dot products against
+    a broadcast query vector — the sanctioned Python fast path
+    (~10-100× over k1-style row UDFs). round(4): numpy's pairwise
+    summation differs from a sequential fold in the last bits."""
+    import numpy as np
+    import pandas as pd
+
+    def _batch_dot(a, b):
+        am = np.asarray(a.tolist(), dtype=np.float64)
+        bm = np.asarray(b.tolist(), dtype=np.float64)
+        return pd.Series(np.einsum("ij,ij->i", am, bm))
+
+    # explicit wrapper form: `from __future__ import annotations` makes
+    # inline type hints strings, which pandas_udf can't introspect
+    batch_dot = F.pandas_udf(_batch_dot, DoubleType())
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    return (
+        emb.crossJoin(F.broadcast(qvec))
+        .select("vec_id", F.round(batch_dot("embedding", "qe"), 4).alias("dot_q"))
+    )
+
+
+@query(
+    "k3_udaf_pandas",
+    oracle="""
+    SELECT lang,
+           round(exp(avg(ln(n_chars))), 4) AS geo_mean_chars,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def k3_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via applyInPandas (grouped-map): geometric mean
+    of doc lengths per language. round(4): numpy mean is pairwise."""
+    import numpy as np
+    import pandas as pd
+
+    def geo_mean(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "geo_mean_chars": [
+                    round(float(np.exp(np.log(pdf["n_chars"].to_numpy(np.float64)).mean())), 4)
+                ],
+                "n_docs": [len(pdf)],
+            }
+        )
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").applyInPandas(
+        geo_mean, "lang STRING, geo_mean_chars DOUBLE, n_docs BIGINT"
+    )
+
+
+@query(
+    "k4_udtf",
+    oracle="""
+    SELECT doc_id, i.i AS pos, substr(text, i.i + 1, 8) AS shingle
+    FROM documents,
+         (SELECT unnest(range(0, 600, 4)) AS i) i
+    WHERE doc_id < 30 AND i.i + 8 <= len(text)
+    """,
+)
+def k4_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): doc → strided 8-gram shingle rows,
+    invoked through SQL LATERAL — the row-expanding escape hatch."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id BIGINT, pos INT, shingle STRING")
+    class Shingler:
+        def eval(self, doc_id: int, text: str):
+            if text is None:
+                return
+            for pos in range(0, len(text) - 7, 4):
+                yield doc_id, pos, text[pos : pos + 8]
+
+    spark.udtf.register("shingler", Shingler)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s.doc_id, s.pos, s.shingle
+        FROM documents d, LATERAL shingler(d.doc_id, d.text) s
+        WHERE d.doc_id < 30
+        """
+    )

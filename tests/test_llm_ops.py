@@ -1,0 +1,151 @@
+"""LLM-operator tests: MinHash accuracy vs exact Jaccard, cosine
+anchors, LSH recall on planted near-dups, multimodal plumbing
+(FIXTURES.md §3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from json2hbase_spark.operators.dedup import (
+    char_shingles,
+    jaccard,
+    minhash_signature,
+    near_dup_pairs,
+    normalize_text,
+    simhash64,
+)
+from json2hbase_spark.operators.similarity import (
+    ann_topk_lsh,
+    cosine,
+    cosine_topk,
+    l2_norm,
+    l2_normalize,
+)
+
+
+def test_minhash_estimates_jaccard(spark):
+    """Signature agreement rate estimates Jaccard within ±0.15 at 64
+    hashes for anchor pairs at J ≈ {0, ~0.5, 1}."""
+    base = "abcdefghij" * 6
+    half = base[:30] + "XYZ" + base[33:]  # most shingles shared
+    disjoint = "0123456789" * 6
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, half), (4, disjoint)], "id INT, t STRING"
+    )
+    sh = df.select("id", char_shingles(F.col("t"), 8).alias("sh"))
+    sig = sh.withColumn("sig", minhash_signature(F.col("sh"), 64))
+    rows = {r.id: (set(r.sh), r.sig) for r in sig.collect()}
+
+    def est(a, b):
+        return sum(x == y for x, y in zip(rows[a][1], rows[b][1])) / 64
+
+    def exact(a, b):
+        sa, sb = rows[a][0], rows[b][0]
+        return len(sa & sb) / len(sa | sb)
+
+    for a, b in [(1, 2), (1, 3), (1, 4)]:
+        assert abs(est(a, b) - exact(a, b)) <= 0.15, (a, b, est(a, b), exact(a, b))
+    assert est(1, 2) == 1.0 and exact(1, 4) == 0.0
+
+
+def test_near_dup_pairs_finds_planted_dups(spark):
+    docs = [(1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and AGAIN"),
+            (3, "completely different text with nothing shared at all here!!")]
+    df = spark.createDataFrame(docs, "doc_id INT, text STRING")
+    pairs = near_dup_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    assert [(p.doc_a, p.doc_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].jaccard > 0.8
+
+
+def test_cosine_anchors(spark):
+    import math
+
+    e1 = [1.0] + [0.0] * 63
+    e2 = [0.0, 1.0] + [0.0] * 62
+    mix = [1 / math.sqrt(2), 1 / math.sqrt(2)] + [0.0] * 62
+    neg = [-1.0] + [0.0] * 63
+    df = spark.createDataFrame(
+        [(1, e1, e2), (2, e1, mix), (3, e1, neg), (4, e1, e1)],
+        "id INT, a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+    )
+    out = {r.id: r.c for r in df.select("id", cosine(F.col("a"), F.col("b")).alias("c")).collect()}
+    assert out[1] == 0.0
+    assert abs(out[2] - 1 / math.sqrt(2)) < 1e-12
+    assert out[3] == -1.0 and out[4] == 1.0
+
+
+def test_l2_normalize_unit_norm(spark, sf_dir):
+    from json2hbase_spark.io import load
+
+    emb = load(spark, sf_dir, "embeddings").limit(50)
+    normed = emb.select(l2_norm(l2_normalize(F.col("embedding"))).alias("n"))
+    for r in normed.collect():
+        assert abs(r.n - 1.0) < 1e-9
+
+
+def test_ann_lsh_subset_of_exact_topk(spark, sf_dir):
+    """LSH ANN results must be true cosine scores; for each query the
+    approximate neighbors are a subset of the exact top-50."""
+    import random
+
+    from json2hbase_spark.io import load
+
+    rng = random.Random(7)
+    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(4)]
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    exact = {
+        (r.qid, r.cid): r.sim for r in cosine_topk(q, c, 50).collect()
+    }
+    approx = ann_topk_lsh(q, c, 5, planes).collect()
+    assert len(approx) > 0
+    for r in approx:
+        if (r.qid, r.cid) in exact:
+            assert abs(exact[(r.qid, r.cid)] - r.sim) < 1e-12
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c", "d", "e"]), (2, ["a", "b", "c", "d", "f"]), (3, ["x", "y", "z", "w", "v"])],
+        "id INT, toks ARRAY<STRING>",
+    )
+    out = {r.id: r.h for r in df.select("id", simhash64(F.col("toks")).alias("h")).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(out[1], out[2]) < hamming(out[1], out[3])
+
+
+def test_multimodal_metadata_and_stub(spark):
+    import pytest
+
+    from json2hbase_spark.operators import multimodal
+
+    df = spark.createDataFrame([(1, bytearray(b"hello world")), (2, bytearray(b""))],
+                               "doc_id LONG, data BINARY")
+    meta = {r.doc_id: r for r in multimodal.extract_metadata(df).collect()}
+    assert meta[1].n_bytes == 11 and meta[1].header_hex == b"hello wo".hex().upper()
+    assert meta[2].n_bytes == 0 and meta[2].header_hex == ""
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+
+
+def test_jaccard_empty_sets(spark):
+    df = spark.createDataFrame([(1,)], "id INT").select(
+        jaccard(
+            F.expr("CAST(array() AS array<string>)"), F.expr("CAST(array() AS array<string>)")
+        ).alias("j"),
+        jaccard(F.array(F.lit("x")), F.expr("CAST(array() AS array<string>)")).alias("j2"),
+    )
+    row = df.first()
+    assert row.j == 0.0 and row.j2 == 0.0
+
+
+def test_normalize_text(spark):
+    df = spark.createDataFrame([("  Hello   WORLD\t\nfoo  ",)], "t STRING")
+    assert df.select(normalize_text(F.col("t")).alias("n")).first().n == "hello world foo"
