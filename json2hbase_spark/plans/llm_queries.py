@@ -18,7 +18,7 @@ from json2hbase_spark.operators.dedup import (
     char_shingles,
     jaccard,
     lsh_bands,
-    minhash_signature,
+    minhash_signatures_agg,
     near_dup_pairs,
     normalize_text,
 )
@@ -166,7 +166,7 @@ def j9_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "doc_id", char_shingles(normalize_text(F.col("text")), 8).alias("sh")
     ).filter(F.size("sh") > 0)
-    sigs = sh.withColumn("sig", minhash_signature(F.col("sh"), 64)).withColumn(
+    sigs = minhash_signatures_agg(sh, "doc_id", "sh", 64).withColumn(
         "bands", lsh_bands(F.col("sig"), 16, 4)
     )
     return sigs.select(
@@ -495,7 +495,12 @@ def j13_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed = docs.select("doc_id", "lang", normalize_text(F.col("text")).alias("norm")).filter(
         F.length("norm") >= 8
     )
-    return normed.select("doc_id", "lang", fingerprint(F.col("norm"), 8).alias("fp"))
+    # explode + min-aggregate (map-side combine) instead of the
+    # array_min expression — same result, one shingle materialization
+    exploded = normed.select(
+        "doc_id", "lang", F.explode(char_shingles(F.col("norm"), 8)).alias("s")
+    )
+    return exploded.groupBy("doc_id", "lang").agg(F.min(F.md5("s")).alias("fp"))
 
 
 # ---------------------------------------------------------------- multimodal
