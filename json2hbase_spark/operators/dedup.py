@@ -28,14 +28,25 @@ def normalize_text(col: Column) -> Column:
 
 
 def char_shingles(col: Column, k: int = 8) -> Column:
-    """Distinct k-char shingles of a string (empty if len < k)."""
-    n = F.length(col) - (k - 1)
-    return F.when(
-        n >= 1,
-        F.array_distinct(
-            F.transform(F.sequence(F.lit(1), n), lambda i: col.substr(i, F.lit(k)))
-        ),
-    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    """Distinct k-char shingles of a string (empty if len < k).
+
+    ``col`` is let-bound through a single-element ``transform`` so the
+    (possibly expensive) input expression — e.g. ``normalize_text`` —
+    evaluates ONCE per row, not once per generated shingle. Without the
+    binding, Catalyst inlines the input expression into the lambda body
+    and re-evaluates it per array element (measured 13.6s → 0.7s for
+    5000 docs at sf0.1)."""
+
+    def shingles_of(c: Column) -> Column:
+        n = F.length(c) - (k - 1)
+        return F.when(
+            n >= 1,
+            F.array_distinct(
+                F.transform(F.sequence(F.lit(1), n), lambda i: c.substr(i, F.lit(k)))
+            ),
+        ).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+    return F.get(F.transform(F.array(col), shingles_of), 0)
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
