@@ -86,6 +86,65 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def ivf_centroids(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding", dp: int = 6
+) -> DataFrame:
+    """IVF coarse quantizer: per-label centroid vectors via the
+    long-format path (posexplode → hash agg → re-collect). Centroids
+    are rounded to ``dp`` decimals so the assignment step is
+    deterministic across engines (float avg is accumulation-order
+    dependent; 6 dp absorbs the ~1e-15 partial-agg jitter).
+    Returns (label, centroid array<double>)."""
+    long = emb.select(F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "val"))
+    cent = long.groupBy(label_col, "pos").agg(
+        F.round(F.avg(F.col("val").cast("double")), dp).alias("cv")
+    )
+    return cent.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
+        ).alias("centroid")
+    )
+
+
+def ann_topk_ivf(
+    queries: DataFrame,
+    emb: DataFrame,
+    k: int,
+    nprobe: int = 1,
+    q_id: str = "qid",
+    q_vec: str = "qvec",
+    label_col: str = "label",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: assign each query to its ``nprobe`` nearest
+    coarse centroids (broadcast — the centroid table is tiny), then
+    brute-force exact cosine ONLY within the probed partitions. At
+    100 TB the corpus stays partitioned by list id, so each query
+    touches 1/n_lists of the data instead of all of it."""
+    cents = ivf_centroids(emb, label_col, vec_col)
+    qc = queries.crossJoin(F.broadcast(cents)).select(
+        q_id, q_vec, label_col, cosine(F.col(q_vec), F.col("centroid")).alias("csim")
+    )
+    wa = Window.partitionBy(q_id).orderBy(F.desc("csim"), F.asc(label_col))
+    assigned = (
+        qc.withColumn("pr", F.row_number().over(wa))
+        .filter(F.col("pr") <= nprobe)
+        .select(q_id, q_vec, label_col)
+    )
+    cands = emb.select(
+        F.col(label_col), F.col(vec_id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    joined = cands.join(F.broadcast(assigned), label_col).filter(F.col(q_id) != F.col("cid"))
+    scored = joined.select(q_id, "cid", cosine(F.col(q_vec), F.col("cvec")).alias("sim"))
+    w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, "cid", "sim", "rank")
+    )
+
+
 def ann_topk_lsh(
     queries: DataFrame,
     candidates: DataFrame,

@@ -21,8 +21,11 @@ from json2hbase_spark.operators.dedup import (
     minhash_signatures_agg,
     near_dup_pairs,
     normalize_text,
+    simhash_near_pairs,
 )
 from json2hbase_spark.operators.similarity import (
+    ann_topk_ivf,
+    ann_topk_lsh,
     cosine,
     cosine_topk,
     l2_norm,
@@ -501,6 +504,198 @@ def j13_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.explode(char_shingles(F.col("norm"), 8)).alias("s")
     )
     return exploded.groupBy("doc_id", "lang").agg(F.min(F.md5("s")).alias("fp"))
+
+
+# ---------------------------------------------------------------- j14–j18
+
+
+BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@query(
+    "j14_token_count",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(regexp_extract_all(lower(text), '{BPE_RE}')) AS token
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_tokens,
+           COUNT(DISTINCT token) AS n_distinct,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           round(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT doc_id), 4) AS tokens_per_doc
+    FROM toks
+    GROUP BY lang
+    """,
+)
+def j14_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting per language: regex tokenizer (letter
+    runs / digit runs / single punctuation glyphs — the GPT-2 pretoken
+    shape without the merges table) → explode → one hash agg."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(bpe_ish_tokens(F.col("text"))).alias("token")
+    )
+    return toks.groupBy("lang").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("token").alias("n_distinct"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.round(F.count("*").cast("double") / F.countDistinct("doc_id"), 4).alias(
+            "tokens_per_doc"
+        ),
+    )
+
+
+@query("j15_simhash")  # rows-only: xxhash64 bit votes are Spark-specific
+def j15_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup mining: per-doc 64-bit sign-vote fingerprint
+    (operators/dedup.py simhash_agg), 16-bit band blocking, exact
+    Hamming verification via bit_count(xor). Complements MinHash: one
+    BIGINT per doc instead of a 64-element signature."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", bpe_ish_tokens(normalize_text(F.col("text"))).alias("toks")
+    ).filter(F.size("toks") > 0)
+    return simhash_near_pairs(toks, "doc_id", "toks", bands=4, max_hamming=3)
+
+
+@query(
+    "j16_dedup_embed",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           {_duck_dot("a.embedding", "b.embedding")}
+             / ({_duck_norm("a.embedding")} * {_duck_norm("b.embedding")}) AS sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_duck_dot("a.embedding", "b.embedding")}
+             / ({_duck_norm("a.embedding")} * {_duck_norm("b.embedding")}) >= 0.35
+    """,
+)
+def j16_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked on the label column so
+    only same-partition vectors meet (at 100 TB the blocking key is an
+    LSH bucket or cluster id — same plan shape, j18 has the bucketed
+    variant). Exact cosine, sequential fold, no rounding."""
+    emb = load(spark, sf_dir, "embeddings")
+    # norms hoisted out of the pair join: computed once per vector
+    # (O(n) folds) instead of once per candidate pair (O(pairs))
+    normed = emb.select(
+        "label", "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    a = normed.select(
+        F.col("label"), F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = normed.select(
+        F.col("label").alias("label_b"), F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    from json2hbase_spark.operators.similarity import dot as _dot
+
+    sim = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", "label", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.35)
+    )
+
+
+@query(
+    "j17_ann_ivf",
+    oracle=f"""
+    WITH cent_long AS (
+      SELECT label, i.i AS pos, round(avg(CAST(embedding[i.i + 1] AS DOUBLE)), 6) AS cv
+      FROM embeddings, (SELECT unnest(range(64)) AS i) i
+      GROUP BY 1, 2
+    ),
+    cent AS (SELECT label, list(cv ORDER BY pos) AS centroid FROM cent_long GROUP BY label),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    qc AS (
+      SELECT qid, qe, label,
+             {_duck_dot("qe", "centroid")} / ({_duck_norm("qe")} * {_duck_norm("centroid")}) AS csim
+      FROM q, cent
+    ),
+    assigned AS (
+      SELECT qid, qe, label FROM (
+        SELECT qid, qe, label,
+               row_number() OVER (PARTITION BY qid ORDER BY csim DESC, label) AS pr
+        FROM qc
+      ) WHERE pr <= 1
+    ),
+    s AS (
+      SELECT a.qid, e.vec_id AS cid,
+             {_duck_dot("a.qe", "e.embedding")}
+               / ({_duck_norm("a.qe")} * {_duck_norm("e.embedding")}) AS sim
+      FROM embeddings e JOIN assigned a ON e.label = a.label AND e.vec_id != a.qid
+    )
+    SELECT qid, cid, sim, rank FROM (
+      SELECT qid, cid, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+      FROM s
+    ) WHERE rank <= 3
+    """,
+)
+def j17_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: per-label centroids as the coarse quantizer
+    (rounded to 6 dp in both engines so assignment is deterministic),
+    nprobe=1, exact top-3 within the probed partition. The scale story:
+    each query scans 1/n_lists of the corpus instead of all of it."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ann_topk_ivf(queries, emb, k=3, nprobe=1)
+
+
+# deterministic random-hyperplane set for j18 (plan-time constants;
+# seeded so Spark literals and the SQL literals below are identical)
+import random as _random
+
+_rng = _random.Random(42)
+LSH_PLANES = [[round(_rng.gauss(0.0, 1.0), 3) for _ in range(64)] for _ in range(6)]
+
+
+def _duck_bucket(col: str) -> str:
+    terms = []
+    for i, plane in enumerate(LSH_PLANES):
+        lit = "([" + ",".join(repr(v) for v in plane) + "])"
+        terms.append(f"(CASE WHEN {_duck_dot(col, lit)} >= 0 THEN {2 ** i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@query(
+    "j18_ann_lsh",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_duck_bucket("embedding")} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM b WHERE vec_id < 10),
+    s AS (
+      SELECT q.qid, c.vec_id AS cid,
+             {_duck_dot("q.qe", "c.embedding")}
+               / ({_duck_norm("q.qe")} * {_duck_norm("c.embedding")}) AS sim
+      FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id != q.qid
+    )
+    SELECT qid, cid, sim, rank FROM (
+      SELECT qid, cid, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+      FROM s
+    ) WHERE rank <= 3
+    """,
+)
+def j18_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: 6 seeded planes → 64 sign buckets;
+    only same-bucket candidates are scored (O(n/2^planes) per query).
+    Plane literals are identical constants in both engines, so the
+    bucket assignment and sims hash-match exactly."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    candidates = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    return ann_topk_lsh(queries, candidates, k=3, planes=LSH_PLANES)
 
 
 # ---------------------------------------------------------------- multimodal

@@ -149,3 +149,78 @@ def test_jaccard_empty_sets(spark):
 def test_normalize_text(spark):
     df = spark.createDataFrame([("  Hello   WORLD\t\nfoo  ",)], "t STRING")
     assert df.select(normalize_text(F.col("t")).alias("n")).first().n == "hello world foo"
+
+
+def test_simhash_agg_matches_expression_form(spark):
+    from json2hbase_spark.operators.dedup import simhash_agg
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, ["a", "b", "c"]), (3, ["q", "r", "s", "t"])],
+        "id INT, toks ARRAY<STRING>",
+    )
+    agg = {r.id: r.sh for r in simhash_agg(df, "id", "toks").collect()}
+    expr = {
+        r.id: r.sh
+        for r in df.select("id", simhash64(F.col("toks")).alias("sh")).collect()
+    }
+    assert agg == expr
+    assert agg[1] == agg[2]  # identical token sets -> identical simhash
+
+
+def test_simhash_near_pairs_finds_planted_dup(spark):
+    from json2hbase_spark.operators.dedup import simhash_near_pairs
+
+    # NOTE: a single-token edit on a SHORT doc flips ~7/64 bits (vote
+    # margins scale with sqrt(doc length)), so banding at Hamming<=3 is
+    # only guaranteed for true near-identical docs — test exactly that.
+    base = [f"tok{i}" for i in range(40)]
+    rows = [
+        (1, base),
+        (2, list(base)),  # exact token-multiset duplicate -> Hamming 0
+        (3, [f"other{i}" for i in range(40)]),
+    ]
+    df = spark.createDataFrame(rows, "id INT, toks ARRAY<STRING>")
+    got = {(r.doc_a, r.doc_b): r.hamming for r in simhash_near_pairs(df, "id", "toks").collect()}
+    assert got == {(1, 2): 0}
+
+
+def test_ivf_centroids_and_ann(spark):
+    from json2hbase_spark.operators.similarity import ann_topk_ivf, ivf_centroids
+
+    rows = [
+        (0, [1.0, 0.0], 0), (1, [0.9, 0.1], 0), (2, [0.95, 0.05], 0),
+        (3, [0.0, 1.0], 1), (4, [0.1, 0.9], 1), (5, [0.05, 0.95], 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+    cents = {r.label: r.centroid for r in ivf_centroids(emb).collect()}
+    assert len(cents) == 2 and len(cents[0]) == 2
+    assert cents[0][0] > cents[0][1]  # label-0 centroid points along x
+
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = ann_topk_ivf(q, emb, k=2, nprobe=1).collect()
+    # query 0 lands in list 0 and must only see its own list's members
+    assert {r.cid for r in got} == {1, 2}
+
+
+def test_ann_lsh_same_bucket_only(spark):
+    from json2hbase_spark.operators.similarity import ann_topk_lsh
+
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.2]), (2, [-1.0, 0.1])]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    planes = [[1.0, 0.0]]  # one plane splitting on the sign of x
+    got = ann_topk_lsh(q, c, k=5, planes=planes).collect()
+    assert {r.cid for r in got} == {1}  # vec 2 is in the other half-space
+
+
+def test_bpe_ish_tokens(spark):
+    from json2hbase_spark.operators.text import bpe_ish_tokens
+
+    df = spark.createDataFrame([("Ab2c, d-e 42",)], "t STRING")
+    toks = df.select(bpe_ish_tokens(F.col("t")).alias("tk")).first().tk
+    assert toks == ["ab", "2", "c", ",", "d", "-", "e", "42"]
