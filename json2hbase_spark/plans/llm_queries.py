@@ -735,3 +735,53 @@ def m2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     assets = multimodal.binary_assets_from_documents(docs)
     return multimodal.frame_sample_plan(assets, every_n=10)
+
+
+# ---------------------------------------------------------------- j19
+
+# per-language mixture rates (plan-time constants; a real pipeline
+# derives these from a target token budget per source)
+MIXTURE_RATES = {"en": 0.9, "es": 0.6, "zh": 0.5, "de": 0.3, "fr": 0.2}
+
+
+def _hex_threshold(rate: float) -> str:
+    """First-4-hex-chars md5 threshold for a sampling rate (16-bit
+    resolution, identical literal in Spark and DuckDB)."""
+    return format(int(rate * 65536), "04x")
+
+
+@query(
+    "j19_mixture_sample",
+    oracle=f"""
+    WITH sampled AS (
+      SELECT lang, doc_id
+      FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+            CASE lang {' '.join(f"WHEN '{l}' THEN '{_hex_threshold(r)}'" for l, r in MIXTURE_RATES.items())} ELSE '0000' END
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_total,
+           COUNT(s.doc_id) AS n_sampled,
+           round(CAST(COUNT(s.doc_id) AS DOUBLE) / COUNT(*), 4) AS realized_rate
+    FROM documents d LEFT JOIN sampled s ON d.doc_id = s.doc_id
+    GROUP BY d.lang
+    """,
+)
+def j19_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture sampling: each language sampled at its own rate
+    via a content-addressed hash threshold (md5 16-bit prefix), so the
+    mixture is reproducible across runs/engines/partitionings and needs
+    no shuffle — one scan, one filter, one agg. At 100 TB this replaces
+    df.sample's RNG (partition-order dependent) for curriculum mixing."""
+    docs = load(spark, sf_dir, "documents")
+    thr = F.lit("0000")
+    for lang, rate in MIXTURE_RATES.items():
+        thr = F.when(F.col("lang") == lang, F.lit(_hex_threshold(rate))).otherwise(thr)
+    picked = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < thr
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(picked, 1)).alias("n_sampled"),
+        F.round(
+            F.count(F.when(picked, 1)).cast("double") / F.count("*"), 4
+        ).alias("realized_rate"),
+    )

@@ -543,3 +543,83 @@ def d10_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.median("l_quantity").alias("med_qty"),
         F.round(F.percentile("l_extendedprice", 0.9), 2).alias("p90_price"),
     )
+
+
+# ---------------------------------------------------------------- f4/d11/d12
+
+
+@query(
+    "f4_sample_det",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE md5(concat(CAST(l_orderkey AS VARCHAR), '#', CAST(l_linenumber AS VARCHAR))) < '0d'
+    """,
+)
+def f4_sample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~5% sample via a hash threshold on the natural key
+    (md5 prefix < '0d' ⇒ 13/256 ≈ 5.1%). Unlike TABLESAMPLE/
+    df.sample, the selection is content-addressed: stable across runs,
+    partitionings, and engines — the property a reproducible
+    training-data pipeline needs. Pure scan + filter, no shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    key = F.concat_ws("#", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string"))
+    return li.filter(F.md5(key) < "0d").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@query(
+    "d11_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (o_orderstatus = 'P') AS n_p,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))) FILTER (o_orderstatus = 'F'), 0) AS DOUBLE) AS sum_f
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def d11_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): order counts per priority by status. Uses the
+    native pivot with an EXPLICIT value list — without it Spark runs an
+    extra distinct job to discover values, a collect-like stall at
+    100 TB. Decimal sum keeps the money column bit-stable."""
+    o = load(spark, sf_dir, "orders")
+    p = (
+        o.withColumn("price_dec", F.col("o_totalprice").cast("decimal(12,2)"))
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("price_dec").alias("s"))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.col("F_n").alias("n_f"),
+        F.col("O_n").alias("n_o"),
+        F.col("P_n").alias("n_p"),
+        F.coalesce(F.col("F_s"), F.lit(0).cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_f"),
+    )
+
+
+@query(
+    "d12_unpivot",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val
+    FROM part WHERE p_partkey <= 100
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val
+    FROM part WHERE p_partkey <= 100
+    """,
+)
+def d12_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long) via the native melt — one Expand node, no
+    self-union double scan."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").alias("p_retailprice"),
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "val")

@@ -307,3 +307,57 @@ def i7_late_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_memory(agg, "i7_mem", "update")
     return spark.table("i7_mem")
+
+
+# ---------------------------------------------------------------- i8
+
+
+@query(
+    "i8_resample_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts::TIMESTAMP)) AS h0,
+             date_trunc('hour', max(ts::TIMESTAMP)) AS h1
+      FROM events
+    ),
+    grid AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+      SELECT date_trunc('hour', ts::TIMESTAMP) AS h, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT epoch_us(g.h) AS hour_us, t.event_type,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+    FROM grid g
+    CROSS JOIN types t
+    LEFT JOIN counts c ON c.h = g.h AND c.event_type = t.event_type
+    """,
+)
+def i8_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap fill: hourly event counts per type
+    with missing hours emitted as zero. The hour grid is generated
+    plan-side (global min/max agg → sequence → explode — no collect),
+    cross-joined with the small distinct-type set, then left-joined to
+    the real counts; at 100 TB the only large-data operations are one
+    scan and one hash agg on (hour, type)."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    counts = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    full = grid.crossJoin(F.broadcast(types))
+    return (
+        full.join(counts, ["h", "event_type"], "left")
+        .select(
+            F.unix_micros("h").alias("hour_us"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        )
+    )

@@ -99,3 +99,36 @@ def test_entry_contract(spark):
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
     assert "d1_agg_hash" in qs and "a3_kv_flatten" in qs
+
+
+def test_f4_sample_rate_close_to_nominal(spark):
+    from json2hbase_spark.plans.relational_queries import f4_sample_det
+
+    out = f4_sample_det(spark, "/root/testdata/sf0.001")
+    n = out.count()
+    assert 0.02 * 6000 < n < 0.09 * 6000  # 13/256 nominal, loose bounds
+    # deterministic: same rows every run
+    assert out.exceptAll(f4_sample_det(spark, "/root/testdata/sf0.001")).count() == 0
+
+
+def test_i8_gapfill_covers_every_hour(spark):
+    from json2hbase_spark.plans.streaming_queries import i8_resample_gapfill
+
+    out = i8_resample_gapfill(spark, "/root/testdata/sf0.001").collect()
+    hours = sorted({r.hour_us for r in out})
+    diffs = {b - a for a, b in zip(hours, hours[1:])}
+    assert diffs == {3_600_000_000}  # contiguous hourly grid, no gaps
+    by_type = {}
+    for r in out:
+        by_type.setdefault(r.event_type, 0)
+        by_type[r.event_type] += 1
+    assert len(set(by_type.values())) == 1  # every type has the full grid
+
+
+def test_j19_mixture_rates(spark):
+    from json2hbase_spark.plans.llm_queries import MIXTURE_RATES, j19_mixture_sample
+
+    rows = {r.lang: r for r in j19_mixture_sample(spark, "/root/testdata/sf0.01").collect()}
+    for lang, rate in MIXTURE_RATES.items():
+        got = rows[lang].realized_rate
+        assert abs(got - rate) < 0.15, (lang, got, rate)
