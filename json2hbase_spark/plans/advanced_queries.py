@@ -1,0 +1,231 @@
+"""Advanced composite operators: duplicate-cluster connected
+components, iterative k-means, and skew-salted aggregation — the
+"beyond single-pass SQL" tier of the engine (SURVEY.md §2 J20/J21/C10).
+
+Scale notes inline per operator; the common theme is that iteration
+happens as a bounded chain of narrow joins/aggregations (each one a
+normal shuffle Catalyst can plan), never as driver-side loops over
+collected data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from json2hbase_spark.io import load
+from json2hbase_spark.operators.dedup import char_shingles, normalize_text
+from json2hbase_spark.registry import query
+
+# bounded propagation depth: min-label reaches everything within
+# COMPONENT_HOPS edges. Edges only exist inside a 40-char-prefix
+# block (docs in different blocks never meet), so component diameter
+# is bounded by block size (~2-3 docs in the fixtures); 3 hops covers
+# it while keeping the op deterministic and oracle-expressible
+# (bounded recursion in DuckDB).
+COMPONENT_HOPS = 3
+
+
+def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic near-dup edge set: the same blocked exact-Jaccard
+    construction as j2v (no hash functions → engine-independent)."""
+    docs = load(spark, sf_dir, "documents")
+    normed = docs.select("doc_id", normalize_text(F.col("text")).alias("norm")).filter(
+        F.length("norm") >= 8
+    )
+    sh = normed.select(
+        "doc_id",
+        F.substring("norm", 1, 40).alias("block"),
+        char_shingles(F.col("norm"), 8).alias("shingles"),
+    )
+    a = sh.select(F.col("block"), F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(
+        F.col("block").alias("block_b"), F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, (F.col("block") == F.col("block_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.3)
+        .select("doc_a", "doc_b")
+    )
+
+
+DUCK_DUP_EDGES = """
+    WITH normed AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, substr(norm, 1, 40) AS block,
+             list_distinct(list_transform(range(1, greatest(len(norm) - 7, 0) + 1),
+                                          i -> substr(norm, i, 8))) AS shingles
+      FROM normed WHERE len(norm) >= 8
+    ),
+    edges AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+            >= 0.3
+    )
+"""
+
+
+@query(
+    "j20_dup_components",
+    oracle=DUCK_DUP_EDGES.replace("WITH normed", "WITH RECURSIVE normed")
+    + f"""
+    , nodes AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM edges UNION SELECT doc_b FROM edges
+      )
+    ),
+    bi AS (
+      SELECT doc_a AS src, doc_b AS dst FROM edges
+      UNION ALL SELECT doc_b, doc_a FROM edges
+    ),
+    reach(node, reached, depth) AS (
+      SELECT doc_id, doc_id, 0 FROM nodes
+      UNION
+      SELECT r.node, bi.dst, r.depth + 1
+      FROM reach r JOIN bi ON bi.src = r.reached
+      WHERE r.depth < {COMPONENT_HOPS}
+    ),
+    comp AS (SELECT node AS doc_id, min(reached) AS component FROM reach GROUP BY node)
+    SELECT component,
+           COUNT(*) AS n_docs,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc
+    FROM comp
+    GROUP BY component
+    """,
+)
+def j20_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters as connected components of the verified
+    near-dup graph: iterative min-label propagation, one narrow
+    join + min-agg per hop (the map-reduce CC algorithm; large-star/
+    small-star is the optimization at web scale, min-label is the
+    right shape for the small-diameter clusters dedup produces).
+    Bounded at COMPONENT_HOPS so the plan is static and the DuckDB
+    twin (bounded recursive CTE) computes the identical fixpoint."""
+    # materialize the edge set once: every propagation hop references
+    # it, and without truncation the shingle-join subtree would be
+    # re-evaluated per hop (measured 20.8s -> ~3s at sf0.01). The edge
+    # list is the small invariant of the iteration — exactly what you
+    # checkpoint at 100 TB too.
+    edges = _dup_edges(spark, sf_dir).localCheckpoint()
+    nodes = (
+        edges.select(F.col("doc_a").alias("node"))
+        .unionByName(edges.select(F.col("doc_b").alias("node")))
+        .distinct()
+    )
+    bi = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(COMPONENT_HOPS):
+        nbr = (
+            bi.join(labels.select(F.col("node").alias("dst"), "label"), "dst")
+            .select(F.col("src").alias("node"), "label")
+        )
+        labels = (
+            labels.unionByName(nbr).groupBy("node").agg(F.min("label").alias("label"))
+        )
+    return labels.groupBy(F.col("label").alias("component")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("node").alias("min_doc"),
+        F.max("node").alias("max_doc"),
+    )
+
+
+@query("j21_kmeans")  # rows-only: iterative float argmin is not SQL-oracle material
+def j21_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=10, 3 iterations) over the embedding column,
+    entirely as DataFrame plans: assignment is a broadcast crossJoin +
+    window argmin, the update step is the posexplode/avg centroid agg.
+    Deterministic: seeded from vec_id 0..9, ties broken by cluster id.
+    At 100 TB each iteration is one broadcast pass + one hash agg over
+    (cluster, dim) — no driver-side math; centroids would be
+    checkpointed per iteration to keep lineage flat."""
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", F.col("embedding").alias("v"))
+
+    def sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    centroids = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").cast("int").alias("cluster"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("c"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cluster"))
+    for _ in range(3):
+        assigned = (
+            vecs.crossJoin(F.broadcast(centroids))
+            .withColumn("d", sqdist(F.col("v"), F.col("c")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cluster")
+        )
+        centroids = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("cv"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
+                ).alias("c")
+            )
+        )
+    final = (
+        vecs.crossJoin(F.broadcast(centroids))
+        .withColumn("d", sqdist(F.col("v"), F.col("c")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return final.groupBy("cluster").agg(
+        F.count("*").alias("n_members"),
+        F.min("vec_id").alias("min_vec"),
+    )
+
+
+@query(
+    "c10_join_salted",
+    oracle="""
+    SELECT e.user_id, c.c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def c10_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join: the fact side gets a random-free salt
+    (hash of a second column mod 8), the dim side is exploded 8× so
+    every salted key finds its row; results are identical to the plain
+    join (the oracle IS the plain join). At 100 TB this caps any hot
+    key's partition at 1/8 of its volume; here AQE's skew splitting
+    would also kick in, but explicit salting works on any Spark and
+    demonstrates the technique the SURVEY §4 posture names."""
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer")
+    n_salt = 8
+    salted_ev = ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salt)))
+    salted_cust = cust.select(
+        "c_custkey", "c_mktsegment", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("salt")
+    ).withColumn("salt", F.col("salt").cast("bigint"))
+    joined = salted_ev.join(
+        salted_cust,
+        (salted_ev.user_id == salted_cust.c_custkey) & (salted_ev.salt == salted_cust.salt),
+    )
+    return joined.groupBy("user_id", "c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)").alias("sum_value"),
+    )

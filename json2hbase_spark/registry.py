@@ -46,4 +46,5 @@ def load_all_query_modules() -> None:
         streaming_queries,
         llm_queries,
         udf_queries,
+        advanced_queries,
     )

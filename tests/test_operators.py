@@ -132,3 +132,29 @@ def test_j19_mixture_rates(spark):
     for lang, rate in MIXTURE_RATES.items():
         got = rows[lang].realized_rate
         assert abs(got - rate) < 0.15, (lang, got, rate)
+
+
+def test_j20_components_group_transitive_dups(spark):
+    from json2hbase_spark.plans.advanced_queries import j20_dup_components
+
+    out = j20_dup_components(spark, "/root/testdata/sf0.01").collect()
+    assert all(r.n_docs >= 2 for r in out)  # singletons never enter the graph
+    assert all(r.component == r.min_doc for r in out)  # min-label convention
+
+
+def test_c10_salted_join_equals_plain_join(spark):
+    from json2hbase_spark.io import load
+    from json2hbase_spark.plans.advanced_queries import c10_join_salted
+
+    sf = "/root/testdata/sf0.001"
+    salted = c10_join_salted(spark, sf)
+    ev, cust = load(spark, sf, "events"), load(spark, sf, "customer")
+    plain = (
+        ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy("user_id", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)").alias("sum_value"),
+        )
+    )
+    assert salted.exceptAll(plain).count() == 0 and plain.exceptAll(salted).count() == 0
