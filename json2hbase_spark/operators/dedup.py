@@ -144,6 +144,9 @@ def near_dup_pairs(
     right = banded.select(
         F.col("band").alias("r_band"), F.col("bh").alias("r_bh"), F.col("_id").alias("doc_b")
     )
+    # materialize the (small) candidate set once: it feeds the id
+    # pruning below and the final pair join, and it cuts the LSH
+    # pipeline out of every downstream subtree
     cands = (
         left.join(
             right,
@@ -153,12 +156,31 @@ def near_dup_pairs(
         )
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+        .localCheckpoint()
     )
-    sh_a = shingle_tbl.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("sh_a"))
-    sh_b = shingle_tbl.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("sh_b"))
+    # verification cost must scale with CANDIDATES, not corpus: semi-
+    # join-prune the docs to candidate ids first, then shingle that
+    # sliver only. At sf0.1 this measures ~1s SLOWER than shingling
+    # the full corpus on both verify sides (the checkpoint job costs
+    # more than 2x 5000-doc shingle passes), but at 100 TB the two
+    # full-corpus passes are the difference between rescanning
+    # everything and touching ~|candidates| rows — the right default
+    # for the scale this engine targets.
+    cand_ids = cands.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("_id")
+    ).distinct()
+    ver_sh = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+        .join(F.broadcast(cand_ids), "_id", "left_semi")
+        .select(
+            "_id", char_shingles(normalize_text(F.col("_t")), shingle_k).alias("_sh")
+        )
+    )
+    sh_a = ver_sh.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("sh_a"))
+    sh_b = ver_sh.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("sh_b"))
     return (
-        cands.join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
+        cands.join(F.broadcast(sh_a), "doc_a")
+        .join(F.broadcast(sh_b), "doc_b")
         .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
