@@ -209,3 +209,27 @@ def a8_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table("a8_stream_counts")
+
+
+@query(
+    "a9_partitioned_write",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    """,
+)
+def a9_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned write + read-back: documents written
+    partitionBy(lang), then counted per partition from the files. At
+    100 TB the partition layout IS the primary pruning index (a
+    lang='en' filter reads only that directory — §4 partition
+    pruning); locally the oracle checks the write/read round-trip
+    loses nothing."""
+    import os
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents")
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"j2h_docs_by_lang_{tag}")
+    docs.write.partitionBy("lang").mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))

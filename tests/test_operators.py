@@ -158,3 +158,57 @@ def test_c10_salted_join_equals_plain_join(spark):
         )
     )
     assert salted.exceptAll(plain).count() == 0 and plain.exceptAll(salted).count() == 0
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Bucketed tables co-locate join keys at write time: the sort-merge
+    join over two tables bucketed on the same key needs NO Exchange —
+    the layout that makes repeated fact-fact joins affordable at scale."""
+    from json2hbase_spark.io import load
+
+    sf = "/root/testdata/sf0.001"
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    # the in-memory catalog forgets tables across sessions but their
+    # warehouse directories persist — clear them so saveAsTable can't
+    # hit LOCATION_ALREADY_EXISTS
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("li_bucketed", "ord_bucketed"):
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+       .mode("overwrite").format("parquet").saveAsTable("li_bucketed"))
+    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+       .mode("overwrite").format("parquet").saveAsTable("ord_bucketed"))
+    # small fixtures would broadcast; disable it so the planner must
+    # pick the bucketed sort-merge path (the join shape under test)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("li_bucketed").join(
+            spark.table("ord_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        assert joined.count() == li.count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_a9_partition_pruning(spark, tmp_path):
+    """A lang filter over the partitioned layout must prune at the
+    source (PartitionFilters), not post-scan."""
+    from json2hbase_spark.plans.etl_queries import a9_partitioned_write
+
+    sf = "/root/testdata/sf0.001"
+    a9_partitioned_write(spark, sf)  # materializes the layout
+    import os, tempfile
+    path = os.path.join(tempfile.gettempdir(), "j2h_docs_by_lang_" + sf.strip("/").replace("/", "_"))
+    en = spark.read.parquet(path).filter(F.col("lang") == "en")
+    plan = en._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan
