@@ -229,3 +229,58 @@ def c10_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)").alias("sum_value"),
     )
+
+
+@query(
+    "c11_join_range_bucketed",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts::TIMESTAMP AS pts, event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, ts::TIMESTAMP AS cts, event_id
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.user_id, p.purchase_id, COUNT(c.event_id) AS n_clicks
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id
+     AND c.cts >= p.pts - INTERVAL 1 HOUR
+     AND c.cts <= p.pts
+    GROUP BY 1, 2
+    """,
+)
+def c11_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (clicks within the hour before each purchase) as a
+    bucket-aligned EQUI-join: both sides get an hour-bucket key, the
+    probe side explodes to the 2 buckets its 1 h window can touch, and
+    the exact range predicate filters after the hash join. A naive
+    range join degenerates to per-user nested loops (or BNLJ without an
+    equi key); bucketing bounds every probe to two hash partitions —
+    the standard time-series range-join shape at 100 TB."""
+    ev = load(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.col("event_id").alias("purchase_id"),
+        F.expr(f"unix_micros(ts) div {hour_us}").alias("pbkt"),
+    )
+    probes = p.withColumn("bkt", F.explode(F.array(F.col("pbkt"), F.col("pbkt") - 1)))
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("cts"),
+        F.col("event_id").alias("cid"),
+        F.expr(f"unix_micros(ts) div {hour_us}").alias("cbkt"),
+    )
+    joined = probes.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("bkt") == F.col("cbkt"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("cts") <= F.col("pts")),
+        "left",
+    )
+    return joined.groupBy("user_id", "purchase_id").agg(
+        F.count("cid").alias("n_clicks")
+    )
