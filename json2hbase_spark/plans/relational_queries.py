@@ -623,3 +623,67 @@ def d12_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").cast("double").alias("p_size"),
         F.col("p_retailprice").alias("p_retailprice"),
     ).unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "val")
+
+
+@query(
+    "h8_fn_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & 255 AS and_lo,
+           l_orderkey | 15 AS or_lo,
+           xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS xor_ln,
+           l_orderkey << 2 AS shl2,
+           l_orderkey >> 3 AS shr3,
+           bit_count(l_orderkey) AS pop
+    FROM lineitem
+    WHERE l_orderkey < 1000
+    """,
+)
+def h8_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function bundle (mask/shift/xor/popcount) — the
+    primitives behind salting, banding, and bitmap tricks elsewhere in
+    the engine."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_orderkey").bitwiseAND(F.lit(255)).alias("and_lo"),
+        F.col("l_orderkey").bitwiseOR(F.lit(15)).alias("or_lo"),
+        F.col("l_orderkey").bitwiseXOR(F.col("l_linenumber").cast("bigint")).alias("xor_ln"),
+        F.shiftleft(F.col("l_orderkey"), 2).alias("shl2"),
+        F.shiftright(F.col("l_orderkey"), 3).alias("shr3"),
+        F.bit_count("l_orderkey").alias("pop"),
+    )
+
+
+@query(
+    "e7_win_range_frame",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           COUNT(*) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal
+                          RANGE BETWEEN 500.0 PRECEDING AND CURRENT ROW) AS n_within_500,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) OVER (
+                PARTITION BY c_nationkey ORDER BY c_acctbal
+                RANGE BETWEEN 500.0 PRECEDING AND CURRENT ROW) AS DOUBLE) AS bal_within_500
+    FROM customer
+    """,
+)
+def e7_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame over a numeric ordering (value-based frame,
+    distinct from e4's row-count frame): peers within 500.0 of the
+    current account balance."""
+    from pyspark.sql import Window
+
+    cust = load(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("c_acctbal")
+        .rangeBetween(-500, Window.currentRow)
+    )
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.count(F.lit(1)).over(w).alias("n_within_500"),
+        F.sum(F.col("c_acctbal").cast("decimal(12,2)")).over(w).cast("double").alias("bal_within_500"),
+    )

