@@ -687,3 +687,37 @@ def e7_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_within_500"),
         F.sum(F.col("c_acctbal").cast("decimal(12,2)")).over(w).cast("double").alias("bal_within_500"),
     )
+
+
+@query(
+    "d13_mode",
+    oracle="""
+    SELECT c_mktsegment,
+           mode(c_nationkey ORDER BY c_nationkey) AS mode_nation,
+           min(c_nationkey) AS min_nation,
+           COUNT(*) AS n
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def d13_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mode per group. Spark's mode() breaks ties
+    nondeterministically, so ties are resolved explicitly via a
+    count + rank plan (smallest value wins) — matching DuckDB's
+    ORDER BY tie-break. The two-level aggregate is the standard
+    exact-mode shape: both aggs are hash-partial, shuffle keys stay
+    small."""
+    from pyspark.sql import Window
+
+    cust = load(spark, sf_dir, "customer")
+    counts = cust.groupBy("c_mktsegment", "c_nationkey").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("cnt"), F.asc("c_nationkey"))
+    modes = (
+        counts.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("c_mktsegment", F.col("c_nationkey").alias("mode_nation"))
+    )
+    stats = cust.groupBy("c_mktsegment").agg(
+        F.min("c_nationkey").alias("min_nation"), F.count(F.lit(1)).alias("n")
+    )
+    return modes.join(stats, "c_mktsegment")

@@ -461,3 +461,75 @@ def i9_tws_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev_prov)
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table("i9_mem")
+
+
+# ---------------------------------------------------------------- i10
+
+
+@query(
+    "i10_stream_stream_join",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts::TIMESTAMP AS pts, event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, ts::TIMESTAMP AS cts, event_id AS click_id
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.user_id, p.purchase_id, c.click_id,
+           epoch_us(p.pts) AS pts_us, epoch_us(c.cts) AS cts_us
+    FROM p JOIN c
+      ON c.user_id = p.user_id
+     AND c.cts >= p.pts - INTERVAL 1 HOUR
+     AND c.cts <= p.pts
+    """,
+)
+def i10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition:
+    purchases joined to the clicks of the preceding hour. Both sides
+    are watermarked so the join state is bounded (clicks older than
+    watermark - 1 h are evicted); the time-range predicate is what
+    lets Spark bound the buffers at all — an unconstrained
+    stream-stream join would keep state forever. Oracle is the batch
+    range join over the same data."""
+    p = (
+        load_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("pts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("pts", "2 hours")
+    )
+    c = (
+        load_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("cts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("cts", "2 hours")
+    )
+    joined = p.join(
+        c,
+        F.expr(
+            "p_user = c_user AND cts >= pts - INTERVAL 1 HOUR AND cts <= pts"
+        ),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        F.unix_micros("pts").alias("pts_us"),
+        F.unix_micros("cts").alias("cts_us"),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        _run_to_memory(joined, "i10_mem", "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table("i10_mem")
