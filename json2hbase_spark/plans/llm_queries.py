@@ -785,3 +785,110 @@ def j19_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(picked, 1)).cast("double") / F.count("*"), 4
         ).alias("realized_rate"),
     )
+
+
+# ---------------------------------------------------------------- j22/j23
+
+# PII patterns shared verbatim by both engines (kept to the regex
+# subset Java and RE2 agree on: no backrefs, no lookaround)
+PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+PII_URL = "https?://[^ ]+"
+PII_DIGITRUN = "[0-9][0-9][0-9][0-9][0-9]+"
+
+
+@query(
+    "j22_pii_scan",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(lower(text), '{PII_EMAIL}'))) AS BIGINT) AS n_emails,
+           CAST(SUM(len(regexp_extract_all(lower(text), '{PII_URL}'))) AS BIGINT) AS n_urls,
+           CAST(SUM(len(regexp_extract_all(lower(text), '{PII_DIGITRUN}'))) AS BIGINT) AS n_digitruns,
+           CAST(SUM(len(text) - len(regexp_replace(lower(text), '{PII_DIGITRUN}', '<NUM>', 'g'))
+                    + 5 * len(regexp_extract_all(lower(text), '{PII_DIGITRUN}'))) AS BIGINT)
+             AS redaction_delta
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def j22_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction accounting per language: emails, URLs and
+    long digit runs counted with engine-portable regexes; the
+    redaction_delta column proves the regexp_replace('<NUM>') pass
+    agrees byte-for-byte across engines. One scan, one hash agg —
+    the shape a 100 TB compliance sweep needs."""
+    docs = load(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    n_email = F.size(F.regexp_extract_all(low, F.lit(PII_EMAIL), 0))
+    n_url = F.size(F.regexp_extract_all(low, F.lit(PII_URL), 0))
+    n_dig = F.size(F.regexp_extract_all(low, F.lit(PII_DIGITRUN), 0))
+    redacted = F.regexp_replace(low, PII_DIGITRUN, "<NUM>")
+    delta = F.length("text") - F.length(redacted) + 5 * n_dig
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_email).cast("bigint").alias("n_emails"),
+        F.sum(n_url).cast("bigint").alias("n_urls"),
+        F.sum(n_dig).cast("bigint").alias("n_digitruns"),
+        F.sum(delta).cast("bigint").alias("redaction_delta"),
+    )
+
+
+@query(
+    "j23_decontaminate",
+    oracle=f"""
+    WITH normed AS (
+      SELECT doc_id, lang, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang,
+             unnest(list_distinct(list_transform(range(1, greatest(len(norm) - 31, 0) + 1),
+                                                 i -> substr(norm, i, 32)))) AS g
+      FROM normed WHERE len(norm) >= 32
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10),
+    flagged AS (
+      SELECT DISTINCT doc_id FROM grams
+      WHERE doc_id >= 10 AND g IN (SELECT g FROM bench)
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(*) FILTER (doc_id IN (SELECT doc_id FROM flagged)) AS BIGINT)
+             AS n_contaminated
+    FROM normed
+    WHERE doc_id >= 10 AND len(norm) >= 32
+    GROUP BY lang
+    """,
+)
+def j23_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any 32-char
+    gram with the eval set (doc_id < 10 stands in for the benchmark) —
+    long grams, the standard guard against incidental phrase overlap
+    (8-grams flagged 100% of this synthetic corpus). The
+    eval gram set is tiny → broadcast semi-join against the exploded
+    corpus grams; at 100 TB the corpus side stays a streaming scan
+    with map-side dedup, no shuffle of the big side."""
+    docs = load(spark, sf_dir, "documents")
+    normed = docs.select(
+        "doc_id", "lang", normalize_text(F.col("text")).alias("norm")
+    ).filter(F.length("norm") >= 32)
+    grams = normed.select(
+        "doc_id", F.explode(char_shingles(F.col("norm"), 32)).alias("g")
+    )
+    bench = grams.filter(F.col("doc_id") < 10).select("g").distinct()
+    flagged = (
+        grams.filter(F.col("doc_id") >= 10)
+        .join(F.broadcast(bench), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contam", F.lit(1))
+    )
+    corpus = normed.filter(F.col("doc_id") >= 10)
+    return (
+        corpus.join(flagged, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("is_contam", F.lit(0))).cast("bigint").alias("n_contaminated"),
+        )
+    )
