@@ -54,27 +54,35 @@ def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     min(xxhash64(h, shingle)) over the shingle set. Seed-mixing via the
     leading literal gives ``num_hashes`` independent hash families.
 
-    NOTE: expression form — fine for a handful of hashes, but Catalyst's
-    projection collapse re-inlines the shingle expression into each of
-    the ``num_hashes`` transforms (64× recompute). The scalable path is
-    ``minhash_signatures_agg`` (explode + partial min-aggregate)."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(h), s)))
-            for h in range(num_hashes)
-        ]
-    )
+    The shingle input is let-bound (single-element ``transform``, see
+    ``char_shingles``) so a computed shingle expression evaluates once
+    per row rather than once per hash family. CAUTION: higher-order
+    functions run interpreted, not in codegen — fully materialized
+    this form costs ~2.5x the explode+min-agg path
+    (``minhash_signatures_agg``), which is the hot-path default;
+    count()-style probes under-measure this form because pruning
+    skips most of the work."""
+
+    def from_sh(s: Column) -> Column:
+        return F.array(
+            *[
+                F.array_min(F.transform(s, lambda x: F.xxhash64(F.lit(h), x)))
+                for h in range(num_hashes)
+            ]
+        )
+
+    return F.get(F.transform(F.array(shingles), from_sh), 0)
 
 
 def minhash_signatures_agg(
     df: DataFrame, id_col: str, shingle_col: str, num_hashes: int = 64
 ) -> DataFrame:
     """Aggregation-form MinHash: explode shingles once, then take
-    ``num_hashes`` min-aggregates per doc. Shingles are materialized a
-    single time, hashing is one pass, and partial (map-side) aggregation
-    collapses each partition to one row per doc before the shuffle —
-    the shape that survives 100 TB. Returns (id_col, sig array<bigint>).
-    Measured 9× faster than the expression form at sf0.1."""
+    ``num_hashes`` min-aggregates per doc (map-side combine before the
+    shuffle). This is the hot-path default: all expressions compile in
+    whole-stage codegen, unlike the higher-order projection form
+    (``minhash_signature``) which runs interpreted and costs ~2.5x
+    when fully materialized. Returns (id_col, sig array<bigint>)."""
     exploded = df.select(F.col(id_col), F.explode(F.col(shingle_col)).alias("_s"))
     mins = exploded.groupBy(id_col).agg(
         *[F.min(F.xxhash64(F.lit(h), F.col("_s"))).alias(f"_h{h}") for h in range(num_hashes)]
@@ -86,7 +94,14 @@ def minhash_signatures_agg(
 
 def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
     """Split a signature into ``bands`` buckets of ``rows`` values and
-    hash each band: array<struct<band int, bh bigint>>."""
+    hash each band: array<struct<band int, bh bigint>>.
+
+    Deliberately NOT let-bound: slice/xxhash64/array/struct all
+    compile in whole-stage codegen, and wrapping them in a
+    higher-order ``transform`` binding forces interpreted evaluation
+    (measured 2.1s → 9.0s for the banding stage at sf0.1). Callers
+    must instead materialize a computed ``sig`` behind an exchange
+    before banding — see ``near_dup_pairs``."""
     return F.array(
         *[
             F.struct(
@@ -126,15 +141,16 @@ def near_dup_pairs(
         char_shingles(normalize_text(F.col(text_col)), shingle_k).alias("_sh"),
     ).filter(F.size("_sh") > 0)
 
+    # aggregation-form signatures: the let-bound projection form looks
+    # faster under count() but that is column-pruning artifact — fully
+    # materialized, the interpreted 64-family HOF expression costs
+    # ~9s at sf0.1 vs ~3.5s for the explode + min-agg (which runs in
+    # codegen and combines map-side). The agg's exchange also hands the
+    # self-join below a shared materialization point.
     sigs = minhash_signatures_agg(shingle_tbl, "_id", "_sh", num_hashes)
     banded = sigs.select(
         "_id", F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("_b")
     ).select("_id", "_b.band", "_b.bh")
-    # no explicit barrier here: the groupBy inside
-    # minhash_signatures_agg already materializes an exchange that the
-    # self-join's two sides share via ReuseExchange (adding a
-    # repartition measured 2x slower; contrast simhash_near_pairs,
-    # whose shuffle-free signature pipeline needs one)
 
     # candidate ids only through the band join (no shingle arrays in the
     # shuffle); shingles re-attach for verification afterwards
@@ -272,10 +288,10 @@ def simhash_near_pairs(
         F.col("sh"),
         F.explode(simhash_bands(F.col("sh"), bands)).alias("_b"),
     ).select("_id", "sh", "_b.band", "_b.bv")
-    # barrier so the self-join's two sides share one signature
-    # computation via ReuseExchange instead of recomputing the (large)
-    # simhash projection per side (12.4s -> 6.8s at sf0.1)
-    banded = banded.repartition("band", "bv")
+    # materialize so the self-join's two sides share one signature
+    # computation (ReuseExchange does not fire across HOF lambda
+    # plans — see near_dup_pairs)
+    banded = banded.localCheckpoint()
     left = banded.select(
         F.col("band").alias("l_band"), F.col("bv").alias("l_bv"),
         F.col("_id").alias("doc_a"), F.col("sh").alias("sh_a"),
