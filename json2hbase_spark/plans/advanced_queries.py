@@ -38,6 +38,10 @@ def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("norm", 1, 40).alias("block"),
         char_shingles(F.col("norm"), 8).alias("shingles"),
     )
+    # materialized for the same reason as j2v: the self-join's two
+    # sides would otherwise shingle the corpus twice (HOF plans defeat
+    # ReuseExchange)
+    sh = sh.localCheckpoint()
     a = sh.select(F.col("block"), F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(
         F.col("block").alias("block_b"), F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
