@@ -233,3 +233,32 @@ def a9_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.write.partitionBy("lang").mode("overwrite").parquet(path)
     back = spark.read.parquet(path)
     return back.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@query(
+    "a10_jsonl_write",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def a10_jsonl_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL export sink + re-ingest round-trip: documents written as
+    line-delimited JSON (the reference's input format), read back with
+    schema inference, and aggregated — the oracle proves the
+    write/parse cycle is lossless for the corpus columns."""
+    import os
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents")
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"j2h_docs_jsonl_{tag}")
+    docs.write.mode("overwrite").json(path)
+    back = spark.read.json(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
