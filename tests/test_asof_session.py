@@ -96,3 +96,48 @@ def test_session_window_stream_equals_batch(spark, sf_dir):
         .agg(F.count("*").alias("n_sessions"))
     )
     assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, native.collect()))
+
+
+def test_tumbling_window_stream_equals_batch(spark, sf_dir):
+    """SURVEY §5 item 6: the same windowed-agg plan run as a real
+    micro-batch stream (availableNow → memory sink) must equal the
+    batch execution row-for-row."""
+    from pyspark.sql import functions as F
+
+    from json2hbase_spark.plans.streaming_queries import i1_win_tumbling
+    from json2hbase_spark.io import load_events_stream
+    import tempfile
+
+    batch = {
+        (r.win_start_us, r.event_type): (r.n_events, r.sum_value)
+        for r in i1_win_tumbling(spark, sf_dir).collect()
+    }
+
+    stream = load_events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("win_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("i1_equality_mem")
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_i1_eq_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.win_start_us, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("i1_equality_mem").collect()
+    }
+    assert streamed == batch
