@@ -148,9 +148,12 @@ def near_dup_pairs(
     # codegen and combines map-side). The agg's exchange also hands the
     # self-join below a shared materialization point.
     sigs = minhash_signatures_agg(shingle_tbl, "_id", "_sh", num_hashes)
+    # materialize: the self-join below would otherwise run the whole
+    # signature aggregation once per side (ReuseExchange cannot match
+    # the HOF-lambda shingle subtree; see also simhash_near_pairs)
     banded = sigs.select(
         "_id", F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("_b")
-    ).select("_id", "_b.band", "_b.bh")
+    ).select("_id", "_b.band", "_b.bh").localCheckpoint()
 
     # candidate ids only through the band join (no shingle arrays in the
     # shuffle); shingles re-attach for verification afterwards

@@ -533,3 +533,70 @@ def i10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table("i10_mem")
+
+
+# ---------------------------------------------------------------- i11
+
+
+@query(
+    "i11_session_stream",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts::TIMESTAMP AS ts, value FROM events
+    ),
+    flagged AS (
+      SELECT *,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 43200000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(epoch_us(ts)) AS session_start_us,
+           COUNT(*) AS n_events,
+           {SUM_VALUE} AS sum_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def i11_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming sessionization: F.session_window + watermark run
+    as a micro-batch (availableNow → memory sink, complete mode).
+    session_window's gap-merge semantics coincide with the batch
+    lag-based algorithm (i3) — the oracle is that batch algorithm, so
+    this is an exact streaming-vs-SQL equivalence check, not a
+    rows-only smoke."""
+    from json2hbase_spark.operators.sessionize import session_window_stream
+
+    stream = load_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "24 hours")
+        .groupBy(
+            F.session_window("ts", "12 hours").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(SUM_VALUE).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        _run_to_memory(agg, "i11_mem", "complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table("i11_mem")
