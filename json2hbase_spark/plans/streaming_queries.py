@@ -600,3 +600,40 @@ def i11_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table("i11_mem")
+
+
+# ---------------------------------------------------------------- i12
+
+
+@query(
+    "i12_stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def i12_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the unbounded event stream enriched against
+    a static dimension (no watermark needed on the static side — it is
+    re-read per micro-batch and broadcast). The canonical streaming
+    enrichment shape; aggregation runs in complete mode so the final
+    sink equals the batch join."""
+    ev = load_events_stream(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    # exact COUNT(DISTINCT) is not allowed on streams (state would be
+    # unbounded per group); d2/d3 cover exact/approx distinct in batch
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.expr(SUM_VALUE).alias("sum_value"),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        _run_to_memory(agg, "i12_mem", "complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table("i12_mem")
