@@ -721,3 +721,34 @@ def d13_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c_nationkey").alias("min_nation"), F.count(F.lit(1)).alias("n")
     )
     return modes.join(stats, "c_mktsegment")
+
+
+@query(
+    "b4_subqueries",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part p
+    WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+      AND p_brand IN (SELECT p_brand FROM part WHERE p_size > 40)
+      AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey
+                  AND l.l_quantity >= 45)
+    """,
+)
+def b4_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subquery surface through the SQL path: scalar subquery (above
+    average price), uncorrelated IN, and correlated EXISTS. Catalyst's
+    RewriteCorrelatedScalarSubquery / RewritePredicateSubquery
+    decorrelate these into joins (EXISTS → left-semi) — the SQL-path
+    twin of c4/c5, exercising the §4 decorrelation rules."""
+    load(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part_v p
+        WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part_v)
+          AND p_brand IN (SELECT p_brand FROM part_v WHERE p_size > 40)
+          AND EXISTS (SELECT 1 FROM lineitem_v l WHERE l.l_partkey = p.p_partkey
+                      AND l.l_quantity >= 45)
+        """
+    )
