@@ -896,3 +896,65 @@ def j23_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("is_contam", F.lit(0))).cast("bigint").alias("n_contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------- j24
+
+
+@query(
+    "j24_incremental_dedup",
+    oracle="""
+    WITH normed AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, substr(norm, 1, 40) AS block,
+             list_distinct(list_transform(range(1, greatest(len(norm) - 7, 0) + 1),
+                                          i -> substr(norm, i, 8))) AS shingles
+      FROM normed WHERE len(norm) >= 8
+    ),
+    incoming AS (SELECT * FROM sh WHERE doc_id >= 250),
+    corpus AS (SELECT * FROM sh WHERE doc_id < 250)
+    SELECT i.doc_id AS new_doc, c.doc_id AS dup_of,
+           CAST(len(list_intersect(i.shingles, c.shingles)) AS DOUBLE)
+             / (len(i.shingles) + len(c.shingles) - len(list_intersect(i.shingles, c.shingles)))
+             AS jaccard
+    FROM incoming i JOIN corpus c ON i.block = c.block
+    WHERE CAST(len(list_intersect(i.shingles, c.shingles)) AS DOUBLE)
+             / (len(i.shingles) + len(c.shingles) - len(list_intersect(i.shingles, c.shingles)))
+          >= 0.3
+    """,
+)
+def j24_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: an incoming batch (doc_id >= 250) checked
+    against the EXISTING corpus (doc_id < 250) — the production shape,
+    where the corpus side is a persisted signature/blocking-key store
+    (j9's reason to exist) and only the new slice is shingled per run.
+    Asymmetric join, no self-pairing; at 100 TB the corpus side is
+    read pre-bucketed by block so the join co-locates without a
+    corpus-wide shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    normed = docs.select("doc_id", normalize_text(F.col("text")).alias("norm")).filter(
+        F.length("norm") >= 8
+    )
+    sh = normed.select(
+        "doc_id",
+        F.substring("norm", 1, 40).alias("block"),
+        char_shingles(F.col("norm"), 8).alias("shingles"),
+    ).localCheckpoint()  # one shingle pass serves both slices below
+    incoming = sh.filter(F.col("doc_id") >= 250).select(
+        F.col("block"), F.col("doc_id").alias("new_doc"), F.col("shingles").alias("sh_i")
+    )
+    corpus = sh.filter(F.col("doc_id") < 250).select(
+        F.col("block").alias("block_c"), F.col("doc_id").alias("dup_of"),
+        F.col("shingles").alias("sh_c"),
+    )
+    inter = F.size(F.array_intersect("sh_i", "sh_c"))
+    union = F.size("sh_i") + F.size("sh_c") - inter
+    jac = inter.cast("double") / union
+    return (
+        incoming.join(corpus, F.col("block") == F.col("block_c"))
+        .select("new_doc", "dup_of", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.3)
+    )
