@@ -958,3 +958,90 @@ def j24_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("new_doc", "dup_of", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.3)
     )
+
+
+# ---------------------------------------------------------------- m3/j25
+
+
+@query(
+    "m3_audio_chunks",
+    oracle="""
+    SELECT doc_id,
+           unnest(range(0, greatest(octet_length(CAST(text AS BLOB)) - 64, 0) + 1, 48))
+             AS chunk_start,
+           least(unnest(range(0, greatest(octet_length(CAST(text AS BLOB)) - 64, 0) + 1, 48)) + 64,
+                 octet_length(CAST(text AS BLOB))) AS chunk_end
+    FROM documents
+    """,
+)
+def m3_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style chunking plan: fixed 64-byte windows with 16-byte
+    overlap (stride 48) over opaque binary payloads — one row per
+    chunk, the fan-out that turns per-file audio into per-chunk
+    feature-extraction tasks (decode itself is the stubbed Pandas-UDF
+    step, operators/multimodal.py). Pure explode(sequence), no UDF for
+    the plan itself."""
+    docs = load(spark, sf_dir, "documents")
+    assets = multimodal.binary_assets_from_documents(docs)
+    n = F.length(F.col("data"))
+    starts = F.sequence(F.lit(0), F.greatest(n - 64, F.lit(0)), F.lit(48))
+    return assets.select(
+        "doc_id", F.explode(starts).alias("chunk_start"), n.alias("_n")
+    ).select(
+        "doc_id",
+        "chunk_start",
+        F.least(F.col("chunk_start") + 64, F.col("_n")).alias("chunk_end"),
+    )
+
+
+_J11_ORACLE_CTES = """
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+      FROM documents
+    ),
+    freq AS (SELECT lang, token, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+    top AS (
+      SELECT lang AS cand_lang, token FROM (
+        SELECT lang, token, row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS r
+        FROM freq
+      ) WHERE r <= 20
+    ),
+    doc_tokens AS (SELECT DISTINCT doc_id, token FROM toks),
+    votes AS (
+      SELECT doc_id, cand_lang, COUNT(*) AS hits
+      FROM doc_tokens JOIN top USING (token)
+      GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT doc_id, cand_lang AS pred_lang FROM (
+        SELECT doc_id, cand_lang, hits,
+               row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS r
+        FROM votes
+      ) WHERE r = 1
+    )
+"""
+
+
+@query(
+    "j25_langid_confusion",
+    oracle=_J11_ORACLE_CTES
+    + """
+    SELECT d.lang AS true_lang, p.pred_lang,
+           COUNT(*) AS n
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def j25_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation on-engine: confusion matrix of the j11
+    language-ID votes against ground truth — the quality-measurement
+    step a labeling pipeline runs after every model change. One join +
+    one agg on top of the j11 plan."""
+    docs = load(spark, sf_dir, "documents")
+    pred = langid_train_classify(docs, "doc_id", "text", "lang", top_n=20)
+    return (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred.select("doc_id", "pred_lang"), "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
