@@ -637,3 +637,54 @@ def i12_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table("i12_mem")
+
+
+# ---------------------------------------------------------------- i13
+
+
+@query(
+    "i13_stream_file_sink",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def i13_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durable streaming sink: the event stream written to a
+    partitioned parquet directory (append mode, availableNow) with an
+    exactly-once file-sink commit log, then read back and aggregated —
+    the batch aggregate over the landed files must equal the batch
+    aggregate over the source, proving no loss or duplication through
+    the sink. The partitionBy(event_type) layout is the same pruning
+    story as a9 on the streaming path."""
+    import os
+    import shutil
+    import tempfile
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), f"j2h_stream_sink_{tag}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"j2h_stream_sink_ckpt_{tag}")
+    # fresh landing zone per run: the file-sink commit log would
+    # otherwise dedupe re-runs into no-ops
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    stream = load_events_stream(spark, sf_dir)
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .partitionBy("event_type")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(SUM_VALUE).alias("sum_value"),
+    )
