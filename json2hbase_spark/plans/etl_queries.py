@@ -262,3 +262,47 @@ def a10_jsonl_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
     )
+
+
+@query(
+    "a11_schema_evolution",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(n_chars) AS BIGINT) AS n_with_chars,
+           CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_chars
+    FROM (
+      SELECT lang, NULL AS n_chars FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 1
+    )
+    GROUP BY lang
+    """,
+)
+def a11_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift ingestion: two parquet generations with different
+    schemas (early files lack n_chars) land in one directory;
+    mergeSchema unifies them, missing columns read as NULL. The oracle
+    reproduces the generation split relationally. At 100 TB this is
+    the read path for years of schema evolution without rewrites."""
+    import os
+    import shutil
+
+    docs = load(spark, sf_dir, "documents")
+    tag = sf_dir.strip("/").replace("/", "_")
+    base = os.path.join(tempfile.gettempdir(), f"j2h_evolve_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.parquet(
+        os.path.join(base, "gen=1")
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "n_chars").write.parquet(
+        os.path.join(base, "gen=2")
+    )
+    merged = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(base, "gen=1"), os.path.join(base, "gen=2")
+    )
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("n_chars").cast("bigint").alias("n_with_chars"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).cast("bigint").alias("sum_chars"),
+    )

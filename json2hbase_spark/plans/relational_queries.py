@@ -752,3 +752,26 @@ def b4_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
                       AND l.l_quantity >= 45)
         """
     )
+
+
+@query(
+    "f5_offset_pagination",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 20 OFFSET 40
+    """,
+)
+def f5_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination page 3 (LIMIT 20 OFFSET 40) over a total order —
+    deterministic because the sort is total (tie-break on the key).
+    Spark plans offset+limit together (GlobalLimit with skip), not as
+    a full sort of everything past the page."""
+    cust = load(spark, sf_dir, "customer")
+    return (
+        cust.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .offset(40)
+        .limit(20)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
