@@ -46,12 +46,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_stream_schema_cache: dict[str, object] = {}
+
+
 def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """a8_stream_source: the events table as an unbounded streaming
     source (file source requires an explicit schema); same ns→µs
-    conversion as the batch path so stream/batch plans are equivalent."""
+    conversion as the batch path so stream/batch plans are equivalent.
+    The schema probe (a batch footer read) is cached per sf_dir — the
+    i-family runs a dozen streaming queries against the same fixture."""
     _events_confs(spark)
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = _stream_schema_cache.get(sf_dir)
+    if raw_schema is None:
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        _stream_schema_cache[sf_dir] = raw_schema
     # the file stream source wants a directory; stage the single-file
     # fixture behind a per-sf temp dir (symlink — no data copy)
     import os

@@ -1,0 +1,64 @@
+"""Pluggable DataFrame materialization (cut lineage / break subtree
+re-execution) with a durability strategy switch.
+
+Why: several operators (MinHash banding, SimHash, dup-components'
+edge set, incremental dedup's shingle table, k-means centroids) must
+materialize an intermediate so (a) self-joins don't recompute an
+HOF-lambda subtree per side (ReuseExchange can't match those plans)
+and (b) iterative loops keep a flat plan. ``localCheckpoint`` is the
+right local primitive (in-memory, truncates lineage, no config), but
+it is executor-local and non-replicated: on a real cluster a lost
+executor makes the job unrecoverable because the truncated lineage
+cannot be replayed. At 100 TB the materialization must be durable.
+
+Strategies (select via ``SPARK_GRAFT_MATERIALIZE`` or per-call):
+
+- ``local``      — ``localCheckpoint(eager)``. Default for the local
+                   harness: fastest, zero config, NOT fault-tolerant.
+- ``checkpoint`` — reliable ``checkpoint(eager)`` into
+                   ``spark.sparkContext.getCheckpointDir()`` (HDFS/S3
+                   on a cluster; a temp dir is auto-set locally).
+                   Survives executor loss — the 100 TB default.
+- ``persist``    — ``persist(DISK_ONLY_2)`` + count(): 2-replica
+                   block-manager copy; cheaper than a checkpoint
+                   write, survives single-executor loss, lineage kept
+                   (re-derivable after catastrophic loss).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+
+_VALID = ("local", "checkpoint", "persist")
+
+
+def strategy_from_env() -> str:
+    s = os.environ.get("SPARK_GRAFT_MATERIALIZE", "local")
+    if s not in _VALID:
+        raise ValueError(f"SPARK_GRAFT_MATERIALIZE must be one of {_VALID}, got {s!r}")
+    return s
+
+
+def materialize(df: DataFrame, strategy: str | None = None) -> DataFrame:
+    """Materialize ``df`` now and return a DataFrame whose plan reads
+    the materialized result (flat lineage for 'local'/'checkpoint';
+    cached-with-lineage for 'persist')."""
+    s = strategy or strategy_from_env()
+    if s == "local":
+        return df.localCheckpoint(eager=True)
+    if s == "checkpoint":
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            # local fallback; clusters set a durable dir (HDFS/S3) via
+            # sc.setCheckpointDir at submit time
+            sc.setCheckpointDir(tempfile.mkdtemp(prefix="json2hbase_ckpt_"))
+        return df.checkpoint(eager=True)
+    if s == "persist":
+        out = df.persist(StorageLevel.DISK_ONLY_2)
+        out.count()  # force the write so downstream reuse hits the cache
+        return out
+    raise ValueError(f"unknown materialization strategy {s!r}")

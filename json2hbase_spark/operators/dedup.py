@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from json2hbase_spark.materialize import materialize
+
 
 def normalize_text(col: Column) -> Column:
     """j1 normalization: casefold + whitespace collapse."""
@@ -75,18 +77,42 @@ def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
 
 
 def minhash_signatures_agg(
-    df: DataFrame, id_col: str, shingle_col: str, num_hashes: int = 64
+    df: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    num_hashes: int = 64,
+    chunk: int = 32,
 ) -> DataFrame:
     """Aggregation-form MinHash: explode shingles once, then take
     ``num_hashes`` min-aggregates per doc (map-side combine before the
     shuffle). This is the hot-path default: all expressions compile in
     whole-stage codegen, unlike the higher-order projection form
     (``minhash_signature``) which runs interpreted and costs ~2.5x
-    when fully materialized. Returns (id_col, sig array<bigint>)."""
+    when fully materialized. Returns (id_col, sig array<bigint>).
+
+    The agg is split into ``chunk``-column stages joined on ``id_col``:
+    one 64-column aggregate generates a method large enough to hit JIT
+    compile cliffs, and its whole-stage-codegen compile dominates a
+    single-run benchmark. Each half aggregates the same exploded input
+    and the join is exchange-free (both sides come out of their own
+    groupBy hash-partitioned by ``id_col``), so the only added cost is
+    a second pass over the exploded shingles — map-side, no extra
+    shuffled bytes."""
     exploded = df.select(F.col(id_col), F.explode(F.col(shingle_col)).alias("_s"))
-    mins = exploded.groupBy(id_col).agg(
-        *[F.min(F.xxhash64(F.lit(h), F.col("_s"))).alias(f"_h{h}") for h in range(num_hashes)]
-    )
+    parts = []
+    for start in range(0, num_hashes, chunk):
+        hs = range(start, min(start + chunk, num_hashes))
+        parts.append(
+            exploded.groupBy(id_col).agg(
+                *[
+                    F.min(F.xxhash64(F.lit(h), F.col("_s"))).alias(f"_h{h}")
+                    for h in hs
+                ]
+            )
+        )
+    mins = parts[0]
+    for p in parts[1:]:
+        mins = mins.join(p, id_col)
     return mins.select(
         F.col(id_col), F.array(*[F.col(f"_h{h}") for h in range(num_hashes)]).alias("sig")
     )
@@ -134,6 +160,12 @@ def near_dup_pairs(
 
     With 16 bands × 4 rows, P(candidate) = 1-(1-J^4)^16: ~0.04 at
     J=0.4, ~0.93 at J=0.8 — the usual S-curve for near-dup mining.
+    r must stay ≥ 4 here: a 16×2 layout (knee 0.25) admits J≈0.1
+    pairs as candidates at ~15% probability, which on a corpus with
+    shared templates turns the verification join quadratic (measured
+    7.4 s → 74 s at sf0.1 before reverting). Codegen cost of the wide
+    min-agg is addressed by splitting it into two half-width
+    aggregates instead — see ``minhash_signatures_agg``.
     """
     rows = num_hashes // bands
     shingle_tbl = df.select(
@@ -153,7 +185,8 @@ def near_dup_pairs(
     # the HOF-lambda shingle subtree; see also simhash_near_pairs)
     banded = sigs.select(
         "_id", F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("_b")
-    ).select("_id", "_b.band", "_b.bh").localCheckpoint()
+    ).select("_id", "_b.band", "_b.bh")
+    banded = materialize(banded)
 
     # candidate ids only through the band join (no shingle arrays in the
     # shuffle); shingles re-attach for verification afterwards
@@ -175,8 +208,8 @@ def near_dup_pairs(
         )
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
-        .localCheckpoint()
     )
+    cands = materialize(cands)
     # verification cost must scale with CANDIDATES, not corpus: semi-
     # join-prune the docs to candidate ids first, then shingle that
     # sliver only. At sf0.1 this measures ~1s SLOWER than shingling
@@ -294,7 +327,7 @@ def simhash_near_pairs(
     # materialize so the self-join's two sides share one signature
     # computation (ReuseExchange does not fire across HOF lambda
     # plans — see near_dup_pairs)
-    banded = banded.localCheckpoint()
+    banded = materialize(banded)
     left = banded.select(
         F.col("band").alias("l_band"), F.col("bv").alias("l_bv"),
         F.col("_id").alias("doc_a"), F.col("sh").alias("sh_a"),

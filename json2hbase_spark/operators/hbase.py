@@ -64,3 +64,55 @@ def prepare_hbase_cells(kv: DataFrame, n_regions: int = 16) -> DataFrame:
 def write_hbase_emulated(kv: DataFrame, path: str, n_regions: int = 16) -> None:
     """Emulated sink: write the HFile-ordered cells as parquet."""
     prepare_hbase_cells(kv, n_regions).write.mode("overwrite").parquet(path)
+
+
+class HBaseClient:
+    """Client interface the ``foreachPartition`` writer drives — the
+    seam where a real deployment plugs in happybase / the HBase Thrift
+    or Java client. One instance per partition task, created ON THE
+    EXECUTOR by the injected factory (clients hold sockets and must
+    never be pickled from the driver).
+    """
+
+    def put_batch(self, cells: list[tuple[str, str, str, str]]) -> None:
+        """Write a batch of (rowkey, cf, qualifier, value) cells."""
+        raise NotImplementedError
+
+    def close(self) -> None:  # noqa: B027 — optional hook
+        pass
+
+
+def write_hbase_foreach(
+    kv: DataFrame,
+    client_factory,
+    batch_size: int = 500,
+    n_regions: int = 16,
+) -> None:
+    """Client-path sink: region-partition + sort (same physical stages
+    as the bulk-load path — region-aligned sorted runs are what keep a
+    Put-storm from hot-spotting one region server), then stream each
+    partition through an ``HBaseClient`` in bounded batches.
+
+    ``client_factory``: zero-arg callable, executed per partition on
+    the executor, returning an ``HBaseClient``. Batches are bounded so
+    executor memory stays flat regardless of partition size.
+    """
+    cells = prepare_hbase_cells(kv, n_regions).select(
+        "rowkey", "cf", "qualifier", "value"
+    )
+
+    def _write_partition(rows) -> None:
+        client = client_factory()
+        batch: list[tuple[str, str, str, str]] = []
+        try:
+            for r in rows:
+                batch.append((r["rowkey"], r["cf"], r["qualifier"], r["value"]))
+                if len(batch) >= batch_size:
+                    client.put_batch(batch)
+                    batch = []
+            if batch:
+                client.put_batch(batch)
+        finally:
+            client.close()
+
+    cells.foreachPartition(_write_partition)

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from json2hbase_spark.io import load
+from json2hbase_spark.materialize import materialize
 from json2hbase_spark.operators.dedup import char_shingles, normalize_text
 from json2hbase_spark.registry import query
 
@@ -41,7 +42,7 @@ def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized for the same reason as j2v: the self-join's two
     # sides would otherwise shingle the corpus twice (HOF plans defeat
     # ReuseExchange)
-    sh = sh.localCheckpoint()
+    sh = materialize(sh)
     a = sh.select(F.col("block"), F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(
         F.col("block").alias("block_b"), F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
@@ -120,7 +121,7 @@ def j20_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-evaluated per hop (measured 20.8s -> ~3s at sf0.01). The edge
     # list is the small invariant of the iteration — exactly what you
     # checkpoint at 100 TB too.
-    edges = _dup_edges(spark, sf_dir).localCheckpoint()
+    edges = materialize(_dup_edges(spark, sf_dir))
     nodes = (
         edges.select(F.col("doc_a").alias("node"))
         .unionByName(edges.select(F.col("doc_b").alias("node")))
@@ -152,8 +153,11 @@ def j21_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     window argmin, the update step is the posexplode/avg centroid agg.
     Deterministic: seeded from vec_id 0..9, ties broken by cluster id.
     At 100 TB each iteration is one broadcast pass + one hash agg over
-    (cluster, dim) — no driver-side math; centroids would be
-    checkpointed per iteration to keep lineage flat."""
+    (cluster, dim) — no driver-side math; the centroid table (k rows)
+    is materialized per iteration so every iteration's plan reads the
+    previous centroids flat instead of re-deriving the whole chain
+    (lineage would otherwise grow by one crossJoin+window+agg subtree
+    per iteration and re-execute it all at every step)."""
     emb = load(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", F.col("embedding").alias("v"))
 
@@ -177,7 +181,7 @@ def j21_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("vec_id", "v", "cluster")
         )
-        centroids = (
+        centroids = materialize(
             assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
             .groupBy("cluster", "pos")
             .agg(F.avg("val").alias("cv"))

@@ -129,7 +129,9 @@ def a5_hbase_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Emulated HBase sink path: flatten → region-partition → sort →
     write HFile-ordered parquet; returns the written cells + region id.
     Real deployment swaps the writer for the hbase-spark DataSource."""
-    events = load(spark, sf_dir, "events").limit(2000)
+    # deterministic slice (an unordered .limit() picks partition-order-
+    # dependent rows; the filter selects the same rows on every run)
+    events = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
     docs = events.select(
         F.col("event_id").alias("rk"),
         F.struct(
@@ -197,17 +199,19 @@ def a8_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming aggregation → memory sink, availableNow trigger) whose
     final result must equal the batch plan on the same data."""
     from json2hbase_spark.io import load_events_stream
+    from json2hbase_spark.session import scoped_stream_confs
 
     stream = load_events_stream(spark, sf_dir)
     counts = stream.groupBy("event_type").agg(F.count("*").alias("n_events"))
-    q = (
-        counts.writeStream.format("memory")
-        .queryName("a8_stream_counts")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_stream_confs(spark):
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("a8_stream_counts")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table("a8_stream_counts")
 
 

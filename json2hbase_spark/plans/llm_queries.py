@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from json2hbase_spark.io import load
+from json2hbase_spark.materialize import materialize
 from json2hbase_spark.operators import multimodal
 from json2hbase_spark.operators.dedup import (
     char_shingles,
@@ -29,6 +30,7 @@ from json2hbase_spark.operators.similarity import (
     cosine,
     cosine_topk,
     l2_norm,
+    lsh_bucket,
     norm2,
 )
 from json2hbase_spark.operators.text import (
@@ -98,8 +100,8 @@ def j1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("j2_dedup_near")  # rows-only: xxhash64-based MinHash is Spark-specific
 def j2_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup mining: shingle → MinHash(64) → LSH(16 bands) →
-    candidate join → exact-Jaccard verification (operators/dedup.py).
+    """Near-dup mining: shingle → MinHash(64) → LSH(16 bands × 4 rows)
+    → candidate join → exact-Jaccard verification (operators/dedup.py).
     Fixture plants 22 near-dup prefixes at sf0.01 → must find pairs."""
     docs = load(spark, sf_dir, "documents")
     return near_dup_pairs(docs, "doc_id", "text", threshold=0.3).select(
@@ -146,7 +148,7 @@ def j2v_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize: ReuseExchange can't match HOF-lambda plans, so the
     # block self-join would otherwise shingle the corpus twice
     # (5.1s -> 3.1s steady at sf0.1)
-    sh = sh.localCheckpoint()
+    sh = materialize(sh)
     a = sh.select(
         F.col("block"), F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
     )
@@ -564,43 +566,73 @@ def j15_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(toks, "doc_id", "toks", bands=4, max_hamming=3)
 
 
+# deterministic random-hyperplane set for j18 (plan-time constants;
+# seeded so Spark literals and the SQL literals below are identical)
+import random as _random
+
+_rng = _random.Random(42)
+LSH_PLANES = [[round(_rng.gauss(0.0, 1.0), 3) for _ in range(64)] for _ in range(6)]
+
+
+def _duck_bucket(col: str) -> str:
+    terms = []
+    for i, plane in enumerate(LSH_PLANES):
+        lit = "([" + ",".join(repr(v) for v in plane) + "])"
+        terms.append(f"(CASE WHEN {_duck_dot(col, lit)} >= 0 THEN {2 ** i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
 @query(
     "j16_dedup_embed",
     oracle=f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-           {_duck_dot("a.embedding", "b.embedding")}
-             / ({_duck_norm("a.embedding")} * {_duck_norm("b.embedding")}) AS sim
-    FROM embeddings a
-    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_duck_dot("a.embedding", "b.embedding")}
-             / ({_duck_norm("a.embedding")} * {_duck_norm("b.embedding")}) >= 0.35
+    WITH b AS (
+      SELECT vec_id, embedding, {_duck_bucket("embedding")} AS bucket,
+             {_duck_norm("embedding")} AS nrm
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b, a.bucket,
+             {_duck_dot("a.embedding", "b2.embedding")} / (a.nrm * b2.nrm) AS sim
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    )
+    SELECT vec_a, vec_b, bucket, sim FROM pairs WHERE sim >= 0.35
     """,
 )
 def j16_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked on the label column so
-    only same-partition vectors meet (at 100 TB the blocking key is an
-    LSH bucket or cluster id — same plan shape, j18 has the bucketed
-    variant). Exact cosine, sequential fold, no rounding."""
+    """Embedding-cosine near-dup pairs, blocked on the random-hyperplane
+    LSH bucket (6 seeded planes → 64 buckets, the same quantizer j18's
+    ANN uses): only same-bucket vectors meet in the self-join, so the
+    pair count is O(n²/2^planes) instead of all-pairs — the blocking
+    key a 100 TB dedup actually shards on (a label column's cardinality
+    doesn't grow with data; bucket count is a free parameter). The
+    bucket literals are identical constants in both engines, so the
+    blocking AND the sequential-fold cosine hash-match exactly."""
     emb = load(spark, sf_dir, "embeddings")
-    # norms hoisted out of the pair join: computed once per vector
-    # (O(n) folds) instead of once per candidate pair (O(pairs))
-    normed = emb.select(
-        "label", "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    # bucket + norm hoisted out of the pair join: computed once per
+    # vector (O(n) folds) instead of once per candidate pair; the
+    # bucketed table is materialized so the self-join's two sides share
+    # one quantization pass (HOF plans defeat ReuseExchange)
+    bucketed = emb.select(
+        "vec_id",
+        "embedding",
+        lsh_bucket(F.col("embedding"), LSH_PLANES).alias("bucket"),
+        l2_norm(F.col("embedding")).alias("nrm"),
     )
-    a = normed.select(
-        F.col("label"), F.col("vec_id").alias("vec_a"),
+    bucketed = materialize(bucketed)
+    a = bucketed.select(
+        F.col("bucket"), F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
     )
-    b = normed.select(
-        F.col("label").alias("label_b"), F.col("vec_id").alias("vec_b"),
+    b = bucketed.select(
+        F.col("bucket").alias("bucket_b"), F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
     )
     from json2hbase_spark.operators.similarity import dot as _dot
 
     sim = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .select("vec_a", "vec_b", "label", sim.alias("sim"))
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", "bucket", sim.alias("sim"))
         .filter(F.col("sim") >= 0.35)
     )
 
@@ -652,22 +684,6 @@ def j17_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_ivf(queries, emb, k=3, nprobe=1)
 
 
-# deterministic random-hyperplane set for j18 (plan-time constants;
-# seeded so Spark literals and the SQL literals below are identical)
-import random as _random
-
-_rng = _random.Random(42)
-LSH_PLANES = [[round(_rng.gauss(0.0, 1.0), 3) for _ in range(64)] for _ in range(6)]
-
-
-def _duck_bucket(col: str) -> str:
-    terms = []
-    for i, plane in enumerate(LSH_PLANES):
-        lit = "([" + ",".join(repr(v) for v in plane) + "])"
-        terms.append(f"(CASE WHEN {_duck_dot(col, lit)} >= 0 THEN {2 ** i} ELSE 0 END)")
-    return " + ".join(terms)
-
-
 @query(
     "j18_ann_lsh",
     oracle=f"""
@@ -710,7 +726,7 @@ def j18_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            octet_length(CAST(text AS BLOB)) AS n_bytes,
-           hex(substr(text, 1, 8)) AS header_hex,
+           substr(hex(encode(text)), 1, 16) AS header_hex,
            octet_length(CAST(text AS BLOB)) % 640 AS fake_width,
            octet_length(CAST(text AS BLOB)) % 480 AS fake_height
     FROM documents
@@ -942,7 +958,8 @@ def j24_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.substring("norm", 1, 40).alias("block"),
         char_shingles(F.col("norm"), 8).alias("shingles"),
-    ).localCheckpoint()  # one shingle pass serves both slices below
+)
+    sh = materialize(sh)  # one shingle pass serves both slices below
     incoming = sh.filter(F.col("doc_id") >= 250).select(
         F.col("block"), F.col("doc_id").alias("new_doc"), F.col("shingles").alias("sh_i")
     )

@@ -351,14 +351,41 @@ def d2_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("d3_agg_approx")  # rows-only: HLL++ estimate is engine-specific
+@query(
+    "d3_agg_approx",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(*) AS n_events,
+           TRUE AS within_tol
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def d3_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate count-distinct (HyperLogLog++): constant-memory
-    per group — the 100 TB substitute for exact distinct counts."""
+    per group — the 100 TB substitute for exact distinct counts.
+
+    Tolerance oracle: the raw HLL estimate is engine-specific, so the
+    output carries the EXACT distinct count (hash-checked against
+    DuckDB) plus ``within_tol`` = |approx − exact| ≤ 3·rsd·exact,
+    which the oracle asserts TRUE — a hash mismatch now means the
+    estimator itself drifted out of its accuracy contract."""
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+    rsd = 0.02
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd).alias("_approx"),
+        F.countDistinct("user_id").alias("exact_users"),
         F.count("*").alias("n_events"),
+    )
+    tol = F.lit(3.0 * rsd) * F.col("exact_users").cast("double")
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (F.abs(F.col("_approx").cast("double") - F.col("exact_users")) <= tol).alias(
+            "within_tol"
+        ),
     )
 
 
@@ -728,7 +755,8 @@ def d13_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey, p_name, p_retailprice
     FROM part p
-    WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+    WHERE p_retailprice > (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE)
+                                    / COUNT(p_retailprice) FROM part)
       AND p_brand IN (SELECT p_brand FROM part WHERE p_size > 40)
       AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey
                   AND l.l_quantity >= 45)
@@ -746,7 +774,8 @@ def b4_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT p_partkey, p_name, p_retailprice
         FROM part_v p
-        WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part_v)
+        WHERE p_retailprice > (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE)
+                                        / COUNT(p_retailprice) FROM part_v)
           AND p_brand IN (SELECT p_brand FROM part_v WHERE p_size > 40)
           AND EXISTS (SELECT 1 FROM lineitem_v l WHERE l.l_partkey = p.p_partkey
                       AND l.l_quantity >= 45)

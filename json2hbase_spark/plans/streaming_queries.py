@@ -23,6 +23,7 @@ from json2hbase_spark.io import load, load_events_stream
 from json2hbase_spark.operators.asof import asof_join
 from json2hbase_spark.operators.sessionize import sessionize
 from json2hbase_spark.registry import query
+from json2hbase_spark.session import scoped_stream_confs
 
 SUM_VALUE = "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)"
 
@@ -205,7 +206,8 @@ def i4_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
         .select(F.unix_micros("w.start").alias("win_start_us"), "event_type", "n_events")
     )
-    _run_to_memory(agg, "i4_mem", "append")
+    with scoped_stream_confs(spark):
+        _run_to_memory(agg, "i4_mem", "append")
     return spark.table("i4_mem")
 
 
@@ -222,7 +224,8 @@ def i5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deduped stream lands in the sink and is counted in batch."""
     stream = load_events_stream(spark, sf_dir)
     deduped = stream.withWatermark("ts", "2 hours").dropDuplicates(["event_id"])
-    _run_to_memory(deduped.select("event_id", "event_type"), "i5_mem", "append")
+    with scoped_stream_confs(spark):
+        _run_to_memory(deduped.select("event_id", "event_type"), "i5_mem", "append")
     return spark.table("i5_mem").groupBy("event_type").agg(
         F.count("*").alias("n_unique")
     )
@@ -263,17 +266,11 @@ def i6_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    # state partition count is pinned at checkpoint creation; each one
-    # forks an Arrow Python worker, which dominates a local micro-batch
-    # (9.7s at 32 partitions -> 2.4s at 4). On a real cluster this maps
-    # to executor-core count instead; scoped + restored so the caller's
-    # session conf is untouched.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    # state-partition fan-out + RocksDB provider scoping: see
+    # session.scoped_stream_confs (measured 9.7s at 32 partitions ->
+    # 2.4s at 4 locally; cluster posture documented there)
+    with scoped_stream_confs(spark):
         _run_to_memory(stateful, "i6_mem", "update")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table("i6_mem")
 
 
@@ -305,7 +302,8 @@ def i7_late_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    _run_to_memory(agg, "i7_mem", "update")
+    with scoped_stream_confs(spark):
+        _run_to_memory(agg, "i7_mem", "update")
     return spark.table("i7_mem")
 
 
@@ -442,24 +440,11 @@ def i9_tws_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-    # RocksDB provider is what TWS uses on a real cluster; scope it
-    # (and the state-partition fan-out cap, see i6) to this run
-    prev_prov = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
-    )
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    if _tws_available:
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-        )
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    # RocksDB provider + state-partition cap scoped via
+    # session.scoped_stream_confs (provider applies on BOTH paths now —
+    # applyInPandasWithState runs on RocksDB too when available)
+    with scoped_stream_confs(spark):
         _run_to_memory(out, "i9_mem", "update")
-    finally:
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev_prov)
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table("i9_mem")
 
 
@@ -526,12 +511,8 @@ def i10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("pts").alias("pts_us"),
         F.unix_micros("cts").alias("cts_us"),
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with scoped_stream_confs(spark):
         _run_to_memory(joined, "i10_mem", "append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table("i10_mem")
 
 
@@ -593,12 +574,8 @@ def i11_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with scoped_stream_confs(spark):
         _run_to_memory(agg, "i11_mem", "complete")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table("i11_mem")
 
 
@@ -630,12 +607,8 @@ def i12_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.expr(SUM_VALUE).alias("sum_value"),
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with scoped_stream_confs(spark):
         _run_to_memory(agg, "i12_mem", "complete")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table("i12_mem")
 
 
@@ -673,16 +646,17 @@ def i13_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(ckpt, ignore_errors=True)
 
     stream = load_events_stream(spark, sf_dir)
-    q = (
-        stream.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .partitionBy("event_type")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_stream_confs(spark):
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .partitionBy("event_type")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     back = spark.read.parquet(out)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -33,6 +33,8 @@ def k1_udf_py(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.udf(returnType=StringType())
     def bucket(n: int) -> str:
+        if n is None:
+            return None
         if n < 150:
             return "short"
         if n < 350:
@@ -116,7 +118,7 @@ def k3_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id, i.i AS pos, substr(text, i.i + 1, 8) AS shingle
     FROM documents,
-         (SELECT unnest(range(0, 600, 4)) AS i) i
+         (SELECT unnest(range(0, (SELECT max(len(text)) FROM documents), 4)) AS i) i
     WHERE doc_id < 30 AND i.i + 8 <= len(text)
     """,
 )

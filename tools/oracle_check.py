@@ -138,13 +138,17 @@ def main() -> int:
             print(f"rows  {name}: {len(spark_pdf)} rows ({dt:.1f}s, no oracle)")
             n_rows_only += 1
             continue
+        t1 = time.time()
         try:
             duck_pdf = con.execute(oracle).fetchdf()
         except Exception as exc:
             print(f"FAIL  {name}: duckdb oracle raised: {exc}")
             n_fail += 1
             continue
+        t_duck = time.time() - t1
+        t2 = time.time()
         problems = compare(name, spark_pdf, duck_pdf)
+        t_cmp = time.time() - t2
         real = [p for p in problems if not p.startswith("WARN-ONLY")]
         if real:
             print(f"FAIL  {name} ({len(spark_pdf)} rows, {dt:.1f}s)")
@@ -153,7 +157,10 @@ def main() -> int:
             n_fail += 1
         else:
             warn = " [strict-hash-warn]" if problems else ""
-            print(f"ok    {name} ({len(spark_pdf)} rows, {dt:.1f}s){warn}")
+            print(
+                f"ok    {name} ({len(spark_pdf)} rows, {dt:.1f}s spark"
+                f" + {t_duck:.1f}s duck + {t_cmp:.1f}s cmp){warn}"
+            )
             n_pass += 1
     print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} failed")
     return 1 if n_fail else 0
