@@ -79,9 +79,10 @@ DUCK_DUP_EDGES = """
 """
 
 
-@query(
-    "j20_dup_components",
-    oracle=DUCK_DUP_EDGES.replace("WITH normed", "WITH RECURSIVE normed")
+# recursive-CTE twin of the min-label propagation, ending at comp
+# (doc_id, component) — shared by j20's stats and j26's canonical pick
+DUCK_COMP_CTES = (
+    DUCK_DUP_EDGES.replace("WITH normed", "WITH RECURSIVE normed")
     + f"""
     , nodes AS (
       SELECT DISTINCT doc_id FROM (
@@ -100,22 +101,14 @@ DUCK_DUP_EDGES = """
       WHERE r.depth < {COMPONENT_HOPS}
     ),
     comp AS (SELECT node AS doc_id, min(reached) AS component FROM reach GROUP BY node)
-    SELECT component,
-           COUNT(*) AS n_docs,
-           min(doc_id) AS min_doc,
-           max(doc_id) AS max_doc
-    FROM comp
-    GROUP BY component
-    """,
+"""
 )
-def j20_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate clusters as connected components of the verified
-    near-dup graph: iterative min-label propagation, one narrow
-    join + min-agg per hop (the map-reduce CC algorithm; large-star/
-    small-star is the optimization at web scale, min-label is the
-    right shape for the small-diameter clusters dedup produces).
-    Bounded at COMPONENT_HOPS so the plan is static and the DuckDB
-    twin (bounded recursive CTE) computes the identical fixpoint."""
+
+
+def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, label) assignment of every near-dup-graph node to its
+    component's min doc_id — shared by j20 (cluster stats) and j26
+    (canonical-doc pick)."""
     # materialize the edge set once: every propagation hop references
     # it, and without truncation the shingle-join subtree would be
     # re-evaluated per hop (measured 20.8s -> ~3s at sf0.01). The edge
@@ -139,6 +132,30 @@ def j20_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = (
             labels.unionByName(nbr).groupBy("node").agg(F.min("label").alias("label"))
         )
+    return labels
+
+
+@query(
+    "j20_dup_components",
+    oracle=DUCK_COMP_CTES
+    + """
+    SELECT component,
+           COUNT(*) AS n_docs,
+           min(doc_id) AS min_doc,
+           max(doc_id) AS max_doc
+    FROM comp
+    GROUP BY component
+    """,
+)
+def j20_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters as connected components of the verified
+    near-dup graph: iterative min-label propagation, one narrow
+    join + min-agg per hop (the map-reduce CC algorithm; large-star/
+    small-star is the optimization at web scale, min-label is the
+    right shape for the small-diameter clusters dedup produces).
+    Bounded at COMPONENT_HOPS so the plan is static and the DuckDB
+    twin (bounded recursive CTE) computes the identical fixpoint."""
+    labels = _component_labels(spark, sf_dir)
     return labels.groupBy(F.col("label").alias("component")).agg(
         F.count("*").alias("n_docs"),
         F.min("node").alias("min_doc"),
@@ -291,4 +308,83 @@ def c11_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("user_id", "purchase_id").agg(
         F.count("cid").alias("n_clicks")
+    )
+
+
+# ---------------------------------------------------------------- j26
+
+# stopword list shared verbatim with j12's quality score
+_STOPWORDS = "'the','a','of','and','to','in','is','on','for','with'"
+
+DUCK_QUALITY = f"""
+      SELECT doc_id,
+             round(ln(1 + len(list_filter(string_split(text, ' '), x -> x != '')))
+                   * (1.0 - CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                            / greatest(len(text), 1))
+                   * (0.5 + CAST(len(list_filter(list_filter(string_split(text, ' '), x -> x != ''),
+                                t -> list_contains([{_STOPWORDS}], t))) AS DOUBLE)
+                        / greatest(len(list_filter(string_split(text, ' '), x -> x != '')), 1)),
+                   4) AS quality
+      FROM documents
+"""
+
+
+@query(
+    "j26_canonical_pick",
+    oracle=DUCK_COMP_CTES
+    + f"""
+    , q AS ({DUCK_QUALITY}),
+    ranked AS (
+      SELECT c.component, c.doc_id, q.quality,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY q.quality DESC, c.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY c.component) AS n_docs
+      FROM comp c JOIN q USING (doc_id)
+    )
+    SELECT component, doc_id AS canonical_doc, n_docs, quality AS best_quality
+    FROM ranked WHERE rn = 1
+    """,
+)
+def j26_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per duplicate cluster: the step a
+    dedup pipeline runs AFTER clustering — keep the highest-quality
+    member (j12's heuristic score, rounded to 4 so ranking is
+    engine-stable; ties to the lowest doc_id) and drop the rest. One
+    join of the (small) component labels against per-doc quality plus
+    one window — the cluster table is tiny relative to the corpus, so
+    at 100 TB this is a broadcast join against a quality scan."""
+    from json2hbase_spark.operators.text import quality_features, whitespace_tokens
+
+    labels = _component_labels(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    toks = whitespace_tokens(F.col("text"))
+    n_tok = F.greatest(feats["n_tokens"], F.lit(1))
+    stop_ratio = (
+        F.size(
+            F.filter(
+                toks,
+                lambda t: t.isin("the", "a", "of", "and", "to", "in", "is", "on", "for", "with"),
+            )
+        ).cast("double")
+        / n_tok
+    )
+    quality = F.round(
+        F.log(1 + feats["n_tokens"]) * (1.0 - feats["digit_ratio"]) * (0.5 + stop_ratio), 4
+    )
+    q = docs.select("doc_id", quality.alias("quality"))
+    joined = labels.join(q, labels.node == q.doc_id).select(
+        F.col("label").alias("component"), "doc_id", "quality"
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_docs", F.count(F.lit(1)).over(Window.partitionBy("component")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("canonical_doc"),
+            "n_docs",
+            F.col("quality").alias("best_quality"),
+        )
     )

@@ -310,3 +310,33 @@ def a11_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("n_chars").cast("bigint").alias("n_with_chars"),
         F.coalesce(F.sum("n_chars"), F.lit(0)).cast("bigint").alias("sum_chars"),
     )
+
+
+@query(
+    "a12_orc_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    """,
+)
+def a12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second columnar format: orders written to ORC and read back with
+    a pushed filter — the aggregate over the round-tripped files must
+    equal the aggregate over the parquet source (no loss/coercion
+    through the format). ORC is the other first-class columnar source
+    at 100 TB (Hive-era lakes); predicate pushdown and column pruning
+    apply the same way as a1's parquet contract."""
+    orders = load(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="j2h_orc_")
+    orders.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out).filter(F.col("o_orderpriority") == "1-URGENT")
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)").alias(
+            "sum_price"
+        ),
+    )

@@ -1062,3 +1062,90 @@ def j25_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------- j27/j28
+
+PACK_BUDGET = 512  # tokens per training pack
+
+
+@query(
+    "j27_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, doc_id,
+             len(list_filter(string_split(text, ' '), x -> x != '')) AS tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT lang, doc_id, tokens,
+             SUM(tokens) OVER (PARTITION BY lang ORDER BY tokens DESC, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+      FROM t
+    ),
+    packed AS (
+      SELECT lang, doc_id, tokens,
+             CAST(ceil(CAST(running AS DOUBLE) / {PACK_BUDGET}) AS BIGINT) AS pack_id
+      FROM r
+    )
+    SELECT lang, pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(tokens) AS BIGINT) AS pack_tokens
+    FROM packed GROUP BY 1, 2
+    """,
+)
+def j27_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: bin documents into
+    fixed-token-budget packs per language. Deterministic contiguous
+    fill over a (tokens DESC, doc_id) total order — the distributed
+    stand-in for first-fit-decreasing (true FFD is inherently
+    sequential; the sorted-running-sum formulation is one window over
+    one shuffle and at 100 TB runs per language partition, which is
+    exactly how training shards are laid out anyway). Documents may
+    straddle pack boundaries — the concat-then-chunk convention of GPT
+    training pipelines."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", "doc_id", F.size(whitespace_tokens(F.col("text"))).alias("tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("tokens"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "pack_id",
+        F.ceil(F.sum("tokens").over(w).cast("double") / PACK_BUDGET).cast("bigint"),
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens").cast("bigint").alias("pack_tokens"),
+    )
+
+
+@query(
+    "j28_stratified_sample",
+    oracle="""
+    SELECT lang, source, doc_id, rn FROM (
+      SELECT lang, source, doc_id,
+             row_number() OVER (PARTITION BY lang, source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def j28_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified fixed-count sampling: exactly k=5 docs per
+    (lang, source) stratum, chosen by content-addressed md5 order —
+    reproducible across engines/partitionings (j19 samples at a RATE;
+    this guarantees a COUNT per stratum, the eval-set construction
+    shape). One window over one shuffle on the stratum key."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "source", "doc_id", "rn")
+    )

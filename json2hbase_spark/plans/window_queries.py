@@ -528,3 +528,40 @@ def h7b_fn_hash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.crc32("c_name").alias("name_crc32"),
         F.hash("c_name").alias("name_murmur"),
     )
+
+
+@query(
+    "h9_percentile_approx",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS median_r,
+           COUNT(*) AS n,
+           TRUE AS within_tol
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def h9_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile (Greenwald-Khanna sketch — the mergeable
+    constant-memory quantile at 100 TB) with a d3-style tolerance
+    oracle: output carries the EXACT interpolated median (hash-checked
+    against DuckDB's quantile_cont, round 4 per the exact.py
+    convention for interpolated stats) plus ``within_tol`` asserting
+    the sketch estimate lands between the exact 45th and 55th
+    percentiles — the rank-error contract of accuracy=10000."""
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("_approx"),
+        F.expr("percentile(value, 0.45D)").alias("_p45"),
+        F.expr("percentile(value, 0.55D)").alias("_p55"),
+        F.expr("percentile(value, 0.5D)").alias("_median"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return agg.select(
+        "event_type",
+        F.round("_median", 4).alias("median_r"),
+        "n",
+        (
+            (F.col("_approx") >= F.col("_p45")) & (F.col("_approx") <= F.col("_p55"))
+        ).alias("within_tol"),
+    )

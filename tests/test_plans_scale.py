@@ -204,3 +204,35 @@ def test_write_hbase_foreach_with_recording_client(spark):
     }
     assert written == expected
     assert len(written) == 100  # 50 rows × 2 map entries
+
+
+# ---------------------------------------------------------------- stream confs
+
+
+def test_scoped_stream_confs_sets_and_restores(spark):
+    from json2hbase_spark.session import (
+        ROCKSDB_PROVIDER,
+        rocksdb_available,
+        scoped_stream_confs,
+    )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_prov = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", "unset"
+    )
+    with scoped_stream_confs(spark, partitions="6"):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "6"
+        if rocksdb_available(spark):
+            assert (
+                spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+                == ROCKSDB_PROVIDER
+            )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_parts
+    # the scope restores the pre-existing provider; an unset conf comes
+    # back as the explicit engine default (HDFS-backed), never RocksDB
+    restored = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", "unset"
+    )
+    assert restored != ROCKSDB_PROVIDER
+    if prev_prov != "unset":
+        assert restored == prev_prov
