@@ -340,3 +340,81 @@ def a12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_price"
         ),
     )
+
+
+@query(
+    "a13_compaction",
+    oracle="""
+    SELECT CAST(4 AS INTEGER) AS n_files,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    """,
+)
+def a13_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: the documents table written as 64 tiny
+    files (the pathological layout streaming ingest produces), then
+    compacted to 4 size-targeted files and read back — row count,
+    distinct keys and a content checksum must survive both hops, and
+    the observed file count must equal the compaction target. At
+    100 TB this is the maintenance job that keeps scan task counts
+    sane (one task per ~128 MB instead of per tiny file); the target
+    file count is ceil(bytes/target_size) from the table stats, here
+    pinned to 4 for the fixture."""
+    docs = load(spark, sf_dir, "documents")
+    frag_dir = tempfile.mkdtemp(prefix="j2h_frag_")
+    compact_dir = tempfile.mkdtemp(prefix="j2h_compact_")
+    docs.repartition(64).write.mode("overwrite").parquet(frag_dir)
+    fragmented = spark.read.parquet(frag_dir)
+    fragmented.repartition(4).write.mode("overwrite").parquet(compact_dir)
+    back = spark.read.parquet(compact_dir)
+    n_files = back.select(F.input_file_name().alias("f")).distinct().count()
+    return back.agg(
+        F.lit(n_files).cast("int").alias("n_files"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
+def _zorder_expr(x: str, y: str, bits: int = 8) -> str:
+    """Bit-interleave SQL for a Z-order (Morton) value over two
+    ``bits``-wide keys — generated once, used verbatim by BOTH engines
+    so the curve positions hash-match."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+ZORDER_SQL = _zorder_expr("(o_custkey % 256)", "(o_orderkey % 256)")
+
+
+@query(
+    "a14_zorder",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey,
+           CAST({ZORDER_SQL} AS BIGINT) AS zval,
+           CAST(floor(CAST({ZORDER_SQL} AS DOUBLE) / 4096) AS BIGINT) AS zbucket
+    FROM orders
+    WHERE o_orderkey < 2000
+    """,
+)
+def a14_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key: interleave the bits of two
+    dimensions so range predicates on EITHER column map to a bounded
+    set of curve ranges — the multi-dimensional data-layout trick
+    behind lakehouse OPTIMIZE ZORDER. The engine-side write path is
+    ``repartitionByRange(zbucket).sortWithinPartitions(zval)`` (same
+    physical stages as the HBase sink's region sort); the curve value
+    and its range bucket are computed from one generated bitwise
+    expression shared verbatim with the oracle."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(ZORDER_SQL).cast("bigint").alias("zval"),
+        F.floor(F.expr(ZORDER_SQL).cast("double") / 4096).cast("bigint").alias("zbucket"),
+    )

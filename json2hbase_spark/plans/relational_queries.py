@@ -8,7 +8,7 @@ float aggregates rounded, timestamps surfaced as date-strings.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from json2hbase_spark.functions import exact
@@ -803,4 +803,115 @@ def f5_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(40)
         .limit(20)
         .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@query(
+    "b5_merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey, c_acctbal + 100.0 AS new_bal
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT 900000 + r.r AS c_custkey, 1000.0 * (r.r + 1) AS new_bal
+      FROM (SELECT unnest(range(5)) AS r) r
+    )
+    SELECT COALESCE(c.c_custkey, u.c_custkey) AS c_custkey,
+           COALESCE(u.new_bal, c.c_acctbal) AS acctbal,
+           CASE WHEN c.c_custkey IS NULL THEN 'inserted'
+                WHEN u.c_custkey IS NULL THEN 'kept'
+                ELSE 'updated' END AS merge_action
+    FROM customer c FULL OUTER JOIN updates u ON c.c_custkey = u.c_custkey
+    """,
+)
+def b5_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE / upsert semantics on plain parquet tables (no lakehouse
+    format required): target FULL OUTER JOIN source, coalesce per
+    column, action derived from match side — matched rows take source
+    values, unmatched-target rows pass through, unmatched-source rows
+    insert. The update set is derived deterministically from the
+    fixture (every 10th customer + 5 synthetic inserts). At 100 TB
+    this is the shuffle-on-key merge a MERGE INTO lowers to anyway;
+    partition-overwrite of only the touched partitions is the write
+    half (a9 covers the partitioned layout)."""
+    cust = load(spark, sf_dir, "customer")
+    updates = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey", (F.col("c_acctbal") + 100.0).alias("new_bal"))
+        .unionByName(
+            spark.range(5).select(
+                (F.lit(900000) + F.col("id")).alias("c_custkey"),
+                (1000.0 * (F.col("id") + 1)).alias("new_bal"),
+            )
+        )
+    )
+    merged = cust.select("c_custkey", "c_acctbal").join(
+        updates.withColumnRenamed("c_custkey", "u_custkey"),
+        F.col("c_custkey") == F.col("u_custkey"),
+        "full_outer",
+    )
+    return merged.select(
+        F.coalesce("c_custkey", "u_custkey").alias("c_custkey"),
+        F.coalesce("new_bal", "c_acctbal").alias("acctbal"),
+        F.when(F.col("c_custkey").isNull(), "inserted")
+        .when(F.col("u_custkey").isNull(), "kept")
+        .otherwise("updated")
+        .alias("merge_action"),
+    )
+
+
+@query(
+    "b6_cdc_apply",
+    oracle="""
+    WITH ops AS (
+      SELECT user_id, event_id, ts::TIMESTAMP AS ts, value,
+             CASE WHEN event_type = 'signup' THEN 'insert'
+                  WHEN event_type = 'error' THEN 'delete'
+                  ELSE 'update' END AS op
+      FROM events
+    ),
+    latest AS (
+      SELECT user_id, op, value, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+      FROM ops
+    )
+    SELECT user_id, value AS last_value, epoch_us(ts) AS last_ts_us, n_changes
+    FROM latest WHERE rn = 1 AND op != 'delete'
+    """,
+)
+def b6_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog → current-state materialization: the events table
+    read as a change stream per entity (signup=insert, error=delete,
+    rest=update), resolved with last-write-wins (ts, then event_id as
+    the deterministic LSN tiebreak); entities whose LAST change is a
+    delete disappear. One window over one shuffle on the entity key —
+    the standard snapshot-from-changelog shape; at 100 TB the window
+    runs per key partition and old generations prune via partition
+    predicates."""
+    ev = load(spark, sf_dir, "events")
+    ops = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+        .alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    wc = Window.partitionBy("user_id")
+    latest = ops.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_changes", F.count(F.lit(1)).over(wc)
+    )
+    return (
+        latest.filter((F.col("rn") == 1) & (F.col("op") != "delete"))
+        .select(
+            "user_id",
+            F.col("value").alias("last_value"),
+            F.unix_micros("ts").alias("last_ts_us"),
+            "n_changes",
+        )
     )

@@ -662,3 +662,95 @@ def i13_stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.expr(SUM_VALUE).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------- i14
+
+
+@query(
+    "i14_foreachbatch_upsert",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, value AS last_value FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def i14_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch custom sink: per-user last-write-wins state upserted
+    across REAL multiple micro-batches (the source is staged as two
+    files + maxFilesPerTrigger=1 → two batches). Each batch reduces to
+    its per-user latest, merges with the previous state version, and
+    writes a NEW state version (versioned dirs = the poor-man's ACID
+    swap a lakehouse table format provides natively; never overwrite a
+    directory being read). The final state must equal the one-shot
+    batch window over the whole table — proving the upsert is
+    associative across batch boundaries. foreachBatch is the sanctioned
+    escape hatch for sinks Structured Streaming lacks (JDBC, HBase,
+    MERGE targets)."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    tag = sf_dir.strip("/").replace("/", "_")
+    stage = os.path.join(tempfile.gettempdir(), f"j2h_fb_stage_{tag}")
+    state_root = tempfile.mkdtemp(prefix="j2h_fb_state_")
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage, exist_ok=True)
+    # two single-file halves → two micro-batches under maxFilesPerTrigger=1
+    for i, half in enumerate(
+        (ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1))
+    ):
+        tmp = tempfile.mkdtemp(prefix="j2h_fb_half_")
+        half.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        os.rename(part, os.path.join(stage, f"{i}.parquet"))
+
+    schema = spark.read.parquet(stage).schema
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+    def _latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("user_id", "ts", "event_id", "value")
+        )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        versions = sorted(_glob.glob(os.path.join(state_root, "v*")))
+        merged = _latest(batch_df)
+        if versions:
+            prev = sess.read.parquet(versions[-1])
+            merged = _latest(prev.unionByName(merged))
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_root, f"v{batch_id:04d}")
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    with scoped_stream_confs(spark):
+        q = (
+            stream.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_i14_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    final_dir = sorted(_glob.glob(os.path.join(state_root, "v*")))[-1]
+    final = spark.read.parquet(final_dir)
+    return final.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
