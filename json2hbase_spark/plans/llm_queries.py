@@ -1149,3 +1149,56 @@ def j28_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("lang", "source", "doc_id", "rn")
     )
+
+
+# ---------------------------------------------------------------- j29
+
+
+@query(
+    "j29_edit_distance",
+    oracle="""
+    WITH normed AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    pref AS (
+      SELECT doc_id, substr(norm, 1, 40) AS block, substr(norm, 1, 80) AS p80
+      FROM normed WHERE len(norm) >= 8
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.p80, b.p80) AS edit_dist
+    FROM pref a JOIN pref b ON a.block = b.block AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.p80, b.p80) <= 20
+    """,
+)
+def j29_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy dedup: Levenshtein over 80-char normalized
+    prefixes of block-candidate pairs (same 40-char blocking as j2v —
+    never all-pairs; the O(len²) DP only ever runs on candidates).
+    Complements Jaccard: catches transposition/typo-level dups that
+    shingle overlap scores poorly. Native `levenshtein` in both
+    engines → exact integer oracle."""
+    docs = load(spark, sf_dir, "documents")
+    normed = docs.select("doc_id", normalize_text(F.col("text")).alias("norm")).filter(
+        F.length("norm") >= 8
+    )
+    pref = normed.select(
+        "doc_id",
+        F.substring("norm", 1, 40).alias("block"),
+        F.substring("norm", 1, 80).alias("p80"),
+    )
+    pref = materialize(pref)
+    a = pref.select(
+        F.col("block"), F.col("doc_id").alias("doc_a"), F.col("p80").alias("pa")
+    )
+    b = pref.select(
+        F.col("block").alias("block_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("p80").alias("pb"),
+    )
+    dist = F.levenshtein(F.col("pa"), F.col("pb"))
+    return (
+        a.join(b, (F.col("block") == F.col("block_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", dist.alias("edit_dist"))
+        .filter(F.col("edit_dist") <= 20)
+    )

@@ -754,3 +754,108 @@ def i14_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("last_event_id"),
         F.col("value").alias("last_value"),
     )
+
+
+# ---------------------------------------------------------------- i15/i16
+
+
+@query(
+    "i15_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts::TIMESTAMP) AS s_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts::TIMESTAMP) AS c_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND e.ts::TIMESTAMP > s.s_ts
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP > c.c_ts
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+           (SELECT COUNT(*) FROM c) AS n_click_after,
+           (SELECT COUNT(*) FROM p) AS n_purchase_after
+    """,
+)
+def i15_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: users who signed up, then clicked
+    AFTER their first signup, then purchased AFTER that first
+    qualifying click — the event-sequencing query behind every
+    conversion dashboard. Each stage is one filter + broadcast-join
+    against the (per-user, tiny) previous-stage table + min-agg; at
+    100 TB the stages stay semi-join-shaped, never a per-user sort of
+    the full event log."""
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s), "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    )
+
+
+@query(
+    "i16_retention_cohorts",
+    oracle="""
+    WITH first_wk AS (
+      SELECT user_id, min(date_trunc('week', ts::TIMESTAMP)) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts::TIMESTAMP) AS wk
+      FROM events
+    )
+    SELECT epoch_us(f.cohort) AS cohort_week_us,
+           CAST(datediff('day', f.cohort, a.wk) / 7 AS BIGINT) AS week_offset,
+           COUNT(*) AS n_active
+    FROM active a JOIN first_wk f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def i16_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-cohort matrix: users grouped by first-activity week,
+    counted as active at each later week offset — the other canonical
+    event-analytics query. Two hash aggs + one join on user_id; the
+    cohort table is per-user-small so it broadcasts, and the distinct
+    (user, week) table map-side-dedups before the shuffle."""
+    ev = load(spark, sf_dir, "events")
+    first_wk = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    return (
+        active.join(F.broadcast(first_wk), "user_id")
+        .groupBy(
+            F.unix_micros("cohort").alias("cohort_week_us"),
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7).cast("bigint").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

@@ -565,3 +565,37 @@ def h9_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_approx") >= F.col("_p45")) & (F.col("_approx") <= F.col("_p55"))
         ).alias("within_tol"),
     )
+
+
+@query(
+    "h10_histogram",
+    oracle="""
+    SELECT bin,
+           CAST(bin * 25000 AS BIGINT) AS lo,
+           CAST((bin + 1) * 25000 AS BIGINT) AS hi,
+           COUNT(*) AS n
+    FROM (
+      SELECT least(CAST(floor(o_totalprice / 25000) AS BIGINT), 19) AS bin
+      FROM orders
+    )
+    GROUP BY bin
+    """,
+)
+def h10_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (20 bins of 25k, top bin open-ended): one
+    narrow map + one hash agg — the profiling primitive that replaces
+    a sort-based percentile scan when you only need the distribution
+    shape at 100 TB."""
+    o = load(spark, sf_dir, "orders")
+    bin_col = F.least(F.floor(F.col("o_totalprice") / 25000).cast("bigint"), F.lit(19))
+    return (
+        o.select(bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            (F.col("bin") * 25000).cast("bigint").alias("lo"),
+            ((F.col("bin") + 1) * 25000).cast("bigint").alias("hi"),
+            "n",
+        )
+    )
