@@ -418,3 +418,67 @@ def a14_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(ZORDER_SQL).cast("bigint").alias("zval"),
         F.floor(F.expr(ZORDER_SQL).cast("double") / 4096).cast("bigint").alias("zbucket"),
     )
+
+
+@query(
+    "a15_kv_roundtrip",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS rowkey,
+             'doc.status' AS qualifier, o_orderstatus AS v FROM orders WHERE o_orderkey < 2000
+      UNION ALL
+      SELECT CAST(o_orderkey AS VARCHAR), 'doc.total',
+             CAST(o_totalprice AS VARCHAR) FROM orders WHERE o_orderkey < 2000
+      UNION ALL
+      SELECT CAST(o_orderkey AS VARCHAR), 'doc.meta.date',
+             CAST(CAST(o_orderdate AS DATE) AS VARCHAR) FROM orders WHERE o_orderkey < 2000
+      UNION ALL
+      SELECT CAST(o_orderkey AS VARCHAR), 'doc.meta.priority',
+             o_orderpriority FROM orders WHERE o_orderkey < 2000
+      UNION ALL
+      SELECT CAST(o_orderkey AS VARCHAR), 'doc.keys.0',
+             CAST(o_custkey AS VARCHAR) FROM orders WHERE o_orderkey < 2000
+      UNION ALL
+      SELECT CAST(o_orderkey AS VARCHAR), 'doc.keys.1',
+             CAST(o_orderkey AS VARCHAR) FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT rowkey,
+           string_agg(qualifier || '=' || v, ',' ORDER BY qualifier) AS doc_blob,
+           COUNT(*) AS n_cells
+    FROM cells
+    GROUP BY rowkey
+    """,
+)
+def a15_kv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flatten INVERSE: HBase cells regrouped back into one
+    canonical document string per rowkey (sorted qualifier=value
+    pairs) — proving kv_flatten is lossless and the cell long-format
+    can reconstruct the source document (what a json2hbase reader does
+    on the way back out). One shuffle on rowkey; the sort is
+    per-document (array_sort over collected cells), not a global
+    sort."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    docs = orders.select(
+        F.col("o_orderkey").alias("rk"),
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("total"),
+            F.struct(
+                F.col("o_orderdate").cast("date").cast("string").alias("date"),
+                F.col("o_orderpriority").alias("priority"),
+            ).alias("meta"),
+            F.array(F.col("o_custkey"), F.col("o_orderkey")).alias("keys"),
+        ).alias("doc"),
+    )
+    kv = kv_flatten(docs, "rk", cf="d")
+    regrouped = kv.groupBy("rowkey").agg(
+        F.array_sort(
+            F.collect_list(F.concat_ws("=", F.col("qualifier"), F.col("value")))
+        ).alias("_cells"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    return regrouped.select(
+        "rowkey",
+        F.array_join("_cells", ",").alias("doc_blob"),
+        "n_cells",
+    )

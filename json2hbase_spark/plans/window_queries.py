@@ -599,3 +599,41 @@ def h10_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "f6_range_partition",
+    oracle="""
+    SELECT tile,
+           COUNT(*) AS n,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi
+    FROM (
+      SELECT o_totalprice,
+             ntile(32) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+      FROM orders
+    )
+    GROUP BY tile
+    """,
+)
+def f6_range_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partition balance profile: ntile(32) over a total order —
+    the split-point computation behind repartitionByRange / sorted
+    bulk-load region boundaries (a5). Each tile's count stays within
+    ±1 of n/32, and the (lo, hi) bounds are the region split points a
+    100 TB sorted write would use. (The global sort here is the
+    profiling step, run on a sample at scale — Spark's
+    RangePartitioner does exactly this sampling internally.)"""
+    o = load(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    tile = F.ntile(32).over(W.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey")))
+    return (
+        o.select("o_totalprice", tile.alias("tile"))
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

@@ -236,3 +236,74 @@ def test_scoped_stream_confs_sets_and_restores(spark):
     assert restored != ROCKSDB_PROVIDER
     if prev_prov != "unset":
         assert restored == prev_prov
+
+
+# ---------------------------------------------------------------- op invariants
+
+
+def test_j27_packing_invariants(spark, sf_dir):
+    """Every pack holds ≤ budget + one straddling doc; per-language
+    token totals are conserved through packing."""
+    from json2hbase_spark.operators.text import whitespace_tokens
+    from json2hbase_spark.plans.llm_queries import PACK_BUDGET
+
+    packs = registry.QUERIES["j27_pack_sequences"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = docs.select(
+        "lang", F.size(whitespace_tokens(F.col("text"))).alias("t")
+    )
+    totals = {r.lang: r.s for r in tok.groupBy("lang").agg(F.sum("t").alias("s")).collect()}
+    max_doc = {r.lang: r.m for r in tok.groupBy("lang").agg(F.max("t").alias("m")).collect()}
+    packed_totals: dict = {}
+    for r in packs:
+        packed_totals[r.lang] = packed_totals.get(r.lang, 0) + r.pack_tokens
+        assert r.pack_tokens <= PACK_BUDGET + max_doc[r.lang], r
+    assert packed_totals == totals
+
+
+def test_j28_stratum_counts(spark, sf_dir):
+    """Each stratum yields min(5, stratum size) rows with rn 1..k."""
+    rows = registry.QUERIES["j28_stratified_sample"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sizes = {
+        (r.lang, r.source): r.n
+        for r in docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got: dict = {}
+    for r in rows:
+        got.setdefault((r.lang, r.source), []).append(r.rn)
+    for key, size in sizes.items():
+        rns = sorted(got.get(key, []))
+        assert rns == list(range(1, min(5, size) + 1)), (key, rns, size)
+
+
+def test_b6_trailing_delete_drops_entity(spark, sf_dir):
+    """Entities whose LAST change is a delete (event_type='error') must
+    be absent from the materialized state."""
+    from json2hbase_spark.io import load
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    last = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type")
+    )
+    deleted = {r.user_id for r in last.filter(F.col("event_type") == "error").collect()}
+    state = {r.user_id for r in registry.QUERIES["b6_cdc_apply"](spark, sf_dir).collect()}
+    assert deleted and deleted.isdisjoint(state)
+    n_users = ev.select("user_id").distinct().count()
+    assert len(state) == n_users - len(deleted)
+
+
+def test_a15_roundtrip_reconstructs_every_cell(spark, sf_dir):
+    """The regrouped doc blob must contain every qualifier exactly once
+    per rowkey (flatten is lossless through the cell format)."""
+    rows = registry.QUERIES["a15_kv_roundtrip"](spark, sf_dir).collect()
+    assert rows
+    for r in rows[:50]:
+        assert r.n_cells == 6
+        for q in ("doc.status=", "doc.total=", "doc.meta.date=",
+                  "doc.meta.priority=", "doc.keys.0=", "doc.keys.1="):
+            assert r.doc_blob.count(q) == 1, (r.rowkey, q, r.doc_blob)
