@@ -87,17 +87,23 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
 
 
 def ivf_centroids(
-    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding", dp: int = 6
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:
     """IVF coarse quantizer: per-label centroid vectors via the
     long-format path (posexplode → hash agg → re-collect). Centroids
-    are rounded to ``dp`` decimals so the assignment step is
-    deterministic across engines (float avg is accumulation-order
-    dependent; 6 dp absorbs the ~1e-15 partial-agg jitter).
+    use the quantized-integer average (floor(x·1e6 + .5) per element,
+    exact BIGINT sum, one division): order-independent AND
+    bit-identical in every engine — float round() and even
+    double→DECIMAL casts both tie-break differently between engines
+    on the near-boundary values mean-zero embeddings cluster at, so
+    the assignment step needs this to be deterministic.
     Returns (label, centroid array<double>)."""
     long = emb.select(F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "val"))
     cent = long.groupBy(label_col, "pos").agg(
-        F.round(F.avg(F.col("val").cast("double")), dp).alias("cv")
+        F.expr(
+            "CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)"
+            " / (COUNT(*) * 1000000)"
+        ).alias("cv")
     )
     return cent.groupBy(label_col).agg(
         F.transform(

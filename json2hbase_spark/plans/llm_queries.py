@@ -59,6 +59,15 @@ DUCK_SHINGLES = (
     " i -> substr({t}, i, 8)))"
 )
 
+# order-free, engine-exact centroid average: quantize each element to
+# an integer (floor(x·1e6 + .5) — IEEE double multiply + exact floor,
+# bit-identical everywhere), sum exactly as BIGINT, divide once. Used
+# verbatim by Spark (F.expr) and DuckDB. See j5_centroid docstring.
+QCENT_AVG = (
+    "CAST(SUM(CAST(floor(CAST({v} AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)"
+    " / (COUNT(*) * 1000000)"
+)
+
 
 # ---------------------------------------------------------------- j1
 
@@ -266,21 +275,31 @@ def j4_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "j5_centroid",
-    oracle="""
+    oracle=f"""
     SELECT label, i.i AS pos,
-           round(avg(CAST(embedding[i.i + 1] AS DOUBLE)), 4) AS centroid_val
+           {QCENT_AVG.format(v="embedding[i.i + 1]")} AS centroid_val
     FROM embeddings, (SELECT unnest(range(64)) AS i) i
     GROUP BY 1, 2
     """,
 )
 def j5_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of 64-dim embeddings via posexplode — the
-    long-format path (no per-row Python, scales as one hash agg)."""
+    long-format path (no per-row Python, scales as one hash agg).
+
+    Quantized-integer average (see QCENT_AVG): a float avg needs a
+    round() to be order-stable, but mean-zero embedding averages
+    CLUSTER near rounding boundaries where Spark's binary-HALF_UP and
+    DuckDB's repr rounding flip (observed at sf0.001: -0.0001 vs
+    -0.0); even a double→DECIMAL cast ties the same way (observed
+    1-ulp sum divergence at sf0.01). floor(val·1e6 + 0.5) is pure
+    IEEE double + integer arithmetic — bit-identical in any engine
+    and any order, at 1e-6 input quantization (a centroid is a
+    quantizer; the loss is epsilon against the cluster radius)."""
     emb = load(spark, sf_dir, "embeddings")
     return (
         emb.select("label", F.posexplode("embedding").alias("pos", "val"))
         .groupBy("label", "pos")
-        .agg(F.round(F.avg(F.col("val").cast("double")), 4).alias("centroid_val"))
+        .agg(F.expr(QCENT_AVG.format(v="val")).alias("centroid_val"))
     )
 
 
@@ -641,7 +660,8 @@ def j16_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j17_ann_ivf",
     oracle=f"""
     WITH cent_long AS (
-      SELECT label, i.i AS pos, round(avg(CAST(embedding[i.i + 1] AS DOUBLE)), 6) AS cv
+      SELECT label, i.i AS pos,
+             {QCENT_AVG.format(v="embedding[i.i + 1]")} AS cv
       FROM embeddings, (SELECT unnest(range(64)) AS i) i
       GROUP BY 1, 2
     ),
@@ -674,7 +694,8 @@ def j16_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j17_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: per-label centroids as the coarse quantizer
-    (rounded to 6 dp in both engines so assignment is deterministic),
+    (quantized-integer average — bit-identical in both engines, so
+    assignment is deterministic; see operators/similarity.py),
     nprobe=1, exact top-3 within the probed partition. The scale story:
     each query scans 1/n_lists of the corpus instead of all of it."""
     emb = load(spark, sf_dir, "embeddings")
