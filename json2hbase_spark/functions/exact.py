@@ -56,3 +56,17 @@ def dec_win_sum(col: str, over: str, p: int = 12, s: int = 2) -> str:
 def e(sql: str, alias: str) -> Column:
     """Spark-side column from the shared SQL fragment."""
     return F.expr(sql).alias(alias)
+
+
+# order-free, engine-exact centroid/mean of float data: quantize each
+# element to an integer (floor(x*1e6 + 0.5) — IEEE double multiply +
+# exact floor, bit-identical everywhere), sum exactly as BIGINT, divide
+# once. The alternative round(avg(x), k) flips between Spark's
+# binary-HALF_UP and DuckDB's shortest-repr rounding exactly where
+# mean-zero data clusters (observed in j5 at sf0.001), and a
+# double->DECIMAL cast ties the same way. Quantization loss is 1e-6 on
+# inputs — epsilon against any cluster radius.
+QCENT_AVG = (
+    "CAST(SUM(CAST(floor(CAST({v} AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)"
+    " / (COUNT(*) * 1000000)"
+)

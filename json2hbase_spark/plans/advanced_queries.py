@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from json2hbase_spark.functions.exact import QCENT_AVG
 from json2hbase_spark.io import load
 from json2hbase_spark.materialize import materialize
 from json2hbase_spark.operators.dedup import char_shingles, normalize_text
@@ -163,7 +164,65 @@ def j20_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("j21_kmeans")  # rows-only: iterative float argmin is not SQL-oracle material
+
+
+def _duck_sqdist(a: str, b: str) -> str:
+    """DuckDB twin of the Spark zip_with/aggregate squared-distance
+    fold — same per-element double ops, same sequential sum."""
+    return (
+        f"list_aggregate(list_transform(range(1,65),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), 'sum')"
+    )
+
+
+def _kmeans_oracle(iters: int = 3) -> str:
+    """Unrolled Lloyd iterations as CTEs: every arithmetic step
+    (double sqdist folds, argmin tie-break, quantized-integer centroid
+    averages) is bit-identical to the Spark plan, so the iterative
+    algorithm hash-matches end-to-end — no rows-only fallback."""
+    q = (
+        "CAST(SUM(CAST(floor(ve[i.i + 1] * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)"
+        " / (COUNT(*) * 1000000)"
+    )
+    parts = [
+        "WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve"
+        " FROM embeddings)",
+        "c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, ve AS ce FROM v WHERE vec_id < 10)",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        parts.append(
+            f"""a{it} AS (
+      SELECT vec_id, ve, cluster FROM (
+        SELECT v.vec_id, v.ve, c.cluster,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_duck_sqdist('v.ve', 'c.ce')}, c.cluster) AS rn
+        FROM v, {prev} c) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""cl{it} AS (
+      SELECT cluster, i.i AS pos, {q} AS cv
+      FROM a{it}, (SELECT unnest(range(64)) AS i) i GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"c{it} AS (SELECT cluster, list(cv ORDER BY pos) AS ce FROM cl{it} GROUP BY cluster)"
+        )
+        prev = f"c{it}"
+    parts.append(
+        f"""af AS (
+      SELECT vec_id, cluster FROM (
+        SELECT v.vec_id, c.cluster,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_duck_sqdist('v.ve', 'c.ce')}, c.cluster) AS rn
+        FROM v, {prev} c) WHERE rn = 1)"""
+    )
+    return (
+        ",\n".join(parts)
+        + "\nSELECT cluster, COUNT(*) AS n_members, min(vec_id) AS min_vec FROM af GROUP BY cluster"
+    )
+
+
+@query("j21_kmeans", oracle=_kmeans_oracle(3))
 def j21_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means (k=10, 3 iterations) over the embedding column,
     entirely as DataFrame plans: assignment is a broadcast crossJoin +
@@ -174,7 +233,14 @@ def j21_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     is materialized per iteration so every iteration's plan reads the
     previous centroids flat instead of re-deriving the whole chain
     (lineage would otherwise grow by one crossJoin+window+agg subtree
-    per iteration and re-execute it all at every step)."""
+    per iteration and re-execute it all at every step).
+
+    FULLY hash-checked despite being iterative: centroid updates use
+    the quantized-integer average (exact.QCENT_AVG) and distances are
+    sequential double folds, so every iteration is bit-identical to
+    the DuckDB twin (_kmeans_oracle unrolls the three Lloyd steps as
+    CTEs) — the argmin assignments, and therefore the final clusters,
+    match exactly."""
     emb = load(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", F.col("embedding").alias("v"))
 
@@ -201,7 +267,7 @@ def j21_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids = materialize(
             assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
             .groupBy("cluster", "pos")
-            .agg(F.avg("val").alias("cv"))
+            .agg(F.expr(QCENT_AVG.format(v="val")).alias("cv"))
             .groupBy("cluster")
             .agg(
                 F.transform(

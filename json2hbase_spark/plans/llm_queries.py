@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from json2hbase_spark.functions.exact import QCENT_AVG
 from json2hbase_spark.io import load
 from json2hbase_spark.materialize import materialize
 from json2hbase_spark.operators import multimodal
@@ -59,14 +60,7 @@ DUCK_SHINGLES = (
     " i -> substr({t}, i, 8)))"
 )
 
-# order-free, engine-exact centroid average: quantize each element to
-# an integer (floor(x·1e6 + .5) — IEEE double multiply + exact floor,
-# bit-identical everywhere), sum exactly as BIGINT, divide once. Used
-# verbatim by Spark (F.expr) and DuckDB. See j5_centroid docstring.
-QCENT_AVG = (
-    "CAST(SUM(CAST(floor(CAST({v} AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)"
-    " / (COUNT(*) * 1000000)"
-)
+
 
 
 # ---------------------------------------------------------------- j1
