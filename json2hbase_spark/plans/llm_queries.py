@@ -3,8 +3,10 @@ langid/quality/fingerprint extensions + multimodal plumbing).
 
 Float conventions (see functions/exact.py): vector dot products /
 norms use sequential folds expressed identically in both engines → no
-rounding; genuinely order-dependent aggregates (centroid avg, tf-idf's
-log, quality score's log) round to 4.
+rounding; centroid averages use the quantized-integer QCENT_AVG form
+(order-free AND engine-exact — round(avg) flips at the boundaries
+mean-zero data clusters on); remaining order-dependent aggregates
+(tf-idf's log, quality score's log) round to 4.
 """
 
 from __future__ import annotations
