@@ -1219,3 +1219,45 @@ def j29_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", dist.alias("edit_dist"))
         .filter(F.col("edit_dist") <= 20)
     )
+
+
+# ---------------------------------------------------------------- j30
+
+
+@query(
+    "j30_inverted_index",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x != '')) AS term
+      FROM documents
+    )
+    SELECT term,
+           COUNT(*) AS df,
+           array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+    FROM toks
+    GROUP BY term
+    HAVING COUNT(*) >= 5
+    """,
+)
+def j30_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term → sorted postings list (doc ids) +
+    document frequency, for terms appearing in ≥5 docs — the search /
+    exact-phrase-lookup structure next to j7's tf-idf scores. One
+    explode + distinct + hash agg; at 100 TB the postings lists write
+    out bucketed by term so lookups are one partition probe (and the
+    HAVING floor keeps hapax noise out of the index)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("term")
+    ).distinct()
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(F.array_sort(F.collect_list("doc_id")), ",").alias(
+                "postings"
+            ),
+        )
+        .filter(F.col("df") >= 5)
+    )

@@ -637,3 +637,40 @@ def f6_range_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+@query(
+    "h11_quartiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 4) AS p25_r,
+           round(quantile_cont(value, 0.50), 4) AS p50_r,
+           round(quantile_cont(value, 0.75), 4) AS p75_r,
+           round(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 4) AS iqr_r,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def h11_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quartile band per group (p25/p50/p75 + IQR): the spread
+    profile behind outlier fences and box plots. Spark's exact
+    `percentile` and DuckDB's `quantile_cont` share the linear
+    interpolation formula; round(4) per the exact.py convention for
+    interpolated statistics. At 100 TB swap in percentile_approx
+    (h9 shows the sketch + tolerance contract)."""
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25D)").alias("_p25"),
+        F.expr("percentile(value, 0.50D)").alias("_p50"),
+        F.expr("percentile(value, 0.75D)").alias("_p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return agg.select(
+        "event_type",
+        F.round("_p25", 4).alias("p25_r"),
+        F.round("_p50", 4).alias("p50_r"),
+        F.round("_p75", 4).alias("p75_r"),
+        F.round(F.col("_p75") - F.col("_p25"), 4).alias("iqr_r"),
+        "n",
+    )
