@@ -307,3 +307,47 @@ def test_a15_roundtrip_reconstructs_every_cell(spark, sf_dir):
         for q in ("doc.status=", "doc.total=", "doc.meta.date=",
                   "doc.meta.priority=", "doc.keys.0=", "doc.keys.1="):
             assert r.doc_blob.count(q) == 1, (r.rowkey, q, r.doc_blob)
+
+
+def test_stream_file_sink_exactly_once_across_restarts(spark):
+    """Restarting an availableNow file-sink query from the SAME
+    checkpoint must process ONLY newly-arrived source files — the
+    file-source offset log + sink commit log give exactly-once across
+    restarts (the recovery contract every i-op relies on; fresh
+    checkpoints per run hide it, so it is pinned here explicitly)."""
+    import glob as _glob
+    import shutil
+
+    stage = tempfile.mkdtemp(prefix="j2h_eo_stage_")
+    out = os.path.join(tempfile.mkdtemp(prefix="j2h_eo_"), "out")
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="j2h_eo_"), "ckpt")
+
+    def _add_file(df, name):
+        tmp = tempfile.mkdtemp(prefix="j2h_eo_half_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(stage, name))
+
+    _add_file(spark.range(0, 100).withColumn("v", F.col("id") * 2), "0.parquet")
+    schema = spark.read.parquet(stage).schema
+
+    def _run():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(stage)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _run()
+    assert spark.read.parquet(out).count() == 100
+    _add_file(spark.range(100, 150).withColumn("v", F.col("id") * 2), "1.parquet")
+    _run()
+    back = spark.read.parquet(out)
+    # 150 rows total, each id exactly once: file 0 was NOT reprocessed
+    assert back.count() == 150
+    assert back.select("id").distinct().count() == 150
