@@ -351,3 +351,69 @@ def test_stream_file_sink_exactly_once_across_restarts(spark):
     # 150 rows total, each id exactly once: file 0 was NOT reprocessed
     assert back.count() == 150
     assert back.select("id").distinct().count() == 150
+
+
+def test_watermark_drops_late_rows_across_batches(spark):
+    """A late row arriving AFTER its window's state was evicted must be
+    dropped from an append-mode windowed aggregation — the eviction
+    semantics i4's single-batch run cannot exercise. Note the exact
+    contract (verified empirically here): eviction happens at the END
+    of the batch in which the watermark passes the window, so a late
+    row arriving in that same batch still merges into live state; only
+    a row arriving a batch later, against evicted state, is dropped.
+    Batch 1 advances the watermark past h0, batch 2 finalizes+evicts
+    the h0 window, batch 3 delivers the late h0 row — which must
+    produce no output."""
+    import glob as _glob
+    import shutil
+
+    stage = tempfile.mkdtemp(prefix="j2h_late_stage_")
+    ckpt = tempfile.mkdtemp(prefix="j2h_late_ckpt_")
+
+    def _add_file(rows, name, mtime):
+        df = spark.createDataFrame(rows, "ts TIMESTAMP, k STRING")
+        tmp = tempfile.mkdtemp(prefix="j2h_late_half_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dest = os.path.join(stage, name)
+        shutil.move(part, dest)
+        # the file source batches oldest-mtime-first; pin mtimes so the
+        # watermark-advancing file is batch 1 and the late file batch 2
+        os.utime(dest, (mtime, mtime))
+
+    import datetime as dt
+
+    h0 = dt.datetime(2026, 1, 1, 0, 30)
+    h9 = dt.datetime(2026, 1, 1, 9, 0)  # watermark = 9:00 - 2h = 7:00 >> h0
+    _add_file([(h0, "a"), (h0, "a"), (h9, "b")], "0.parquet", 1_000_000_000)
+    # batch 2: watermark is now 7:00 → h0 window emits (n=2) + evicts
+    _add_file([(h9, "b")], "1.parquet", 1_000_009_000)
+    # batch 3: late h0 row against EVICTED state → dropped entirely
+    late_h0 = dt.datetime(2026, 1, 1, 0, 45)
+    _add_file([(late_h0, "late"), (h9, "b")], "2.parquet", 1_000_018_000)
+
+    schema = spark.read.parquet(stage).schema
+    agg = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("string").alias("ws"), "k", "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_mem")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {(r.ws, r.k): r.n for r in spark.table("late_mem").collect()}
+    # the h0 window closed after batch 2 with n=2; the late row in
+    # batch 3 must NOT re-open it or appear anywhere
+    h0_rows = {k: n for (ws, k), n in rows.items() if ws.startswith("2026-01-01 00:")}
+    assert h0_rows == {"a": 2}, rows
+    assert not any(k == "late" for (_, k) in rows), rows
