@@ -20,6 +20,7 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 from json2hbase_spark import registry  # noqa: E402
+from json2hbase_spark.materialize import cleanup_materialized  # noqa: E402
 from json2hbase_spark.session import get_spark  # noqa: E402
 
 registry.load_all_query_modules()
@@ -51,6 +52,8 @@ def main() -> None:
         except Exception as exc:  # record failures, keep benching
             times[name] = -1.0
             print(f"# bench error {name}: {exc}", file=sys.stderr)
+        finally:
+            cleanup_materialized()  # no cached-block buildup across queries
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
     print(

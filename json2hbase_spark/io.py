@@ -29,11 +29,27 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
 def _events_confs(spark: SparkSession) -> None:
-    # events.parquet stores INT64 TIMESTAMP(NANOS) which Spark's parquet
-    # reader rejects; read nanos as long and convert. UTC session tz keeps
-    # timestamp wall-clock aligned with the DuckDB oracle (naive reads).
+    # Fixture generations have stored events.ts as INT64 TIMESTAMP(NANOS)
+    # (which Spark's parquet reader rejects without nanosAsLong) or as
+    # plain timestamp[us]. Enable the legacy read so both load; UTC
+    # session tz keeps timestamp wall-clock aligned with the DuckDB
+    # oracle (naive reads).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``ts`` to session-tz TIMESTAMP regardless of how the
+    fixture generation encoded it: INT64 nanos → µs truncation (matches
+    DuckDB TIMESTAMP_NS::TIMESTAMP); parquet timestamp[us] (inferred as
+    TIMESTAMP_NTZ by Spark 4) → same wall clock in the UTC session tz,
+    identical to DuckDB's naive read."""
+    t = dict(df.dtypes).get("ts")
+    if t == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if t == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -41,12 +57,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         _events_confs(spark)
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # ns → µs truncation (matches DuckDB TIMESTAMP_NS::TIMESTAMP)
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return _normalize_events_ts(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-_stream_schema_cache: dict[str, object] = {}
+# keyed on (sf_dir, mtime, size) so a regenerated fixture with a new
+# schema is re-probed instead of silently streaming with a stale one
+_stream_schema_cache: dict[tuple, object] = {}
 
 
 def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -56,23 +73,26 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     The schema probe (a batch footer read) is cached per sf_dir — the
     i-family runs a dozen streaming queries against the same fixture."""
     _events_confs(spark)
-    raw_schema = _stream_schema_cache.get(sf_dir)
-    if raw_schema is None:
-        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        _stream_schema_cache[sf_dir] = raw_schema
-    # the file stream source wants a directory; stage the single-file
-    # fixture behind a per-sf temp dir (symlink — no data copy)
     import os
     import tempfile
 
+    src = f"{sf_dir}/events.parquet"
+    st = os.stat(src)
+    cache_key = (sf_dir, st.st_mtime_ns, st.st_size)
+    raw_schema = _stream_schema_cache.get(cache_key)
+    if raw_schema is None:
+        raw_schema = spark.read.parquet(src).schema
+        _stream_schema_cache[cache_key] = raw_schema
+    # the file stream source wants a directory; stage the single-file
+    # fixture behind a per-sf temp dir (symlink — no data copy)
     tag = sf_dir.strip("/").replace("/", "_")
     stage = os.path.join(tempfile.gettempdir(), f"json2hbase_stream_{tag}")
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+        os.symlink(src, link)
     stream = spark.readStream.schema(raw_schema).parquet(stage)
-    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return _normalize_events_ts(stream)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

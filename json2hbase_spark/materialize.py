@@ -27,13 +27,59 @@ Strategies (select via ``SPARK_GRAFT_MATERIALIZE`` or per-call):
 
 from __future__ import annotations
 
+import atexit
+import contextlib
 import os
+import shutil
 import tempfile
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 _VALID = ("local", "checkpoint", "persist")
+
+# Lifecycle registry: long-lived sessions (or real clusters) must not
+# accumulate cached blocks / checkpoint files across queries. Every
+# persist() and every auto-created checkpoint dir is tracked here;
+# cleanup_materialized() releases them once the consuming action is
+# done (bench.py calls it per query; tests use materialization_scope).
+_persisted: list[DataFrame] = []
+_created_ckpt_dirs: list[str] = []
+
+
+def cleanup_materialized(remove_checkpoint_dirs: bool = False) -> None:
+    """Unpersist every DataFrame cached by the 'persist' strategy and
+    (optionally) delete checkpoint dirs this module auto-created.
+    Safe after the consuming action: 'persist' keeps lineage so a late
+    re-use just recomputes; call with remove_checkpoint_dirs=True only
+    at end-of-session because 'checkpoint' plans read those files."""
+    while _persisted:
+        df = _persisted.pop()
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped
+    if remove_checkpoint_dirs:
+        while _created_ckpt_dirs:
+            shutil.rmtree(_created_ckpt_dirs.pop(), ignore_errors=True)
+
+
+@contextlib.contextmanager
+def materialization_scope():
+    """Context manager releasing persists created inside the scope."""
+    mark = len(_persisted)
+    try:
+        yield
+    finally:
+        while len(_persisted) > mark:
+            df = _persisted.pop()
+            try:
+                df.unpersist(blocking=False)
+            except Exception:
+                pass
+
+
+atexit.register(cleanup_materialized, remove_checkpoint_dirs=True)
 
 
 def strategy_from_env() -> str:
@@ -54,11 +100,16 @@ def materialize(df: DataFrame, strategy: str | None = None) -> DataFrame:
         sc = df.sparkSession.sparkContext
         if sc.getCheckpointDir() is None:
             # local fallback; clusters set a durable dir (HDFS/S3) via
-            # sc.setCheckpointDir at submit time
-            sc.setCheckpointDir(tempfile.mkdtemp(prefix="json2hbase_ckpt_"))
+            # sc.setCheckpointDir at submit time. Tracked so
+            # cleanup_materialized(remove_checkpoint_dirs=True) can
+            # reclaim the files at end-of-session.
+            d = tempfile.mkdtemp(prefix="json2hbase_ckpt_")
+            _created_ckpt_dirs.append(d)
+            sc.setCheckpointDir(d)
         return df.checkpoint(eager=True)
     if s == "persist":
         out = df.persist(StorageLevel.DISK_ONLY_2)
         out.count()  # force the write so downstream reuse hits the cache
+        _persisted.append(out)
         return out
     raise ValueError(f"unknown materialization strategy {s!r}")

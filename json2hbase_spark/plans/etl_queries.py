@@ -471,14 +471,23 @@ def a15_kv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("doc"),
     )
     kv = kv_flatten(docs, "rk", cf="d")
+    # sort on the qualifier alone (struct sort orders by first field),
+    # matching the oracle's ORDER BY qualifier — sorting the joined
+    # 'q=v' string instead would diverge whenever one qualifier is a
+    # strict prefix of another ('2' < '=' in binary order)
     regrouped = kv.groupBy("rowkey").agg(
         F.array_sort(
-            F.collect_list(F.concat_ws("=", F.col("qualifier"), F.col("value")))
+            F.collect_list(F.struct("qualifier", "value"))
         ).alias("_cells"),
         F.count(F.lit(1)).alias("n_cells"),
     )
     return regrouped.select(
         "rowkey",
-        F.array_join("_cells", ",").alias("doc_blob"),
+        F.array_join(
+            F.transform(
+                "_cells", lambda c: F.concat_ws("=", c["qualifier"], c["value"])
+            ),
+            ",",
+        ).alias("doc_blob"),
         "n_cells",
     )

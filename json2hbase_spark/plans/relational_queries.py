@@ -370,7 +370,13 @@ def d3_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     output carries the EXACT distinct count (hash-checked against
     DuckDB) plus ``within_tol`` = |approx − exact| ≤ 3·rsd·exact,
     which the oracle asserts TRUE — a hash mismatch now means the
-    estimator itself drifted out of its accuracy contract."""
+    estimator itself drifted out of its accuracy contract.
+
+    NOTE (oracle semantics): HLL++ is deterministic on a fixed fixture,
+    so this cannot flake run-to-run; but a within_tol failure right
+    after a fixture/scale change means "re-validate the 3·rsd band for
+    the new data", not "the plan regressed". Same applies to h9's
+    p45–p55 percentile band."""
     ev = load(spark, sf_dir, "events")
     rsd = 0.02
     agg = ev.groupBy("event_type").agg(

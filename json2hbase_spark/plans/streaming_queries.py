@@ -698,11 +698,11 @@ def i14_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load(spark, sf_dir, "events")
-    tag = sf_dir.strip("/").replace("/", "_")
-    stage = os.path.join(tempfile.gettempdir(), f"j2h_fb_stage_{tag}")
+    # per-run private stage dir (mkdtemp): concurrent runs against the
+    # same fixture must not race on a shared deterministic path, and
+    # shutil.move (not os.rename) survives tempdirs spanning filesystems
+    stage = tempfile.mkdtemp(prefix="j2h_fb_stage_")
     state_root = tempfile.mkdtemp(prefix="j2h_fb_state_")
-    shutil.rmtree(stage, ignore_errors=True)
-    os.makedirs(stage, exist_ok=True)
     # two single-file halves → two micro-batches under maxFilesPerTrigger=1
     for i, half in enumerate(
         (ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1))
@@ -710,7 +710,8 @@ def i14_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         tmp = tempfile.mkdtemp(prefix="j2h_fb_half_")
         half.coalesce(1).write.mode("overwrite").parquet(tmp)
         part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-        os.rename(part, os.path.join(stage, f"{i}.parquet"))
+        shutil.move(part, os.path.join(stage, f"{i}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
 
     schema = spark.read.parquet(stage).schema
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
