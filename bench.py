@@ -31,15 +31,22 @@ def main() -> None:
     spark = get_spark("json2hbase_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers + the two expensive one-time costs
+    # warm the JVM + parquet footers + the expensive one-time costs
     # every steady-state deployment amortizes: whole-stage-codegen
     # compile of the shingle/HOF expression family (j13 shares it with
-    # j2/j2v/j9/j23/j24) and the Structured Streaming engine + Python
+    # j2v/j23/j24), the shingle-stream + wide-min-agg family (j9
+    # shares it with j2), and the Structured Streaming engine + Python
     # stateful worker spin-up (i4 warms the micro-batch machinery that
     # the whole i-family reuses). Per-query numbers then measure plans,
-    # not first-touch setup.
-    for warm in ("d1_agg_hash", "j13_fingerprint", "i4_watermark"):
-        registry.QUERIES[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # not first-touch setup. Codegen caches by generated source, so
+    # warming at the smallest fixture compiles the same classes at
+    # ~100x less data; d1 stays at sf_dir to touch its parquet footers.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    registry.QUERIES["d1_agg_hash"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    for warm in ("j13_fingerprint", "j9_minhash_sig", "i4_watermark"):
+        registry.QUERIES[warm](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in sorted(registry.QUERIES):

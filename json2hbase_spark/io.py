@@ -52,6 +52,21 @@ def _normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+def widen(df: DataFrame) -> DataFrame:
+    """Repartition up to default parallelism when the upstream scan
+    yields fewer splits than cores. The local fixtures are single
+    parquet files under maxPartitionBytes → ONE scan partition, so any
+    fan-out work downstream (shingling, tokenizing, per-row hashing)
+    would run on one thread; a real cluster's scan already yields
+    >> cores splits and this is a no-op. Only wrap compute-heavy
+    per-row pipelines — a blanket repartition in ``load`` would inject
+    a shuffle into every plan."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """a1_parquet_scan: columnar scan of one fixture table."""
     if name == "events":

@@ -76,38 +76,86 @@ def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     return F.get(F.transform(F.array(shingles), from_sh), 0)
 
 
-def minhash_signatures_agg(
-    df: DataFrame,
-    id_col: str,
-    shingle_col: str,
-    num_hashes: int = 64,
-    chunk: int = 32,
-) -> DataFrame:
-    """Aggregation-form MinHash: explode shingles once, then take
-    ``num_hashes`` min-aggregates per doc (map-side combine before the
-    shuffle). This is the hot-path default: all expressions compile in
-    whole-stage codegen, unlike the higher-order projection form
-    (``minhash_signature``) which runs interpreted and costs ~2.5x
-    when fully materialized. Returns (id_col, sig array<bigint>).
+def shingle_stream(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
+    """Raw k-char shingle OCCURRENCES as rows — (id_col, _s). Fully
+    whole-stage-codegen: normalize once per row (projection before the
+    generator), positions via explode(sequence), substr in the same
+    stage — no higher-order functions anywhere, so nothing runs
+    interpreted. Duplicates are deliberately NOT removed: every
+    consumer here is a min()-style aggregate for which multiset == set,
+    and skipping array_distinct/transform keeps the hot path compiled
+    (the let-bound HOF shingle projection costs ~3.4 s steady at sf0.1
+    for 5 000 docs; this stream costs well under 1 s). Use
+    ``char_shingles`` only where the distinct shingle SET is needed
+    (exact-Jaccard verification on the small candidate sliver).
 
-    The agg is split into ``chunk``-column stages joined on ``id_col``:
-    one 64-column aggregate generates a method large enough to hit JIT
-    compile cliffs, and its whole-stage-codegen compile dominates a
-    single-run benchmark. Each half aggregates the same exploded input
-    and the join is exchange-free (both sides come out of their own
-    groupBy hash-partitioned by ``id_col``), so the only added cost is
-    a second pass over the exploded shingles — map-side, no extra
-    shuffled bytes."""
-    exploded = df.select(F.col(id_col), F.explode(F.col(shingle_col)).alias("_s"))
+    The explode fans out ~len(text) rows per doc, so upstream
+    parallelism decides everything: a small corpus arriving as fewer
+    scan splits than cores (the local single-file fixture is ONE
+    partition) would run the whole fan-out on one thread. Widen before
+    the explode in that case; on a real cluster the scan already
+    yields >> cores splits and the branch is dead."""
+    from json2hbase_spark.io import widen
+
+    df = widen(df)
+    return (
+        df.select(F.col(id_col), normalize_text(F.col(text_col)).alias("_t"))
+        .filter(F.length("_t") >= k)
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(1), F.length("_t") - (k - 1))).alias("_i"),
+            F.col("_t"),
+        )
+        .select(F.col(id_col), F.col("_t").substr(F.col("_i"), F.lit(k)).alias("_s"))
+    )
+
+
+def minhash_from_stream(
+    stream: DataFrame,
+    id_col: str,
+    s_col: str = "_s",
+    num_hashes: int = 64,
+    chunk: int = 64,
+) -> DataFrame:
+    """Aggregation-form MinHash over a shingle-occurrence stream with
+    two-base-hash family derivation: two xxhash64 evaluations per
+    occurrence, family h = h0 XOR rotr(h1, h) — the bitwise analogue
+    of Kirsch–Mitzenmacher double hashing (the multiply-add form would
+    trip ANSI overflow checks; rotation+XOR is wrap-free and keeps the
+    whole expression in codegen). Then ``num_hashes`` min-aggregates
+    per doc (map-side combine before the shuffle). Versus hashing the
+    string once per family this cuts the per-row string-hash work 32×
+    while preserving the MinHash Jaccard estimator
+    (tests/test_properties.py pins the accuracy bound).
+    Returns (id_col, sig array<bigint>).
+
+    Default is one single-pass ``num_hashes``-wide aggregate: with the
+    bitwise families the generated method stays small enough that no
+    JIT/codegen cliff appears (measured 1×64 ≈ 2×32 first-run AND
+    steady at sf0.1), and one pass reads the stream once. ``chunk``
+    remains for wider signatures: chunked stages join exchange-free
+    (both sides come out of their own groupBy hash-partitioned by
+    ``id_col``)."""
+    hashed = stream.select(
+        F.col(id_col),
+        F.xxhash64(F.col(s_col)).alias("_h0"),
+        F.xxhash64(F.lit(1), F.col(s_col)).alias("_h1"),
+    )
+
+    def family(h: int) -> Column:
+        if h % 64 == 0:
+            return F.col("_h0")
+        rot = F.shiftrightunsigned(F.col("_h1"), h % 64).bitwiseOR(
+            F.shiftleft(F.col("_h1"), 64 - (h % 64))
+        )
+        return F.col("_h0").bitwiseXOR(rot)
+
     parts = []
     for start in range(0, num_hashes, chunk):
         hs = range(start, min(start + chunk, num_hashes))
         parts.append(
-            exploded.groupBy(id_col).agg(
-                *[
-                    F.min(F.xxhash64(F.lit(h), F.col("_s"))).alias(f"_h{h}")
-                    for h in hs
-                ]
+            hashed.groupBy(id_col).agg(
+                *[F.min(family(h)).alias(f"_h{h}") for h in hs]
             )
         )
     mins = parts[0]
@@ -116,6 +164,21 @@ def minhash_signatures_agg(
     return mins.select(
         F.col(id_col), F.array(*[F.col(f"_h{h}") for h in range(num_hashes)]).alias("sig")
     )
+
+
+def minhash_signatures_agg(
+    df: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    num_hashes: int = 64,
+    chunk: int = 32,
+) -> DataFrame:
+    """MinHash signatures from a shingle-ARRAY column: explode into an
+    occurrence stream and delegate to ``minhash_from_stream``. Prefer
+    building the stream directly with ``shingle_stream`` in hot paths —
+    it skips the interpreted HOF shingle projection entirely."""
+    exploded = df.select(F.col(id_col), F.explode(F.col(shingle_col)).alias("_s"))
+    return minhash_from_stream(exploded, id_col, "_s", num_hashes, chunk)
 
 
 def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
@@ -168,25 +231,24 @@ def near_dup_pairs(
     aggregates instead — see ``minhash_signatures_agg``.
     """
     rows = num_hashes // bands
-    shingle_tbl = df.select(
-        F.col(id_col).alias("_id"),
-        char_shingles(normalize_text(F.col(text_col)), shingle_k).alias("_sh"),
-    ).filter(F.size("_sh") > 0)
-
-    # aggregation-form signatures: the let-bound projection form looks
-    # faster under count() but that is column-pruning artifact — fully
-    # materialized, the interpreted 64-family HOF expression costs
-    # ~9s at sf0.1 vs ~3.5s for the explode + min-agg (which runs in
-    # codegen and combines map-side). The agg's exchange also hands the
-    # self-join below a shared materialization point.
-    sigs = minhash_signatures_agg(shingle_tbl, "_id", "_sh", num_hashes)
-    # materialize: the self-join below would otherwise run the whole
-    # signature aggregation once per side (ReuseExchange cannot match
-    # the HOF-lambda shingle subtree; see also simhash_near_pairs)
+    # shingle-occurrence stream + double-hashed min-agg: every stage of
+    # the signature pipeline compiles in whole-stage codegen (no HOFs,
+    # no array_distinct — min over the multiset equals min over the
+    # set). The agg's exchange also hands the self-join below a shared
+    # materialization point.
+    stream = shingle_stream(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t0")),
+        "_id",
+        "_t0",
+        shingle_k,
+    )
+    # materialize the compact signature table; the self-join's two
+    # sides re-derive the cheap banding projection from the cached
+    # signatures instead of re-running the shingle+min-agg per side
+    sigs = materialize(minhash_from_stream(stream, "_id", "_s", num_hashes))
     banded = sigs.select(
         "_id", F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("_b")
     ).select("_id", "_b.band", "_b.bh")
-    banded = materialize(banded)
 
     # candidate ids only through the band join (no shingle arrays in the
     # shuffle); shingles re-attach for verification afterwards
@@ -261,33 +323,36 @@ def simhash64(tokens: Column) -> Column:
 
 
 def simhash_agg(df: DataFrame, id_col: str, token_col: str) -> DataFrame:
-    """Per-row SimHash: hash every token ONCE into a let-bound array,
-    then fold 64 per-bit majority votes over it — a single projection,
-    no explode, no shuffle (unlike MinHash, SimHash needs no cross-row
-    state, so the narrow-map form is strictly better at 100 TB).
-    Measured 7.3s → 0.3s steady-state at sf0.1 vs a 64-column
-    explode/groupBy formulation. Returns (id_col, sh BIGINT)."""
-
-    def from_hashes(hs: Column) -> Column:
-        def bit_vote(bit: int) -> Column:
-            votes = F.aggregate(
-                hs,
-                F.lit(0),
-                lambda acc, h: acc
-                + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    """Per-doc SimHash via explode + 64 per-bit vote SUM-aggregates:
+    hash each token occurrence once (codegen), sum ±1 votes per bit
+    with map-side combine, then reassemble the 64-bit fingerprint with
+    a bitwise-OR projection over the 5 000-row vote table. Identical
+    values to the per-row HOF fold formulation (explode preserves the
+    token multiset), but every stage compiles in whole-stage codegen —
+    the 64 interpreted ``F.aggregate`` lambdas were the entire cost of
+    the narrow-map form (~5 s of a 5.3 s j15 at sf0.1). The shuffle
+    this introduces carries one ±count row-group per doc — 64 longs —
+    which at 100 TB is far below the token stream it summarizes.
+    Returns (id_col, sh BIGINT)."""
+    ex = df.select(F.col(id_col), F.explode(F.col(token_col)).alias("_t"))
+    hashed = ex.select(F.col(id_col), F.xxhash64("_t").alias("_h"))
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("_h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_v{b}")
+            for b in range(64)
+        ]
+    )
+    sh = F.lit(0).cast("long")
+    for b in range(64):
+        sh = sh.bitwiseOR(
+            F.shiftleft(
+                F.when(F.col(f"_v{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+                b,
             )
-            return F.when(
-                votes > 0, F.lit(2 ** bit if bit < 63 else -(2 ** 63))
-            ).otherwise(F.lit(0))
-
-        out = F.lit(0).cast("long")
-        for b in range(64):
-            out = out + bit_vote(b)
-        return out
-
-    hashed = F.transform(F.col(token_col), lambda t: F.xxhash64(t))
-    sh = F.get(F.transform(F.array(hashed), from_hashes), 0)
-    return df.select(F.col(id_col), sh.alias("sh"))
+        )
+    return votes.select(F.col(id_col), sh.alias("sh"))
 
 
 def simhash_bands(sh: Column, bands: int = 4) -> Column:
@@ -318,16 +383,18 @@ def simhash_near_pairs(
     16-bit band slice meet in the join) + exact Hamming verification
     via ``bit_count(xor)``. Returns (doc_a, doc_b, hamming). The band
     join shuffles only (band, slice, id) — 20 bytes/row at 100 TB."""
-    sh = simhash_agg(df, id_col, token_col)
+    from json2hbase_spark.io import widen
+
+    # materialize the COMPACT per-doc signature table (one BIGINT per
+    # doc) rather than the banded explode: the self-join's two sides
+    # then re-derive the cheap banding projection from the cached
+    # signatures instead of re-running tokenize+vote-agg per side
+    sh = materialize(simhash_agg(widen(df), id_col, token_col))
     banded = sh.select(
         F.col(id_col).alias("_id"),
         F.col("sh"),
         F.explode(simhash_bands(F.col("sh"), bands)).alias("_b"),
     ).select("_id", "sh", "_b.band", "_b.bv")
-    # materialize so the self-join's two sides share one signature
-    # computation (ReuseExchange does not fire across HOF lambda
-    # plans — see near_dup_pairs)
-    banded = materialize(banded)
     left = banded.select(
         F.col("band").alias("l_band"), F.col("bv").alias("l_bv"),
         F.col("_id").alias("doc_a"), F.col("sh").alias("sh_a"),

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from json2hbase_spark.functions.exact import QCENT_AVG
-from json2hbase_spark.io import load
+from json2hbase_spark.io import load, widen
 from json2hbase_spark.materialize import materialize
 from json2hbase_spark.operators.dedup import char_shingles, normalize_text
 from json2hbase_spark.registry import query
@@ -32,7 +32,7 @@ def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic near-dup edge set: the same blocked exact-Jaccard
     construction as j2v (no hash functions → engine-independent)."""
     docs = load(spark, sf_dir, "documents")
-    normed = docs.select("doc_id", normalize_text(F.col("text")).alias("norm")).filter(
+    normed = widen(docs).select("doc_id", normalize_text(F.col("text")).alias("norm")).filter(
         F.length("norm") >= 8
     )
     sh = normed.select(

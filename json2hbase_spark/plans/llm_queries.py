@@ -15,16 +15,17 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from json2hbase_spark.functions.exact import QCENT_AVG
-from json2hbase_spark.io import load
+from json2hbase_spark.io import load, widen
 from json2hbase_spark.materialize import materialize
 from json2hbase_spark.operators import multimodal
 from json2hbase_spark.operators.dedup import (
     char_shingles,
     jaccard,
     lsh_bands,
-    minhash_signatures_agg,
+    minhash_from_stream,
     near_dup_pairs,
     normalize_text,
+    shingle_stream,
     simhash_near_pairs,
 )
 from json2hbase_spark.operators.similarity import (
@@ -142,7 +143,7 @@ def j2v_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard within blocks — validates the verification stage of j2
     against DuckDB list algebra."""
     docs = load(spark, sf_dir, "documents")
-    normed = docs.select("doc_id", normalize_text(F.col("text")).alias("norm")).filter(
+    normed = widen(docs).select("doc_id", normalize_text(F.col("text")).alias("norm")).filter(
         F.length("norm") >= 8
     )
     sh = normed.select(
@@ -177,10 +178,8 @@ def j9_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reusable MinHash signature column (array<bigint>, persisted for
     incremental dedup); surfaced here as per-doc signature stats."""
     docs = load(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", char_shingles(normalize_text(F.col("text")), 8).alias("sh")
-    ).filter(F.size("sh") > 0)
-    sigs = minhash_signatures_agg(sh, "doc_id", "sh", 64).withColumn(
+    stream = shingle_stream(docs, "doc_id", "text", 8)
+    sigs = minhash_from_stream(stream, "doc_id", "_s", 64).withColumn(
         "bands", lsh_bands(F.col("sig"), 16, 4)
     )
     return sigs.select(
@@ -516,7 +515,7 @@ def j13_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprint (min md5 over 8-gram shingles) —
     a cheap stable blocking key for incremental dedup."""
     docs = load(spark, sf_dir, "documents")
-    normed = docs.select("doc_id", "lang", normalize_text(F.col("text")).alias("norm")).filter(
+    normed = widen(docs).select("doc_id", "lang", normalize_text(F.col("text")).alias("norm")).filter(
         F.length("norm") >= 8
     )
     # explode + min-aggregate (map-side combine) instead of the
@@ -575,7 +574,9 @@ def j15_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming verification via bit_count(xor). Complements MinHash: one
     BIGINT per doc instead of a 64-element signature."""
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
+    # widen BEFORE tokenizing: a repartition after the projection would
+    # still tokenize on the scan's (single, locally) partition
+    toks = widen(docs).select(
         "doc_id", bpe_ish_tokens(normalize_text(F.col("text"))).alias("toks")
     ).filter(F.size("toks") > 0)
     return simhash_near_pairs(toks, "doc_id", "toks", bands=4, max_hamming=3)
@@ -906,7 +907,7 @@ def j23_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus grams; at 100 TB the corpus side stays a streaming scan
     with map-side dedup, no shuffle of the big side."""
     docs = load(spark, sf_dir, "documents")
-    normed = docs.select(
+    normed = widen(docs).select(
         "doc_id", "lang", normalize_text(F.col("text")).alias("norm")
     ).filter(F.length("norm") >= 32)
     grams = normed.select(
@@ -968,7 +969,7 @@ def j24_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     read pre-bucketed by block so the join co-locates without a
     corpus-wide shuffle."""
     docs = load(spark, sf_dir, "documents")
-    normed = docs.select("doc_id", normalize_text(F.col("text")).alias("norm")).filter(
+    normed = widen(docs).select("doc_id", normalize_text(F.col("text")).alias("norm")).filter(
         F.length("norm") >= 8
     )
     sh = normed.select(
@@ -1196,7 +1197,7 @@ def j29_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle overlap scores poorly. Native `levenshtein` in both
     engines → exact integer oracle."""
     docs = load(spark, sf_dir, "documents")
-    normed = docs.select("doc_id", normalize_text(F.col("text")).alias("norm")).filter(
+    normed = widen(docs).select("doc_id", normalize_text(F.col("text")).alias("norm")).filter(
         F.length("norm") >= 8
     )
     pref = normed.select(
