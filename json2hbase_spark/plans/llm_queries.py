@@ -1262,3 +1262,116 @@ def j30_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= 5)
     )
+
+
+# ---------------------------------------------------------------- j31/j32
+
+
+@query(
+    "j31_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(regexp_extract_all(lower(text), '{BPE_RE}')) AS tok
+      FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM toks),
+    vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+    scored AS (
+      SELECT t.doc_id, t.lang, ln(CAST(v.cnt AS DOUBLE) / tot.n_total) AS logp
+      FROM toks t JOIN vocab v ON t.tok = v.tok, tot
+    )
+    SELECT doc_id, lang,
+           COUNT(*) AS n_toks,
+           round(avg(logp), 4) AS lm_score
+    FROM scored
+    GROUP BY doc_id, lang
+    """,
+)
+def j31_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality scoring: corpus-wide token
+    frequencies become per-token log-probabilities; each doc scores
+    avg log p(token) — the cheap perplexity proxy pipelines use to
+    rank docs before an expensive model-based filter. Two shuffles
+    (vocab build, per-doc score agg); the corpus total reattaches via
+    a broadcast single-row crossJoin, never a global window. At 100 TB
+    the vocab is a persisted table joined on token hash. Floats: the
+    single IEEE division and ln() agree across engines to ≤1 ulp;
+    avg rounds to 4 per the exact.py convention."""
+    docs = load(spark, sf_dir, "documents")
+    toks = widen(docs).select(
+        "doc_id", "lang", F.explode(bpe_ish_tokens(F.col("text"))).alias("tok")
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    logp = F.log(F.col("cnt").cast("double") / F.col("n_total"))
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", "lang", logp.alias("logp"))
+    )
+    return scored.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.round(F.avg("logp"), 4).alias("lm_score"),
+    )
+
+
+@query(
+    "j32_repetition",
+    oracle="""
+    WITH normed AS (
+      SELECT doc_id, lang,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    tri AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(w) - 2 + 1),
+                                   i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS g
+      FROM normed WHERE len(w) >= 3
+    )
+    SELECT doc_id, lang,
+           COUNT(*) AS n_tri,
+           COUNT(DISTINCT g) AS n_uniq,
+           1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*) AS rep_ratio
+    FROM tri
+    GROUP BY doc_id, lang
+    """,
+)
+def j32_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-trigram ratio (the Gopher/MassiveText repetition
+    signal): fraction of word-trigram occurrences that are duplicates
+    within the doc — high values flag boilerplate/spam for quality
+    filtering. Trigrams assemble inside a per-row transform over the
+    (short) token array, then one explode + per-doc count/distinct
+    agg. The ratio is one IEEE division of two ints — bit-identical
+    across engines, no rounding needed."""
+    docs = load(spark, sf_dir, "documents")
+    words = widen(docs).select(
+        "doc_id",
+        "lang",
+        F.split(normalize_text(F.col("text")), " ").alias("w"),
+    ).filter(F.size("w") >= 3)
+    tri = words.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("w"), i),
+                    F.element_at(F.col("w"), i + 1),
+                    F.element_at(F.col("w"), i + 2),
+                ),
+            )
+        ).alias("g"),
+    )
+    return tri.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_tri"),
+        F.countDistinct("g").alias("n_uniq"),
+        (
+            F.lit(1.0)
+            - F.countDistinct("g").cast("double") / F.count(F.lit(1))
+        ).alias("rep_ratio"),
+    )

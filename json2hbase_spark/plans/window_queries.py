@@ -674,3 +674,122 @@ def h11_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("_p75") - F.col("_p25"), 4).alias("iqr_r"),
         "n",
     )
+
+
+@query(
+    "e8_win_distribution",
+    oracle="""
+    SELECT p_brand, p_partkey,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           ntile(4) OVER w AS quartile
+    FROM part
+    WHERE p_size <= 10
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+    """,
+)
+def e8_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank / cume_dist /
+    ntile): per-brand price positioning. percent_rank and cume_dist
+    are rational counts divided once in IEEE double — identical bits
+    in any engine, so no rounding is needed. Deterministic tiebreak on
+    p_partkey keeps ntile assignment engine-stable. One shuffle on
+    p_brand; the frame never materializes (rank-family functions
+    stream within the sorted partition)."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return part.select(
+        "p_brand",
+        "p_partkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "h12_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def h12_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmaps (bitmap_construct_agg /
+    bitmap_count): ids map to (bucket, bit) pairs, each group×bucket
+    folds into a fixed 4KB bitmap with map-side combine, and the
+    distinct count is the sum of OR-merged bitmap popcounts. Unlike
+    count(distinct) this never shuffles raw ids — the shuffle payload
+    is bounded by buckets × 4KB regardless of cardinality, and bitmaps
+    re-merge associatively (the roaring-style path for 100 TB distinct
+    counts and incremental rollups). Hash-checked against DuckDB's
+    plain COUNT(DISTINCT)."""
+    ev = load(spark, sf_dir, "events")
+    per_bucket = (
+        ev.select(
+            "event_type",
+            F.bitmap_bucket_number("user_id").alias("bkt"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        )
+        .groupBy("event_type", "bkt")
+        .agg(
+            F.bitmap_construct_agg("pos").alias("bm"),
+            F.count(F.lit(1)).alias("n_ev"),
+        )
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_users"),
+        F.sum("n_ev").alias("n_events"),
+    )
+
+
+@query(
+    "h13_hll_union",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(DISTINCT date_trunc('hour', ts::TIMESTAMP)) AS n_hours,
+           TRUE AS within_tol
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def h13_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches via hll_sketch_agg /
+    hll_union_agg): one sketch per (event_type, hour) partial — the
+    shape a 100 TB rollup stores per partition/day — then re-merged
+    across hours and estimated. d3-style tolerance oracle: the output
+    carries the EXACT distinct count (hash-checked) plus within_tol =
+    |estimate − exact| ≤ 3·rsd·exact with rsd ≈ 1.04/√2^12 for the
+    default lgConfigK=12. NOTE: a within_tol failure right after a
+    fixture change means re-validating the band, not a plan bug."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("hr"), "user_id"
+    ).groupBy("event_type", "hr").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("_hr_users"),
+    )
+    merged = hourly.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    rsd = 1.04 / (2 ** 6)  # lgConfigK=12 → m=4096, rsd = 1.04/sqrt(m)
+    tol = F.lit(3.0 * rsd) * F.col("exact_users").cast("double")
+    return (
+        merged.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "n_hours",
+            (F.abs(F.col("_est").cast("double") - F.col("exact_users")) <= tol).alias(
+                "within_tol"
+            ),
+        )
+    )

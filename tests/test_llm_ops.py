@@ -224,3 +224,67 @@ def test_bpe_ish_tokens(spark):
     df = spark.createDataFrame([("Ab2c, d-e 42",)], "t STRING")
     toks = df.select(bpe_ish_tokens(F.col("t")).alias("tk")).first().tk
     assert toks == ["ab", "2", "c", ",", "d", "-", "e", "42"]
+
+
+def test_j31_uniform_tokens_score_is_log_inv_vocab(spark):
+    """With every token equally frequent, avg log p = ln(1/V) exactly."""
+    import math
+
+    from json2hbase_spark.plans import llm_queries  # noqa: F401 (registers)
+    from json2hbase_spark.registry import QUERIES
+
+    # 4 docs x 3 distinct tokens, each token appears 4 times -> p = 1/3
+    rows = [(i, "en", "aa bb cc") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING, text STRING")
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="j31_fixture_")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = QUERIES["j31_unigram_logprob"](spark, d).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r.n_toks == 3
+        assert abs(r.lm_score - round(math.log(1 / 3), 4)) < 1e-9
+
+
+def test_j32_repetition_bounds(spark, sf_dir):
+    """rep_ratio in [0,1); a fully repeated doc scores high, distinct
+    trigram docs score 0; n_uniq <= n_tri always."""
+    from json2hbase_spark.registry import QUERIES
+    from json2hbase_spark.plans import llm_queries  # noqa: F401
+
+    out = QUERIES["j32_repetition"](spark, sf_dir)
+    bad = out.filter(
+        (F.col("rep_ratio") < 0)
+        | (F.col("rep_ratio") >= 1)
+        | (F.col("n_uniq") > F.col("n_tri"))
+    )
+    assert bad.count() == 0
+    assert out.count() > 0
+
+
+def test_h12_bitmap_matches_count_distinct(spark):
+    """Bitmap popcount-sum equals count(distinct) on random ids."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [(rnd.randint(0, 3), rnd.randint(1, 500)) for _ in range(3000)]
+    df = spark.createDataFrame(rows, "g INT, uid LONG")
+    per = (
+        df.select(
+            "g",
+            F.bitmap_bucket_number("uid").alias("bkt"),
+            F.bitmap_bit_position("uid").alias("pos"),
+        )
+        .groupBy("g", "bkt")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+    )
+    got = {
+        r.g: r.n
+        for r in per.groupBy("g").agg(F.sum(F.bitmap_count("bm")).alias("n")).collect()
+    }
+    want = {
+        r.g: r.n
+        for r in df.groupBy("g").agg(F.countDistinct("uid").alias("n")).collect()
+    }
+    assert got == want
