@@ -491,3 +491,56 @@ def a15_kv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("doc_blob"),
         "n_cells",
     )
+
+
+@query(
+    "a16_bucketed_write",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT c_mktsegment) AS n_segments
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 100000
+    GROUP BY o_orderpriority
+    """,
+)
+def a16_bucketed_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table write + co-located join read-back: both sides
+    are written bucketBy(8, custkey) sortBy(custkey) so the join reads
+    pre-hashed bucket files and needs NO exchange (the plan contract
+    is pinned by tests/test_plans_scale.py
+    test_bucketed_join_no_exchange). This is the storage-layout lever
+    at 100 TB: pay the shuffle once at write time, every later join or
+    aggregation on the bucket key is exchange-free. Result equals the
+    plain parquet join (hash-checked)."""
+    import uuid
+
+    wh = tempfile.mkdtemp(prefix="j2h_a16_wh_")
+    tag = uuid.uuid4().hex[:8]
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    cust = load(spark, sf_dir, "customer")
+    o_tbl, c_tbl = f"a16_orders_{tag}", f"a16_cust_{tag}"
+    (
+        orders.write.format("parquet")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", f"{wh}/o")
+        .mode("overwrite")
+        .saveAsTable(o_tbl)
+    )
+    (
+        cust.write.format("parquet")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", f"{wh}/c")
+        .mode("overwrite")
+        .saveAsTable(c_tbl)
+    )
+    joined = spark.table(o_tbl).join(
+        spark.table(c_tbl), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+    )

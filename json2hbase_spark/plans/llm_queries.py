@@ -1375,3 +1375,164 @@ def j32_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.countDistinct("g").cast("double") / F.count(F.lit(1))
         ).alias("rep_ratio"),
     )
+
+
+# ---------------------------------------------------------------- j33/j34
+
+
+@query(
+    "j33_ann_recall",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_duck_bucket("embedding")} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM b WHERE vec_id < 10),
+    ex AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, c.vec_id AS cid,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {_duck_dot("q.qe", "c.embedding")}
+                            / ({_duck_norm("q.qe")} * {_duck_norm("c.embedding")}) DESC,
+                          c.vec_id
+               ) AS rnk
+        FROM b c, q WHERE c.vec_id != q.qid
+      ) WHERE rnk <= 3
+    ),
+    ap AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, c.vec_id AS cid,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {_duck_dot("q.qe", "c.embedding")}
+                            / ({_duck_norm("q.qe")} * {_duck_norm("c.embedding")}) DESC,
+                          c.vec_id
+               ) AS rnk
+        FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id != q.qid
+      ) WHERE rnk <= 3
+    )
+    SELECT ex.qid,
+           COUNT(*) AS n_exact,
+           COUNT(ap.cid) AS n_hit,
+           CAST(COUNT(ap.cid) AS DOUBLE) / COUNT(*) AS recall
+    FROM ex LEFT JOIN ap ON ex.qid = ap.qid AND ex.cid = ap.cid
+    GROUP BY ex.qid
+    """,
+)
+def j33_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN evaluation harness: recall@3 of the hyperplane-LSH index
+    (j18) against exact brute-force top-3 (j3) per query — the
+    accuracy/cost dial every production ANN deployment tunes (more
+    planes → smaller buckets → lower recall, and this op measures the
+    trade). Both sides are deterministic (seeded plane literals,
+    sequential-fold cosine), so recall itself hash-matches DuckDB.
+    The recall division is one IEEE op on two ints — exact."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    candidates = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    exact_tbl = cosine_topk(queries, candidates, k=3).select("qid", "cid")
+    approx = ann_topk_lsh(queries, candidates, k=3, planes=LSH_PLANES).select(
+        F.col("qid").alias("aqid"), F.col("cid").alias("acid")
+    )
+    hit = exact_tbl.join(
+        F.broadcast(approx),
+        (F.col("qid") == F.col("aqid")) & (F.col("cid") == F.col("acid")),
+        "left",
+    )
+    return hit.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("acid").alias("n_hit"),
+        (F.count("acid").cast("double") / F.count(F.lit(1))).alias("recall"),
+    )
+
+
+@query(
+    "j34_dedup_cascade",
+    oracle=f"""
+    WITH normed AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    s1 AS (
+      SELECT doc_id, lang, norm FROM (
+        SELECT doc_id, lang, norm,
+               row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+        FROM normed
+      ) WHERE rn = 1
+    ),
+    sh AS (
+      SELECT doc_id, lang, substr(norm, 1, 40) AS block,
+             {DUCK_SHINGLES.format(t="norm")} AS shingles
+      FROM s1 WHERE len(norm) >= 8
+    ),
+    pairs AS (
+      SELECT b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))
+            >= 0.3
+    )
+    SELECT s1.lang,
+           COUNT(*) AS after_exact,
+           COUNT(*) - COUNT(p.doc_b) AS after_near,
+           COUNT(p.doc_b) AS near_dropped
+    FROM s1 LEFT JOIN (SELECT DISTINCT doc_b FROM pairs) p ON s1.doc_id = p.doc_b
+    GROUP BY s1.lang
+    """,
+)
+def j34_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup cascade — the pipeline a corpus actually runs:
+    exact dedup (keep lowest doc_id per normalized form), then
+    near-dup removal among survivors (blocked exact-Jaccard ≥ 0.3,
+    drop the higher doc_id of every pair), reported as per-language
+    survivor counts. The near stage uses the deterministic prefix
+    blocking (j2v) so the whole cascade hash-matches DuckDB; swap in
+    the MinHash-LSH candidate generator (j2) for unblocked corpora at
+    scale. Stage shuffles: one window on norm, one block self-join,
+    one count agg — no all-pairs anywhere."""
+    docs = load(spark, sf_dir, "documents")
+    normed = widen(docs).select(
+        "doc_id", "lang", normalize_text(F.col("text")).alias("norm")
+    )
+    w = Window.partitionBy("norm").orderBy("doc_id")
+    s1 = (
+        normed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "norm")
+    )
+    sh = s1.filter(F.length("norm") >= 8).select(
+        "doc_id",
+        F.substring("norm", 1, 40).alias("block"),
+        char_shingles(F.col("norm"), 8).alias("shingles"),
+    )
+    sh = materialize(sh)
+    a = sh.select(
+        F.col("block"), F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("block").alias("block_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    dropped = (
+        a.join(b, (F.col("block") == F.col("block_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .filter(inter.cast("double") / union >= 0.3)
+        .select("doc_b")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        s1.join(F.broadcast(dropped), s1.doc_id == dropped.doc_b, "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("after_exact"),
+            (F.count(F.lit(1)) - F.count("_hit")).alias("after_near"),
+            F.count("_hit").alias("near_dropped"),
+        )
+    )
