@@ -114,8 +114,13 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLES}
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register all fixture tables as temp views for the SQL path
-    (SURVEY.md §3.4) — needed for GROUPING SETS and SQL-expressed ops."""
-    for name in TABLES:
+def register_views(
+    spark: SparkSession, sf_dir: str, only: tuple[str, ...] | None = None
+) -> None:
+    """Register fixture tables as temp views for the SQL path
+    (SURVEY.md §3.4) — needed for GROUPING SETS and SQL-expressed ops.
+    Pass ``only`` to register just the tables a query touches: each
+    registration re-reads parquet footers, so view setup is O(tables)
+    of driver round-trips a hot query shouldn't pay for unused views."""
+    for name in only if only is not None else TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)

