@@ -544,3 +544,40 @@ def a16_bucketed_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.countDistinct("c_mktsegment").alias("n_segments"),
     )
+
+
+@query(
+    "a17_variant_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           MAX(json_extract_string(props, '$.tag')) AS max_tag
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def a17_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion via the VARIANT type (Spark 4):
+    parse_json once into a binary-encoded variant column, then typed
+    variant_get extractions — the engine decodes the compact encoding
+    per access instead of re-parsing JSON text per field (the
+    schema-on-read path for heterogeneous 100 TB event streams; at
+    rest the variant column shreds into parquet). Aggregates are
+    int/string — hash-exact against DuckDB's json_extract."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    )
+    extracted = v.select(
+        "event_type",
+        F.try_variant_get(F.col("v"), "$.k", "int").alias("k"),
+        F.try_variant_get(F.col("v"), "$.tag", "string").alias("tag"),
+    )
+    return extracted.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.max("tag").alias("max_tag"),
+    )

@@ -921,3 +921,35 @@ def b6_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_changes",
         )
     )
+
+
+@query(
+    "b7_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate >= '1995-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def b7_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 `|>` operators): the same logical plan
+    as the classic GROUP BY — pipe stages are pure sugar over the
+    DataFrame algebra, so Catalyst output (pushdown, partial agg) is
+    identical; this pins that the modern SQL surface works end-to-end.
+    Decimal sum per the exact.py convention."""
+    register_views(spark, sf_dir, only=("lineitem",))
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= '1995-01-01'
+        |> AGGREGATE COUNT(*) AS n,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n, sum_qty
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )

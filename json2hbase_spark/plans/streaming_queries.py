@@ -860,3 +860,46 @@ def i16_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@query(
+    "i17_state_reader",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def i17_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State Store reader (Spark 4 `statestore` batch source): run a
+    stateful streaming aggregation to a checkpoint, then read the
+    OPERATOR STATE itself back as a DataFrame — the
+    observability/debugging path for production stateful pipelines
+    (inspect skewed keys, validate state after a migration, bootstrap
+    a new query from old state). The state contents must equal the
+    batch aggregate over the same data — checked via the count field
+    (exact int; the state's float sum stays internal)."""
+    import tempfile
+
+    from json2hbase_spark.io import load_events_stream
+    from json2hbase_spark.session import scoped_stream_confs
+
+    stream = load_events_stream(spark, sf_dir)
+    counts = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")
+    )
+    ckpt = tempfile.mkdtemp(prefix="j2h_i17_ckpt_")
+    with scoped_stream_confs(spark):
+        q = (
+            counts.writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n_events"),
+    )
