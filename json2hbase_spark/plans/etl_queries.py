@@ -581,3 +581,109 @@ def a17_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").alias("sum_k"),
         F.max("tag").alias("max_tag"),
     )
+
+
+@query(
+    "a18_xml_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+           MAX(o_orderstatus) AS max_status
+    FROM orders
+    WHERE o_orderkey < 500
+    GROUP BY o_orderpriority
+    """,
+)
+def a18_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML write + schema-explicit read-back (Spark 4 native XML data
+    source, no external package): the interchange format enterprise
+    feeds still arrive in. The aggregate over the round-tripped rows
+    must equal the aggregate over the source parquet — proving the
+    writer/reader pair is lossless for the projected columns. Floats
+    survive via the decimal-sum convention; the date is projected as a
+    string to stay timezone-inert in the XML text form."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    sel = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").cast("string").alias("o_date"),
+    )
+    out = tempfile.mkdtemp(prefix="j2h_a18_xml_")
+    sel.write.format("xml").option("rowTag", "order").mode("overwrite").save(out)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema(
+            "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, "
+            "o_orderpriority STRING, o_date STRING"
+        )
+        .load(out)
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)").alias(
+            "sum_price"
+        ),
+        F.max("o_orderstatus").alias("max_status"),
+    )
+
+
+@query(
+    "a19_python_datasource",
+    oracle="""
+    SELECT part,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_id,
+           MAX(doc_id) AS max_id,
+           CAST(SUM(doc_id % 97) AS BIGINT) AS checksum
+    FROM (
+      SELECT p.part, p.part * 1000 + i.i AS doc_id
+      FROM (SELECT unnest(range(4)) AS part) p,
+           (SELECT unnest(range(250)) AS i) i
+    )
+    GROUP BY part
+    """,
+)
+def a19_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 pyspark.sql.datasource API):
+    a deterministic synthetic-corpus source with REAL partition
+    planning — 4 InputPartitions read in parallel, each generating its
+    own id range executor-side (nothing flows from the driver). This
+    is the extension point for bespoke feeds (internal APIs, catalogs,
+    proprietary formats) without a JVM connector; at 100 TB the
+    partitions() method is where split planning lives. Content is
+    seeded arithmetic, so DuckDB reproduces it exactly from range()."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _SynthReader(DataSourceReader):
+        def partitions(self):
+            return [InputPartition(i) for i in range(4)]
+
+        def read(self, partition):
+            part = partition.value
+            for i in range(250):
+                doc_id = part * 1000 + i
+                yield (part, doc_id, f"doc-{doc_id}")
+
+    class SyntheticDocs(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthetic_docs"
+
+        def schema(self):
+            return "part INT, doc_id BIGINT, text STRING"
+
+        def reader(self, schema):
+            return _SynthReader()
+
+    spark.dataSource.register(SyntheticDocs)
+    df = spark.read.format("synthetic_docs").load()
+    return df.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+        F.sum(F.col("doc_id") % 97).alias("checksum"),
+    )

@@ -953,3 +953,37 @@ def b7_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY l_returnflag, l_linestatus
         """
     )
+
+
+@query(
+    "c12_join_lateral",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, l.o_orderkey, l.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) l
+    WHERE c.c_custkey < 200
+    """,
+)
+def c12_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join with per-row LIMIT — top-2 orders per
+    customer expressed as the SQL standard writes it. Catalyst
+    decorrelates the lateral subquery into a ranked window join (the
+    same physical shape as e6's top-k-per-group), so nothing here is
+    row-at-a-time nested-loop at scale."""
+    register_views(spark, sf_dir, only=("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, l.o_orderkey, l.o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) l
+        WHERE c.c_custkey < 200
+        """
+    )

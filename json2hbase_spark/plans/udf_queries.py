@@ -144,3 +144,91 @@ def k4_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 30
         """
     )
+
+
+@query(
+    "k5_udf_arrow",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[aeiou]')) AS n_vowels,
+           len(text) AS n_chars
+    FROM documents
+    WHERE doc_id < 300
+    """,
+)
+def k5_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (Spark 4 ``useArrow=True``): same
+    authoring model as k1's row UDF but the exchange is Arrow record
+    batches instead of pickled rows — the zero-rewrite upgrade path
+    that removes most of the serialization tax while staying a scalar
+    Python function (k2's pandas_udf remains the fully vectorized
+    form)."""
+    import re
+
+    @F.udf(returnType="long", useArrow=True)
+    def vowels(s: str) -> int:
+        if s is None:
+            return None
+        return len(re.findall(r"[aeiou]", s.lower()))
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return docs.select(
+        "doc_id",
+        vowels("text").alias("n_vowels"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@query(
+    "k6_map_in_arrow",
+    oracle=f"""
+    SELECT vec_id, label,
+           round(list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'sum'), 4)
+             AS l1_norm
+    FROM embeddings
+    WHERE vec_id < 400
+    """,
+)
+def k6_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow batch transform: the whole partition streams through
+    Python as Arrow RecordBatches and pyarrow.compute kernels do the
+    math (C++, zero-copy) — the right escape hatch when a per-batch
+    library (tokenizers, codecs, ANN libs) wants columnar memory, not
+    rows. Here: L1 norm of each embedding via list_flatten +
+    grouped sum over the flattened values. Floats: abs-sum folds in
+    index order in both engines; round(4) per the exact.py
+    convention."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def l1(batches):
+        for batch in batches:
+            tbl = pa.table(
+                {
+                    "vec_id": batch.column("vec_id"),
+                    "label": batch.column("label"),
+                    "emb": batch.column("embedding"),
+                }
+            )
+            flat = pc.abs(pc.cast(pc.list_flatten(tbl["emb"]), pa.float64()))
+            lengths = pc.list_value_length(tbl["emb"]).to_numpy(zero_copy_only=False)
+            import numpy as np
+
+            idx = np.repeat(np.arange(len(tbl)), lengths)
+            sums = np.zeros(len(tbl))
+            np.add.at(sums, idx, flat.to_numpy(zero_copy_only=False))
+            out = pa.record_batch(
+                {
+                    "vec_id": tbl["vec_id"].combine_chunks(),
+                    "label": tbl["label"].combine_chunks(),
+                    "l1_norm": pa.array(sums, pa.float64()),
+                }
+            )
+            yield out
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    raw = emb.mapInArrow(l1, "vec_id LONG, label INT, l1_norm DOUBLE")
+    # round ENGINE-side: numpy's np.round is half-even while Spark and
+    # DuckDB round() are half-away-from-zero — rounding must happen in
+    # the engine so both sides share tie-breaking semantics
+    return raw.select("vec_id", "label", F.round("l1_norm", 4).alias("l1_norm"))

@@ -793,3 +793,46 @@ def h13_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "g5_recursive_cte",
+    oracle="""
+    WITH RECURSIVE walk(nk, cur, depth) AS (
+      SELECT n_nationkey, n_nationkey, 0 FROM nation
+      UNION ALL
+      SELECT w.nk, CAST(FLOOR(w.cur / 5.0) AS INT), w.depth + 1
+      FROM walk w WHERE w.cur >= 5
+    )
+    SELECT nk AS n_nationkey,
+           MAX(depth) AS depth,
+           CAST(MAX_BY(cur, depth) AS INT) AS root
+    FROM walk
+    GROUP BY nk
+    """,
+)
+def g5_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): walk a synthetic
+    5-ary hierarchy over nation keys (parent = floor(key/5)) to each
+    node's root and depth — the transitive-closure shape (org charts,
+    BOM explosions, category trees) that previously needed a driver
+    loop; the engine now iterates UNION ALL steps until fixpoint.
+    DuckDB runs the identical recursion, so depth and root hash-match."""
+    from json2hbase_spark.io import register_views
+
+    register_views(spark, sf_dir, only=("nation",))
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(nk, cur, depth) AS (
+          SELECT n_nationkey, n_nationkey, 0 FROM nation
+          UNION ALL
+          SELECT w.nk, CAST(FLOOR(w.cur / 5.0) AS INT), w.depth + 1
+          FROM walk w WHERE w.cur >= 5
+        )
+        SELECT nk AS n_nationkey,
+               MAX(depth) AS depth,
+               CAST(MAX_BY(cur, depth) AS INT) AS root
+        FROM walk
+        GROUP BY nk
+        """
+    )
