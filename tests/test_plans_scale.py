@@ -417,3 +417,66 @@ def test_watermark_drops_late_rows_across_batches(spark):
     h0_rows = {k: n for (ws, k), n in rows.items() if ws.startswith("2026-01-01 00:")}
     assert h0_rows == {"a": 2}, rows
     assert not any(k == "late" for (_, k) in rows), rows
+
+
+# ---------------------------------------------------------------- round-3 plan pins
+
+
+def test_b7_pipe_plan_matches_classic_sql(spark, sf_dir):
+    """The pipe-syntax query must optimize to the SAME plan as its
+    classic GROUP BY formulation — pipe stages are sugar, not a
+    different (slower) execution path."""
+    from json2hbase_spark.io import register_views
+
+    register_views(spark, sf_dir, only=("lineitem",))
+    pipe = registry.QUERIES["b7_pipe_syntax"](spark, sf_dir)
+    classic = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE l_shipdate >= '1995-01-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+    def shape(df):
+        import re
+
+        p = _physical_plan(df)
+        # strip expr ids (#123) and codegen ids so only the operator
+        # tree shape is compared
+        p = re.sub(r"plan_id=\d+", "plan_id=", p)
+        return re.sub(r"#\d+L?", "#", re.sub(r"\(\d+\)", "()", p))
+
+    assert shape(pipe) == shape(classic)
+
+
+def test_h12_bitmap_partial_aggregation(spark, sf_dir):
+    """The bitmap distinct must partial-aggregate before the shuffle
+    (two HashAggregate pairs: per-bucket construct, then popcount sum)
+    and never shuffle raw user ids."""
+    plan = _physical_plan(registry.QUERIES["h12_bitmap_distinct"](spark, sf_dir))
+    # bitmap construct is a SortAggregate (object agg buffer); both
+    # stages must show partial_ (map-side) aggregation before their
+    # exchanges, and the only shuffled payloads are bitmaps/counts
+    assert "partial_bitmap_construct_agg" in plan, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_c12_lateral_decorrelated_to_window(spark, sf_dir):
+    """The correlated LATERAL-with-LIMIT must decorrelate into a ranked
+    window join — no per-row nested-loop subquery execution."""
+    plan = _physical_plan(registry.QUERIES["c12_join_lateral"](spark, sf_dir))
+    assert "Window" in plan, plan
+    assert "row_number" in plan, plan
+
+
+def test_widen_noop_when_partitions_sufficient(spark):
+    """widen() must not inject a shuffle when the scan already yields
+    >= core-count partitions (the 100 TB case)."""
+    from json2hbase_spark.io import widen
+
+    df = spark.range(0, 10000, 1, 64)
+    assert widen(df) is df
