@@ -1545,3 +1545,99 @@ def j34_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("_hit").alias("near_dropped"),
         )
     )
+
+
+@query(
+    "j35_quality_gate",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w,
+             CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+               / greatest(len(text), 1) AS digit_ratio
+      FROM documents
+    ),
+    tri AS (
+      SELECT doc_id,
+             1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*) AS rep_ratio
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w) - 2 + 1),
+                                     i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS g
+        FROM t WHERE len(w) >= 3
+      )
+      GROUP BY doc_id
+    ),
+    flags AS (
+      SELECT t.lang,
+             (len(t.w) < 10) AS f_short,
+             (coalesce(tri.rep_ratio, 0.0) > 0.2) AS f_rep,
+             (t.digit_ratio > 0.3) AS f_num
+      FROM t LEFT JOIN tri ON t.doc_id = tri.doc_id
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN NOT f_short AND NOT f_rep AND NOT f_num THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN f_short THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+           CAST(SUM(CASE WHEN f_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+           CAST(SUM(CASE WHEN f_num THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric
+    FROM flags
+    GROUP BY lang
+    """,
+)
+def j35_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality gate — the decision stage that consumes the
+    individual signals: too-short (< 10 tokens), too-repetitive
+    (j32's trigram dup ratio > 0.2), too-numeric (digit fraction
+    > 0.3); a doc is kept only if every gate passes, and each flag is
+    counted independently per language so threshold tuning sees which
+    gate bites. All signals are rational doubles of exact counts —
+    bit-identical across engines, no rounding anywhere."""
+    docs = load(spark, sf_dir, "documents")
+    t = widen(docs).select(
+        "doc_id",
+        "lang",
+        F.split(normalize_text(F.col("text")), " ").alias("w"),
+        (
+            F.size(F.regexp_extract_all("text", F.lit("[0-9]"), 0)).cast("double")
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("digit_ratio"),
+    )
+    tri = (
+        t.filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("w"), i),
+                        F.element_at(F.col("w"), i + 1),
+                        F.element_at(F.col("w"), i + 2),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.lit(1.0)
+                - F.countDistinct("g").cast("double") / F.count(F.lit(1))
+            ).alias("rep_ratio")
+        )
+    )
+    flags = t.join(tri, "doc_id", "left").select(
+        "lang",
+        (F.size("w") < 10).alias("f_short"),
+        (F.coalesce("rep_ratio", F.lit(0.0)) > 0.2).alias("f_rep"),
+        (F.col("digit_ratio") > 0.3).alias("f_num"),
+    )
+    keep = ~F.col("f_short") & ~F.col("f_rep") & ~F.col("f_num")
+    return flags.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(keep.cast("int")).cast("bigint").alias("n_kept"),
+        F.sum(F.col("f_short").cast("int")).cast("bigint").alias("n_short"),
+        F.sum(F.col("f_rep").cast("int")).cast("bigint").alias("n_repetitive"),
+        F.sum(F.col("f_num").cast("int")).cast("bigint").alias("n_numeric"),
+    )

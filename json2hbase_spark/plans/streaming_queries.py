@@ -903,3 +903,77 @@ def i17_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.event_type").alias("event_type"),
         F.col("value.count").alias("n_events"),
     )
+
+
+@query(
+    "i18_python_stream_source",
+    oracle="""
+    SELECT b.b AS batch,
+           COUNT(*) AS n_rows,
+           CAST(SUM(b.b * 10 + i.i) AS BIGINT) AS sum_v
+    FROM (SELECT unnest(range(2)) AS b) b,
+         (SELECT unnest(range(10)) AS i) i
+    GROUP BY b.b
+    """,
+)
+def i18_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PYTHON STREAMING source (Spark 4
+    SimpleDataSourceStreamReader): a deterministic offset-tracked tick
+    source drained across TWO separate availableNow runs sharing one
+    checkpoint — each restart resumes from the committed offset and
+    the stateful aggregation state carries over, proving exactly-once
+    offset management for a source written entirely in Python (the
+    no-JVM path to custom feeds: internal queues, REST cursors,
+    change feeds). Content is seeded arithmetic, so DuckDB reproduces
+    the final state from range() math."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class _TickReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"i": 0}
+
+        def read(self, start):
+            i = start["i"]
+            if i >= 2:
+                return iter([]), start
+            return iter([(i, i * 10 + j) for j in range(10)]), {"i": i + 1}
+
+        def readBetweenOffsets(self, start, end):
+            out = []
+            for i in range(start["i"], end["i"]):
+                out += [(i, i * 10 + j) for j in range(10)]
+            return iter(out)
+
+    class TickSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "j2h_py_ticks"
+
+        def schema(self):
+            return "batch INT, v INT"
+
+        def simpleStreamReader(self, schema):
+            return _TickReader()
+
+    spark.dataSource.register(TickSource)
+    ckpt = tempfile.mkdtemp(prefix="j2h_i18_ckpt_")
+    name = f"i18_mem_{ckpt.rsplit('_', 1)[-1]}"
+    with scoped_stream_confs(spark):
+        # one run per available offset: each start resumes from the
+        # checkpointed offset (exactly-once), the last drains to empty
+        for _ in range(2):
+            stream = spark.readStream.format("j2h_py_ticks").load()
+            agg = stream.groupBy(F.col("batch")).agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("v").cast("bigint").alias("sum_v"),
+            )
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    return spark.table(name)
