@@ -55,11 +55,27 @@ _DRIVER_VERIFIED = (
 ).split()
 
 
+def _fresh_rank(name: str) -> int:
+    """Within the not-yet-recorded set, put the LLM-pipeline family
+    (j/m — the engine's centerpiece, absent from every driver record
+    so far) first, then UDF paths, then streaming, then the rest."""
+    head = name.split("_", 1)[0]
+    if head[0] in ("j", "m"):
+        return 0
+    if head[0] == "k":
+        return 1
+    if head[0] == "i" or name == "c7_join_asof":
+        return 2
+    return 3
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
     queries without a driver-side correctness record yet come first."""
     seen = set(_DRIVER_VERIFIED)
-    fresh = {k: v for k, v in registry.QUERIES.items() if k not in seen}
+    fresh_names = [k for k in registry.QUERIES if k not in seen]
+    fresh_names.sort(key=lambda n: (_fresh_rank(n), n))
+    fresh = {k: registry.QUERIES[k] for k in fresh_names}
     rest = {k: registry.QUERIES[k] for k in _DRIVER_VERIFIED if k in registry.QUERIES}
     return {**fresh, **rest}
 
