@@ -987,3 +987,95 @@ def c12_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey < 200
         """
     )
+
+
+@query(
+    "b8_try_cast",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_rows,
+           COUNT(TRY_CAST(split_part(p_type, ' ', 1) AS INTEGER)) AS n_numeric_type,
+           COUNT(TRY_CAST(split_part(p_brand, '#', 2) AS INTEGER)) AS n_numeric_brand,
+           CAST(SUM(COALESCE(TRY_CAST(split_part(p_brand, '#', 2) AS INTEGER), 0)) AS BIGINT)
+             AS sum_brand_num,
+           COUNT(CASE WHEN p_size = 0 THEN NULL ELSE p_retailprice / NULLIF(p_size, 0) END)
+             AS n_safe_div
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def b8_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe dirty-data ingestion: Spark 4 runs ANSI mode by
+    default, so a single malformed value fails the job — the try_*
+    family (try_cast / try_divide) is the production answer for feeds
+    with embedded garbage: malformed values become NULL and are
+    counted instead of killing the pipeline. DuckDB's TRY_CAST shares
+    the NULL-on-failure contract, so the per-brand good/bad tallies
+    hash-match."""
+    p = load(spark, sf_dir, "part")
+    type_head = F.split(F.col("p_type"), " ").getItem(0).try_cast("int")
+    brand_num = F.element_at(F.split(F.col("p_brand"), "#"), 2).try_cast("int")
+    return p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(type_head).alias("n_numeric_type"),
+        F.count(brand_num).alias("n_numeric_brand"),
+        F.sum(F.coalesce(brand_num, F.lit(0))).cast("bigint").alias("sum_brand_num"),
+        F.count(F.try_divide("p_retailprice", F.nullif(F.col("p_size"), F.lit(0)))).alias(
+            "n_safe_div"
+        ),
+    )
+
+
+@query(
+    "c13_exists_chain",
+    oracle="""
+    SELECT s.s_nationkey,
+           COUNT(*) AS n_flagged
+    FROM supplier s
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l1 JOIN orders o ON l1.l_orderkey = o.o_orderkey
+        WHERE l1.l_suppkey = s.s_suppkey
+          AND o.o_orderstatus = 'F'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey != l1.l_suppkey
+          )
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3 JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+        WHERE l3.l_suppkey = s.s_suppkey
+          AND o3.o_orderpriority = '1-URGENT' AND l3.l_quantity > 49.8
+      )
+    GROUP BY s.s_nationkey
+    """,
+)
+def c13_exists_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped correlated EXISTS / NOT EXISTS chain: suppliers
+    who shipped into finished multi-supplier orders but never put a
+    high-quantity line into an urgent order. Catalyst decorrelates
+    each predicate subquery into semi/anti joins over the shared
+    lineitem scan — the hard optimizer shape every BI workload hits;
+    nothing executes per-row."""
+    register_views(spark, sf_dir, only=("supplier", "lineitem", "orders"))
+    return spark.sql(
+        """
+        SELECT s.s_nationkey,
+               COUNT(*) AS n_flagged
+        FROM supplier s
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l1 JOIN orders o ON l1.l_orderkey = o.o_orderkey
+            WHERE l1.l_suppkey = s.s_suppkey
+              AND o.o_orderstatus = 'F'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey != l1.l_suppkey
+              )
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3 JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+            WHERE l3.l_suppkey = s.s_suppkey
+              AND o3.o_orderpriority = '1-URGENT' AND l3.l_quantity > 49.8
+          )
+        GROUP BY s.s_nationkey
+        """
+    )
