@@ -1641,3 +1641,94 @@ def j35_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("f_rep").cast("int")).cast("bigint").alias("n_repetitive"),
         F.sum(F.col("f_num").cast("int")).cast("bigint").alias("n_numeric"),
     )
+
+
+@query(
+    "j36_quality_mixture",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(regexp_extract_all(lower(text), '{BPE_RE}')) AS tok
+      FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n_total FROM toks),
+    vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+    scored AS (
+      SELECT t.doc_id,
+             round(avg(ln(CAST(v.cnt AS DOUBLE) / tot.n_total)), 4) AS lm_score
+      FROM toks t JOIN vocab v ON t.tok = v.tok, tot
+      GROUP BY t.doc_id
+    ),
+    cuts AS (
+      SELECT round(quantile_cont(lm_score, 0.25), 6) AS c1,
+             round(quantile_cont(lm_score, 0.50), 6) AS c2,
+             round(quantile_cont(lm_score, 0.75), 6) AS c3
+      FROM scored
+    ),
+    bucketed AS (
+      SELECT s.doc_id, s.lm_score,
+             1 + CAST(s.lm_score > c.c1 AS INT) + CAST(s.lm_score > c.c2 AS INT)
+               + CAST(s.lm_score > c.c3 AS INT) AS quartile
+      FROM scored s, cuts c
+    )
+    SELECT quartile,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE
+             WHEN quartile = 4 THEN 1
+             WHEN quartile IN (2, 3) AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' THEN 1
+             WHEN quartile = 1 AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2' THEN 1
+             ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM bucketed
+    GROUP BY quartile
+    """,
+)
+def j36_quality_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-stratified mixture sampling — the curriculum step after
+    scoring: docs bucket into quality quartiles by their unigram-LM
+    score (j31) and each stratum samples at its own rate (top kept
+    fully, middle 50%, bottom 12.5%) via the content-addressed md5
+    threshold (f4/j19's reproducibility trick — stable across engines,
+    partitionings and reruns). SCALE SHAPE: quartile cutpoints come
+    from one exact-percentile aggregate broadcast back over the
+    corpus — NOT a global ntile window (which would single-partition
+    the sort at 100 TB); cutpoints round to 6 in both engines so a
+    last-ulp interpolation difference cannot flip a boundary doc."""
+    docs = load(spark, sf_dir, "documents")
+    toks = widen(docs).select(
+        "doc_id", F.explode(bpe_ish_tokens(F.col("text"))).alias("tok")
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    logp = F.log(F.col("cnt").cast("double") / F.col("n_total"))
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(logp), 4).alias("lm_score"))
+    )
+    cuts = scored.agg(
+        F.round(F.expr("percentile(lm_score, 0.25D)"), 6).alias("c1"),
+        F.round(F.expr("percentile(lm_score, 0.50D)"), 6).alias("c2"),
+        F.round(F.expr("percentile(lm_score, 0.75D)"), 6).alias("c3"),
+    )
+    bucketed = scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "lm_score",
+        (
+            F.lit(1)
+            + (F.col("lm_score") > F.col("c1")).cast("int")
+            + (F.col("lm_score") > F.col("c2")).cast("int")
+            + (F.col("lm_score") > F.col("c3")).cast("int")
+        ).alias("quartile"),
+    )
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    sampled = (
+        F.when(F.col("quartile") == 4, 1)
+        .when(F.col("quartile").isin(2, 3) & (h < "8"), 1)
+        .when((F.col("quartile") == 1) & (h < "2"), 1)
+        .otherwise(0)
+    )
+    return bucketed.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(sampled).cast("bigint").alias("n_sampled"),
+    )
