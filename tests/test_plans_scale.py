@@ -480,3 +480,34 @@ def test_widen_noop_when_partitions_sufficient(spark):
 
     df = spark.range(0, 10000, 1, 64)
     assert widen(df) is df
+
+
+def test_partition_pruning_through_join(spark, sf_dir):
+    """A join against a partitioned fact table with a selective dim
+    filter must prune fact partitions — either statically (Catalyst
+    propagates the literal through the join, as here) or via a
+    dynamicpruning subquery filter. At 100 TB this is what keeps a
+    star join from scanning every date partition."""
+    wh = tempfile.mkdtemp(prefix="j2h_dpp_")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    orders.write.partitionBy("o_year").mode("overwrite").parquet(f"{wh}/orders_part")
+    fact = spark.read.parquet(f"{wh}/orders_part")
+    dim = (
+        spark.range(1994, 2000)
+        .select(F.col("id").cast("int").alias("d_year"))
+        .filter(F.col("d_year") == 1996)
+    )
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+        joined = fact.join(dim, fact.o_year == dim.d_year).groupBy("o_year").count()
+        plan = _physical_plan(joined)
+        pruned = "dynamicpruning" in plan.lower() or (
+            "PartitionFilters: [" in plan and "o_year" in plan.split("PartitionFilters:", 1)[1][:120]
+        )
+        assert pruned, plan
+        assert joined.count() >= 1
+    finally:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
