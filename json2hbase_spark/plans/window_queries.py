@@ -836,3 +836,75 @@ def g5_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY nk
         """
     )
+
+
+@query(
+    "h14_theta_sets",
+    oracle="""
+    WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT (SELECT COUNT(*) FROM c) AS exact_click,
+           (SELECT COUNT(*) FROM p) AS exact_purchase,
+           (SELECT COUNT(*) FROM c JOIN p USING (user_id)) AS exact_both,
+           (SELECT COUNT(*) FROM (SELECT user_id FROM c UNION SELECT user_id FROM p))
+             AS exact_any,
+           TRUE AS union_tol, TRUE AS inter_tol, TRUE AS diff_tol
+    """,
+)
+def h14_theta_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra (Apache DataSketches): distinct-user
+    sketches built per (event_type, hour) partial, re-merged with
+    theta_union_agg, then AUDIENCE OVERLAP via theta_intersection /
+    theta_union / theta_difference — the only sketch family that
+    answers "how many users did BOTH X and Y" without co-shuffling raw
+    ids (HLL cannot intersect). d3-style tolerance oracle: exact
+    counts hash-checked, each estimate asserted within 3·rse of exact
+    where rse ≈ 1/√2¹² scaled by the union size for intersection /
+    difference (the DataSketches error model)."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
+    )
+    merged = hourly.groupBy("event_type").agg(F.expr("theta_union_agg(sk)").alias("sk"))
+    c = merged.filter(F.col("event_type") == "click").select(F.col("sk").alias("sk_c"))
+    p = merged.filter(F.col("event_type") == "purchase").select(
+        F.col("sk").alias("sk_p")
+    )
+    ests = c.crossJoin(p).select(
+        F.expr("theta_sketch_estimate(sk_c)").alias("_e_c"),
+        F.expr("theta_sketch_estimate(sk_p)").alias("_e_p"),
+        F.expr("theta_sketch_estimate(theta_intersection(sk_c, sk_p))").alias("_e_both"),
+        F.expr("theta_sketch_estimate(theta_union(sk_c, sk_p))").alias("_e_any"),
+        F.expr("theta_sketch_estimate(theta_difference(sk_c, sk_p))").alias("_e_diff"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact = (
+        clicks.agg(F.count(F.lit(1)).alias("exact_click"))
+        .crossJoin(purch.agg(F.count(F.lit(1)).alias("exact_purchase")))
+        .crossJoin(
+            clicks.join(purch, "user_id").agg(F.count(F.lit(1)).alias("exact_both"))
+        )
+        .crossJoin(
+            clicks.unionByName(purch)
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("exact_any"))
+        )
+    )
+    rse = 3.0 / (2 ** 6)  # 3 x 1/sqrt(2^12), the default lgK
+    out = ests.crossJoin(F.broadcast(exact))
+    band = F.lit(rse) * F.col("exact_any").cast("double")
+    return out.select(
+        "exact_click",
+        "exact_purchase",
+        "exact_both",
+        "exact_any",
+        (F.abs(F.col("_e_any") - F.col("exact_any")) <= band).alias("union_tol"),
+        (F.abs(F.col("_e_both") - F.col("exact_both")) <= band).alias("inter_tol"),
+        (
+            F.abs(F.col("_e_diff") - (F.col("exact_click") - F.col("exact_both")))
+            <= band
+        ).alias("diff_tol"),
+    )
