@@ -908,3 +908,34 @@ def h14_theta_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= band
         ).alias("diff_tol"),
     )
+
+
+@query(
+    "h15_approx_topk",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY n_events DESC, event_type
+    LIMIT 3
+    """,
+)
+def h15_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via approx_top_k (DataSketches frequent-items):
+    one pass, mergeable, bounded memory — the 100 TB replacement for
+    ORDER BY count LIMIT k over a full aggregate. With maxItemsTracked
+    (10000) far above the column's cardinality the sketch counts are
+    exact, so the result hash-matches the exact top-3; re-ranked by
+    (count DESC, item) so ordering is engine-stable. NOTE: equal
+    counts between rank-3 and rank-4 items after a fixture change
+    would be a tie the two engines may break differently — d3's
+    re-validate-on-fixture-change caveat applies."""
+    ev = load(spark, sf_dir, "events")
+    top = ev.agg(F.expr("approx_top_k(event_type, 3, 10000)").alias("tk"))
+    return (
+        top.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("event_type"), F.col("e.count").alias("n_events")
+        )
+        .orderBy(F.desc("n_events"), "event_type")
+    )
