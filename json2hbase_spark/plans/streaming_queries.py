@@ -977,3 +977,75 @@ def i18_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             q.awaitTermination()
     return spark.table(name)
+
+
+@query(
+    "i19_chained_stateful",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts::TIMESTAMP AS cts, event_id AS cid
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id AS p_user, ts::TIMESTAMP AS pts, event_id AS pid
+      FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+      SELECT least((SELECT max(cts) FROM c), (SELECT max(pts) FROM p))
+             - INTERVAL 1 HOUR AS w
+    ),
+    j AS (
+      SELECT p.pts FROM c JOIN p
+        ON c.user_id = p.p_user
+       AND p.pts BETWEEN c.cts AND c.cts + INTERVAL 2 HOUR
+    )
+    SELECT epoch_us(time_bucket(INTERVAL 1 DAY, pts)) AS win_start_us,
+           COUNT(*) AS n_pairs
+    FROM j, wm
+    WHERE time_bucket(INTERVAL 1 DAY, pts) + INTERVAL 1 DAY <= wm.w
+    GROUP BY 1
+    """,
+)
+def i19_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query (Spark 4:
+    multiple stateful ops in append mode): an interval stream-stream
+    join feeding a downstream windowed aggregation — the
+    attribution-then-rollup shape that previously required two
+    queries with an intermediate sink. The oracle reproduces both
+    state semantics in SQL: the interval join and the append-mode
+    eviction rule (emit a day window only once the global watermark —
+    min of the two inputs' max event times minus 1 h — passes its
+    end)."""
+    clicks = (
+        load_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("cts"), F.col("event_id").alias("cid"))
+        .withWatermark("cts", "1 hour")
+    )
+    purch = (
+        load_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("pts"),
+            F.col("event_id").alias("pid"),
+        )
+        .withWatermark("pts", "1 hour")
+    )
+    joined = clicks.join(
+        purch,
+        (F.col("user_id") == F.col("p_user"))
+        & (
+            F.col("pts").between(
+                F.col("cts"), F.col("cts") + F.expr("INTERVAL 2 HOURS")
+            )
+        ),
+    )
+    agg = (
+        joined.groupBy(F.window("pts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(F.unix_micros("w.start").alias("win_start_us"), "n_pairs")
+    )
+    with scoped_stream_confs(spark):
+        _run_to_memory(agg, "i19_mem", "append")
+    return spark.table("i19_mem")
