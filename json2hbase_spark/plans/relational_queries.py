@@ -1079,3 +1079,48 @@ def c13_exists_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY s.s_nationkey
         """
     )
+
+
+@query(
+    "b9_null_semantics",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             nullif(o_orderstatus, 'P') AS st,
+             CASE WHEN o_totalprice > 150000 THEN o_orderpriority END AS pri
+      FROM orders
+    )
+    SELECT COALESCE(st, '?') AS status,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN st IS NOT DISTINCT FROM pri THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nullsafe_eq,
+           CAST(SUM(CASE WHEN st IS DISTINCT FROM pri THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_distinct_from,
+           COUNT(pri) AS n_pri,
+           CAST(SUM(CASE WHEN pri IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pri_null
+    FROM t
+    GROUP BY 1
+    """,
+)
+def b9_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic bundle: NULLIF / conditional-NULL columns
+    compared with null-safe equality (`eqNullSafe`, SQL `<=>` /
+    IS NOT DISTINCT FROM) and its negation — the semantics every
+    NULL-heavy feed exercises and where engines classically diverge
+    (NULL = NULL is NULL, NULL <=> NULL is TRUE). Counting both
+    branches per group pins agreement with DuckDB's standard
+    IS [NOT] DISTINCT FROM."""
+    o = load(spark, sf_dir, "orders")
+    t = o.select(
+        "o_orderkey",
+        F.nullif("o_orderstatus", F.lit("P")).alias("st"),
+        F.when(F.col("o_totalprice") > 150000, F.col("o_orderpriority")).alias("pri"),
+    )
+    eq = F.col("st").eqNullSafe(F.col("pri"))
+    return t.groupBy(F.coalesce("st", F.lit("?")).alias("status")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(eq.cast("int")).cast("bigint").alias("n_nullsafe_eq"),
+        F.sum((~eq).cast("int")).cast("bigint").alias("n_distinct_from"),
+        F.count("pri").alias("n_pri"),
+        F.sum(F.col("pri").isNull().cast("int")).cast("bigint").alias("n_pri_null"),
+    )
