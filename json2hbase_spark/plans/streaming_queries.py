@@ -1049,3 +1049,81 @@ def i19_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     with scoped_stream_confs(spark):
         _run_to_memory(agg, "i19_mem", "append")
     return spark.table("i19_mem")
+
+
+@query(
+    "i20_stream_outer_join",
+    oracle="""
+    WITH p AS (
+      SELECT user_id AS p_user, ts::TIMESTAMP AS pts, event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id AS c_user, ts::TIMESTAMP AS cts, event_id AS click_id
+      FROM events WHERE event_type = 'click'
+    ),
+    wm AS (
+      SELECT least((SELECT max(pts) FROM p), (SELECT max(cts) FROM c))
+             - INTERVAL 2 HOUR AS w
+    ),
+    matched AS (
+      SELECT p.p_user, p.purchase_id, c.click_id, p.pts
+      FROM p JOIN c ON p.p_user = c.c_user
+        AND c.cts >= p.pts - INTERVAL 1 HOUR AND c.cts <= p.pts
+    ),
+    unmatched AS (
+      SELECT p.p_user, p.purchase_id, CAST(NULL AS BIGINT) AS click_id, p.pts
+      FROM p, wm
+      WHERE p.pts < wm.w
+        AND NOT EXISTS (
+          SELECT 1 FROM c WHERE c.c_user = p.p_user
+            AND c.cts >= p.pts - INTERVAL 1 HOUR AND c.cts <= p.pts
+        )
+    )
+    SELECT p_user AS user_id, purchase_id, click_id, epoch_us(pts) AS pts_us
+    FROM (SELECT * FROM matched UNION ALL SELECT * FROM unmatched)
+    """,
+)
+def i20_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: matched pairs emit
+    immediately; a purchase with NO click in its preceding hour emits
+    null-extended ONLY once the global watermark guarantees no future
+    click can match (purchases newer than watermark stay in state and
+    are never null-emitted in this bounded run). The oracle reproduces
+    exactly that split: inner matches unconditionally, null extensions
+    only for purchases strictly below the final global watermark —
+    the outer-join state semantics production attribution pipelines
+    depend on."""
+    p = (
+        load_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("pts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("pts", "2 hours")
+    )
+    c = (
+        load_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("cts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("cts", "2 hours")
+    )
+    joined = p.join(
+        c,
+        F.expr("p_user = c_user AND cts >= pts - INTERVAL 1 HOUR AND cts <= pts"),
+        "left_outer",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        F.unix_micros("pts").alias("pts_us"),
+    )
+    with scoped_stream_confs(spark):
+        _run_to_memory(joined, "i20_mem", "append")
+    return spark.table("i20_mem")

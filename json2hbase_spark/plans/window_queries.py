@@ -939,3 +939,25 @@ def h15_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_events"), "event_type")
     )
+
+
+@query(
+    "g6_except_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity > 10
+    EXCEPT ALL
+    SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity > 40
+    """,
+)
+def g6_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag difference (EXCEPT ALL): multiplicity-aware subtraction —
+    each (flag, status) pair survives max(n_left − n_right, 0) times,
+    unlike g4's set EXCEPT which collapses to distinct rows. Spark
+    plans this as a count-propagating aggregate (Generate over
+    replicated counts), one shuffle; the SQL-standard bag semantics
+    both engines share make it hash-checkable even with duplicate
+    rows."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 10).select("l_returnflag", "l_linestatus")
+    b = li.filter(F.col("l_quantity") > 40).select("l_returnflag", "l_linestatus")
+    return a.exceptAll(b)
