@@ -60,7 +60,7 @@ def main() -> None:
             times[name] = -1.0
             print(f"# bench error {name}: {exc}", file=sys.stderr)
         finally:
-            cleanup_materialized()  # no cached-block buildup across queries
+            cleanup_materialized()  # release persist blocks; nudge ContextCleaner for localCheckpoints
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
     print(

@@ -52,7 +52,14 @@ def cleanup_materialized(remove_checkpoint_dirs: bool = False) -> None:
     (optionally) delete checkpoint dirs this module auto-created.
     Safe after the consuming action: 'persist' keeps lineage so a late
     re-use just recomputes; call with remove_checkpoint_dirs=True only
-    at end-of-session because 'checkpoint' plans read those files."""
+    at end-of-session because 'checkpoint' plans read those files.
+    NOTE: 'local' (localCheckpoint) blocks are NOT released here —
+    Spark's ContextCleaner unpersists them once the driver drops the
+    DataFrame reference; gc.collect() below accelerates that drop so
+    long sessions do not ride on Python GC timing."""
+    import gc
+
+    gc.collect()
     while _persisted:
         df = _persisted.pop()
         try:

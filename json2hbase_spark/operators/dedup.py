@@ -136,19 +136,32 @@ def minhash_from_stream(
     remains for wider signatures: chunked stages join exchange-free
     (both sides come out of their own groupBy hash-partitioned by
     ``id_col``)."""
-    hashed = stream.select(
-        F.col(id_col),
-        F.xxhash64(F.col(s_col)).alias("_h0"),
-        F.xxhash64(F.lit(1), F.col(s_col)).alias("_h1"),
-    )
+    # one base-hash PAIR per 64-family block: rotations of a single
+    # pair only span 64 independent mixes, so wider signatures derive
+    # each block from freshly-seeded base hashes (block 0 keeps the
+    # unseeded pair so <=64-hash signatures are unchanged)
+    n_blocks = (num_hashes + 63) // 64
+    base_cols = []
+    for b in range(n_blocks):
+        if b == 0:
+            base_cols += [
+                F.xxhash64(F.col(s_col)).alias("_b0_0"),
+                F.xxhash64(F.lit(1), F.col(s_col)).alias("_b0_1"),
+            ]
+        else:
+            base_cols += [
+                F.xxhash64(F.lit(2 * b), F.col(s_col)).alias(f"_b{b}_0"),
+                F.xxhash64(F.lit(2 * b + 1), F.col(s_col)).alias(f"_b{b}_1"),
+            ]
+    hashed = stream.select(F.col(id_col), *base_cols)
 
     def family(h: int) -> Column:
-        if h % 64 == 0:
-            return F.col("_h0")
-        rot = F.shiftrightunsigned(F.col("_h1"), h % 64).bitwiseOR(
-            F.shiftleft(F.col("_h1"), 64 - (h % 64))
-        )
-        return F.col("_h0").bitwiseXOR(rot)
+        b, r = divmod(h, 64)
+        h0, h1 = F.col(f"_b{b}_0"), F.col(f"_b{b}_1")
+        if r == 0:
+            return h0
+        rot = F.shiftrightunsigned(h1, r).bitwiseOR(F.shiftleft(h1, 64 - r))
+        return h0.bitwiseXOR(rot)
 
     parts = []
     for start in range(0, num_hashes, chunk):

@@ -513,10 +513,12 @@ def a16_bucketed_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB: pay the shuffle once at write time, every later join or
     aggregation on the bucket key is exchange-free. Result equals the
     plain parquet join (hash-checked)."""
+    import shutil
     import uuid
 
     wh = tempfile.mkdtemp(prefix="j2h_a16_wh_")
     tag = uuid.uuid4().hex[:8]
+    prev_bucketing = spark.conf.get("spark.sql.sources.bucketing.enabled", "true")
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
     cust = load(spark, sf_dir, "customer")
@@ -540,10 +542,19 @@ def a16_bucketed_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = spark.table(o_tbl).join(
         spark.table(c_tbl), F.col("o_custkey") == F.col("c_custkey")
     )
-    return joined.groupBy("o_orderpriority").agg(
+    result = joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.countDistinct("c_mktsegment").alias("n_segments"),
     )
+    # eagerly materialize the (tiny) aggregate so the catalog tables,
+    # warehouse dir and conf override can be released before returning
+    # — repeated invocations must not leak tables/dirs for the session
+    result = result.localCheckpoint(eager=True)
+    spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {c_tbl}")
+    shutil.rmtree(wh, ignore_errors=True)
+    spark.conf.set("spark.sql.sources.bucketing.enabled", prev_bucketing)
+    return result
 
 
 @query(
@@ -551,8 +562,8 @@ def a16_bucketed_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           COUNT(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
            MAX(json_extract_string(props, '$.tag')) AS max_tag
     FROM events
     GROUP BY event_type

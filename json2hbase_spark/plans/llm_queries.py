@@ -1264,12 +1264,10 @@ def j30_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------- j31/j32
-
-
-@query(
-    "j31_unigram_logprob",
-    oracle=f"""
+# shared unigram-LM scoring pipeline (Spark) + oracle CTE text — j31
+# reports it per doc, j36 stratifies on it; one definition so the
+# tokenization/rounding conventions cannot drift apart
+DUCK_UNIGRAM_CTES = f"""
     WITH toks AS (
       SELECT doc_id, lang,
              unnest(regexp_extract_all(lower(text), '{BPE_RE}')) AS tok
@@ -1280,24 +1278,22 @@ def j30_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT t.doc_id, t.lang, ln(CAST(v.cnt AS DOUBLE) / tot.n_total) AS logp
       FROM toks t JOIN vocab v ON t.tok = v.tok, tot
+    ),
+    doc_scores AS (
+      SELECT doc_id, lang,
+             COUNT(*) AS n_toks,
+             round(avg(logp), 4) AS lm_score
+      FROM scored
+      GROUP BY doc_id, lang
     )
-    SELECT doc_id, lang,
-           COUNT(*) AS n_toks,
-           round(avg(logp), 4) AS lm_score
-    FROM scored
-    GROUP BY doc_id, lang
-    """,
-)
-def j31_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram language-model quality scoring: corpus-wide token
-    frequencies become per-token log-probabilities; each doc scores
-    avg log p(token) — the cheap perplexity proxy pipelines use to
-    rank docs before an expensive model-based filter. Two shuffles
-    (vocab build, per-doc score agg); the corpus total reattaches via
-    a broadcast single-row crossJoin, never a global window. At 100 TB
-    the vocab is a persisted table joined on token hash. Floats: the
-    single IEEE division and ln() agree across engines to ≤1 ulp;
-    avg rounds to 4 per the exact.py convention."""
+"""
+
+
+def _unigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_toks, lm_score): corpus unigram frequencies →
+    per-doc avg log-probability, rounded 4. Two shuffles (vocab build,
+    per-doc agg); the corpus total reattaches via a broadcast
+    single-row crossJoin, never a global window."""
     docs = load(spark, sf_dir, "documents")
     toks = widen(docs).select(
         "doc_id", "lang", F.explode(bpe_ish_tokens(F.col("text"))).alias("tok")
@@ -1316,6 +1312,65 @@ def j31_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# shared word-trigram fan-out — j32 reports per-doc stats, j35 gates
+# on the ratio; one definition for the same no-drift reason
+DUCK_TRIGRAMS = (
+    "unnest(list_transform(range(1, len({w}) - 2 + 1),"
+    " i -> concat_ws(' ', {w}[i], {w}[i+1], {w}[i+2])))"
+)
+
+
+def _trigram_stats(words: DataFrame, keys: tuple) -> DataFrame:
+    """Explode word trigrams from array column ``w`` and aggregate
+    (n_tri, n_uniq, rep_ratio) per ``keys``. The ratio is one IEEE
+    division of two ints — bit-identical across engines."""
+    tri = words.select(
+        *keys,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("w"), i),
+                    F.element_at(F.col("w"), i + 1),
+                    F.element_at(F.col("w"), i + 2),
+                ),
+            )
+        ).alias("g"),
+    )
+    return tri.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_tri"),
+        F.countDistinct("g").alias("n_uniq"),
+        (
+            F.lit(1.0) - F.countDistinct("g").cast("double") / F.count(F.lit(1))
+        ).alias("rep_ratio"),
+    )
+
+
+# ---------------------------------------------------------------- j31/j32
+
+
+@query(
+    "j31_unigram_logprob",
+    oracle=DUCK_UNIGRAM_CTES
+    + """
+    SELECT doc_id, lang, n_toks, lm_score FROM doc_scores
+    """,
+)
+def j31_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality scoring: corpus-wide token
+    frequencies become per-token log-probabilities; each doc scores
+    avg log p(token) — the cheap perplexity proxy pipelines use to
+    rank docs before an expensive model-based filter. Two shuffles
+    (vocab build, per-doc score agg); the corpus total reattaches via
+    a broadcast single-row crossJoin, never a global window. At 100 TB
+    the vocab is a persisted table joined on token hash. Floats: the
+    single IEEE division and ln() agree across engines to ≤1 ulp;
+    avg rounds to 4 per the exact.py convention. Pipeline shared with
+    j36 via _unigram_doc_scores."""
+    return _unigram_doc_scores(spark, sf_dir)
+
+
 @query(
     "j32_repetition",
     oracle="""
@@ -1325,9 +1380,7 @@ def j31_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     tri AS (
-      SELECT doc_id, lang,
-             unnest(list_transform(range(1, len(w) - 2 + 1),
-                                   i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS g
+      SELECT doc_id, lang, {tri} AS g
       FROM normed WHERE len(w) >= 3
     )
     SELECT doc_id, lang,
@@ -1336,7 +1389,7 @@ def j31_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
            1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*) AS rep_ratio
     FROM tri
     GROUP BY doc_id, lang
-    """,
+    """.format(tri=DUCK_TRIGRAMS.format(w="w")),
 )
 def j32_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-trigram ratio (the Gopher/MassiveText repetition
@@ -1352,29 +1405,7 @@ def j32_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.split(normalize_text(F.col("text")), " ").alias("w"),
     ).filter(F.size("w") >= 3)
-    tri = words.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("w") - 2),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(F.col("w"), i),
-                    F.element_at(F.col("w"), i + 1),
-                    F.element_at(F.col("w"), i + 2),
-                ),
-            )
-        ).alias("g"),
-    )
-    return tri.groupBy("doc_id", "lang").agg(
-        F.count(F.lit(1)).alias("n_tri"),
-        F.countDistinct("g").alias("n_uniq"),
-        (
-            F.lit(1.0)
-            - F.countDistinct("g").cast("double") / F.count(F.lit(1))
-        ).alias("rep_ratio"),
-    )
+    return _trigram_stats(words, ("doc_id", "lang"))
 
 
 # ---------------------------------------------------------------- j33/j34
@@ -1561,9 +1592,7 @@ def j34_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*) AS rep_ratio
       FROM (
-        SELECT doc_id,
-               unnest(list_transform(range(1, len(w) - 2 + 1),
-                                     i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS g
+        SELECT doc_id, TRIGRAMS_SLOT AS g
         FROM t WHERE len(w) >= 3
       )
       GROUP BY doc_id
@@ -1583,7 +1612,7 @@ def j34_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN f_num THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric
     FROM flags
     GROUP BY lang
-    """,
+    """.replace("TRIGRAMS_SLOT", DUCK_TRIGRAMS.format(w="w")),
 )
 def j35_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality gate — the decision stage that consumes the
@@ -1603,29 +1632,8 @@ def j35_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.length("text"), F.lit(1))
         ).alias("digit_ratio"),
     )
-    tri = (
-        t.filter(F.size("w") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("w") - 2),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(F.col("w"), i),
-                        F.element_at(F.col("w"), i + 1),
-                        F.element_at(F.col("w"), i + 2),
-                    ),
-                )
-            ).alias("g"),
-        )
-        .groupBy("doc_id")
-        .agg(
-            (
-                F.lit(1.0)
-                - F.countDistinct("g").cast("double") / F.count(F.lit(1))
-            ).alias("rep_ratio")
-        )
+    tri = _trigram_stats(t.filter(F.size("w") >= 3), ("doc_id",)).select(
+        "doc_id", "rep_ratio"
     )
     flags = t.join(tri, "doc_id", "left").select(
         "lang",
@@ -1645,31 +1653,19 @@ def j35_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "j36_quality_mixture",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, lang,
-             unnest(regexp_extract_all(lower(text), '{BPE_RE}')) AS tok
-      FROM documents
-    ),
-    tot AS (SELECT COUNT(*) AS n_total FROM toks),
-    vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
-    scored AS (
-      SELECT t.doc_id,
-             round(avg(ln(CAST(v.cnt AS DOUBLE) / tot.n_total)), 4) AS lm_score
-      FROM toks t JOIN vocab v ON t.tok = v.tok, tot
-      GROUP BY t.doc_id
-    ),
-    cuts AS (
+    oracle=DUCK_UNIGRAM_CTES
+    + """
+    , cuts AS (
       SELECT round(quantile_cont(lm_score, 0.25), 6) AS c1,
              round(quantile_cont(lm_score, 0.50), 6) AS c2,
              round(quantile_cont(lm_score, 0.75), 6) AS c3
-      FROM scored
+      FROM doc_scores
     ),
     bucketed AS (
       SELECT s.doc_id, s.lm_score,
              1 + CAST(s.lm_score > c.c1 AS INT) + CAST(s.lm_score > c.c2 AS INT)
                + CAST(s.lm_score > c.c3 AS INT) AS quartile
-      FROM scored s, cuts c
+      FROM doc_scores s, cuts c
     )
     SELECT quartile,
            COUNT(*) AS n_docs,
@@ -1693,19 +1689,7 @@ def j36_quality_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — NOT a global ntile window (which would single-partition
     the sort at 100 TB); cutpoints round to 6 in both engines so a
     last-ulp interpolation difference cannot flip a boundary doc."""
-    docs = load(spark, sf_dir, "documents")
-    toks = widen(docs).select(
-        "doc_id", F.explode(bpe_ish_tokens(F.col("text"))).alias("tok")
-    )
-    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    logp = F.log(F.col("cnt").cast("double") / F.col("n_total"))
-    scored = (
-        toks.join(vocab, "tok")
-        .crossJoin(F.broadcast(total))
-        .groupBy("doc_id")
-        .agg(F.round(F.avg(logp), 4).alias("lm_score"))
-    )
+    scored = _unigram_doc_scores(spark, sf_dir).select("doc_id", "lm_score")
     cuts = scored.agg(
         F.round(F.expr("percentile(lm_score, 0.25D)"), 6).alias("c1"),
         F.round(F.expr("percentile(lm_score, 0.50D)"), 6).alias("c2"),
@@ -1752,8 +1736,8 @@ def j36_quality_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT b.doc_id, b.src_bytes,
            CAST(64 AS BIGINT) AS thumb_w, CAST(64 AS BIGINT) AS thumb_h,
-           b.thumb_bytes, s.thumb_checksum
-    FROM b JOIN sampled s ON b.doc_id = s.doc_id
+           b.thumb_bytes, COALESCE(s.thumb_checksum, 0) AS thumb_checksum
+    FROM b LEFT JOIN sampled s ON b.doc_id = s.doc_id
     """,
 )
 def m4_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:

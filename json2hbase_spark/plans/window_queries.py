@@ -771,7 +771,6 @@ def h13_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("hour", "ts").alias("hr"), "user_id"
     ).groupBy("event_type", "hr").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
-        F.countDistinct("user_id").alias("_hr_users"),
     )
     merged = hourly.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"),

@@ -288,3 +288,20 @@ def test_h12_bitmap_matches_count_distinct(spark):
         for r in df.groupBy("g").agg(F.countDistinct("uid").alias("n")).collect()
     }
     assert got == want
+
+
+def test_minhash_wide_signature_families_are_fresh(spark):
+    """num_hashes > 64 must derive per-block base hashes: signature
+    slots 64..127 are NOT copies of 0..63 (rotations of one base pair
+    only span 64 independent mixes)."""
+    from json2hbase_spark.operators.dedup import minhash_from_stream
+
+    rows = [(1, f"s{i:03d}") for i in range(200)]
+    stream = spark.createDataFrame(rows, "id INT, _s STRING")
+    sig = minhash_from_stream(stream, "id", "_s", num_hashes=128).collect()[0].sig
+    assert len(sig) == 128
+    assert sig[64:] != sig[:64]
+    # lower half identical to a plain 64-hash signature (block-0 bases
+    # are the unseeded pair — narrow signatures unchanged)
+    sig64 = minhash_from_stream(stream, "id", "_s", num_hashes=64).collect()[0].sig
+    assert sig[:64] == sig64
