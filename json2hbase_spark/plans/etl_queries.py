@@ -698,3 +698,47 @@ def a19_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("max_id"),
         F.sum(F.col("doc_id") % 97).alias("checksum"),
     )
+
+
+@query(
+    "a20_observed_metrics",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           MAX(l_orderkey) AS max_order,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_discounted
+    FROM lineitem
+    """,
+)
+def a20_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via ``observe()``: named metrics ride ON
+    the existing action (collected by the AggregatingAccumulator
+    during the same pass) instead of a second scan — how production
+    jobs emit row counts / quality tallies to listeners without
+    re-reading 100 TB. The observed values are returned as a one-row
+    frame and hash-checked against a plain SQL aggregate — pinning
+    that observe() sees every row exactly once. (DISTINCT aggregates
+    are disallowed in observed metrics — Spark's checkMetric rule —
+    so the cardinality-style metric here is max, not countDistinct.)"""
+    from pyspark.sql import Observation
+
+    li = load(spark, sf_dir, "lineitem")
+    obs = Observation("a20")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("l_orderkey").alias("max_order"),
+        F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)").alias(
+            "sum_qty"
+        ),
+        F.sum((F.col("l_discount") > 0.05).cast("int")).cast("bigint").alias(
+            "n_discounted"
+        ),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the "real" action
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["max_order"], m["sum_qty"], m["n_discounted"])],
+        "n_rows BIGINT, max_order BIGINT, sum_qty DOUBLE, n_discounted BIGINT",
+    )

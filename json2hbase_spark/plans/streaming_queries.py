@@ -1127,3 +1127,50 @@ def i20_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     with scoped_stream_confs(spark):
         _run_to_memory(joined, "i20_mem", "append")
     return spark.table("i20_mem")
+
+
+@query(
+    "i21_dedup_within_watermark",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT event_id) AS n_unique,
+           CAST(2 * COUNT(DISTINCT event_id) AS BIGINT) AS n_arrived
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def i21_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark: unlike i5's dropDuplicates
+    (which keys state forever), the dedup key is held ONLY for the
+    watermark delay — bounded state for at-least-once sources whose
+    duplicates arrive close together (the real Kafka/file-redelivery
+    shape). The source stages the events file TWICE, so every
+    event_id arrives exactly twice with identical event time (always
+    inside the delay window) and must survive exactly once; the
+    oracle counts distinct ids and pins arrivals = 2x."""
+    import os
+
+    from json2hbase_spark.io import _events_confs, _normalize_events_ts
+
+    _events_confs(spark)
+    src = f"{sf_dir}/events.parquet"
+    stage = tempfile.mkdtemp(prefix="j2h_i21_dup_")
+    os.symlink(src, os.path.join(stage, "0.parquet"))
+    os.symlink(src, os.path.join(stage, "1.parquet"))
+    schema = spark.read.parquet(src).schema
+    stream = _normalize_events_ts(spark.readStream.schema(schema).parquet(stage))
+    deduped = (
+        stream.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    arrived = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_arrived"))
+    with scoped_stream_confs(spark):
+        _run_to_memory(deduped, "i21_mem", "complete")
+        _run_to_memory(arrived, "i21_arrived_mem", "complete")
+    return (
+        spark.table("i21_mem")
+        .join(spark.table("i21_arrived_mem"), "event_type")
+        .select("event_type", "n_unique", "n_arrived")
+    )
