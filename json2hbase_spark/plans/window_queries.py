@@ -960,3 +960,52 @@ def g6_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.filter(F.col("l_quantity") > 10).select("l_returnflag", "l_linestatus")
     b = li.filter(F.col("l_quantity") > 40).select("l_returnflag", "l_linestatus")
     return a.exceptAll(b)
+
+
+@query(
+    "e9_ignore_nulls_nav",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, ts::TIMESTAMP AS ts,
+             CASE WHEN event_type = 'purchase' THEN value END AS purchase_value
+      FROM events
+    )
+    SELECT user_id, event_id,
+           last_value(purchase_value IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_value,
+           lag(purchase_value, 1 IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_purchase_value
+    FROM e
+    """,
+)
+def e9_ignore_nulls_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window navigation: carry the most recent non-null
+    observation forward (last_value) and reach back past nulls (lag)
+    — the forward-fill shape sparse sensor/purchase columns need,
+    without a self-join or a gap-fill explode. Both engines share the
+    SQL-standard IGNORE NULLS semantics; deterministic tiebreak on
+    event_id."""
+    from json2hbase_spark.io import register_views
+
+    register_views(spark, sf_dir, only=("events",))
+    return spark.sql(
+        """
+        WITH e AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN event_type = 'purchase' THEN value END AS purchase_value
+          FROM events
+        )
+        SELECT user_id, event_id,
+               last_value(purchase_value) IGNORE NULLS
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS last_purchase_value,
+               lag(purchase_value, 1) IGNORE NULLS
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_purchase_value
+        FROM e
+        """
+    )
