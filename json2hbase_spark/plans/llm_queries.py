@@ -1750,3 +1750,47 @@ def m4_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     assets = multimodal.binary_assets_from_documents(widen(docs))
     return multimodal.resize_plan(assets, 64, 64)
+
+
+@query(
+    "j37_zipf_slope",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '{BPE_RE}')) AS tok
+      FROM documents
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok),
+    ranked AS (
+      SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, tok) AS rnk
+      FROM vocab
+    )
+    SELECT COUNT(*) AS n_terms,
+           round(regr_slope(ln(CAST(freq AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4)
+             AS zipf_slope,
+           round(regr_r2(ln(CAST(freq AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 4)
+             AS zipf_r2
+    FROM ranked
+    """,
+)
+def j37_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health diagnostic: least-squares slope of log-frequency
+    vs log-rank over the vocabulary (natural text tracks Zipf's law,
+    slope ≈ −1; synthetic/templated corpora deviate sharply — a cheap
+    tripwire before training). regr_slope/regr_r2 are single-pass
+    moment aggregates both engines define identically; round(4) per
+    the exact.py convention. The rank window runs over the POST-AGG
+    vocabulary (tiny relative to the corpus), not the token stream —
+    the only global sort is over distinct terms."""
+    docs = load(spark, sf_dir, "documents")
+    toks = widen(docs).select(F.explode(bpe_ish_tokens(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.orderBy(F.desc("freq"), "tok")
+    ranked = vocab.select("freq", F.row_number().over(w).alias("rnk"))
+    lf = F.log(F.col("freq").cast("double"))
+    lr = F.log(F.col("rnk").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.expr("regr_slope(ln(CAST(freq AS DOUBLE)), ln(CAST(rnk AS DOUBLE)))"), 4).alias("zipf_slope"),
+        F.round(F.expr("regr_r2(ln(CAST(freq AS DOUBLE)), ln(CAST(rnk AS DOUBLE)))"), 4).alias("zipf_r2"),
+    )

@@ -1124,3 +1124,31 @@ def b9_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("pri").alias("n_pri"),
         F.sum(F.col("pri").isNull().cast("int")).cast("bigint").alias("n_pri_null"),
     )
+
+
+@query(
+    "d14_listagg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, '|' ORDER BY n_name) AS nations,
+           COUNT(*) AS n
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def d14_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard LISTAGG ... WITHIN GROUP (ORDER BY ...): ordered
+    string aggregation as the standard writes it (Spark 4) — the
+    deterministic ORDER BY inside the aggregate is what makes a
+    concatenation hash-checkable at all; DuckDB's string_agg ORDER BY
+    shares the contract."""
+    register_views(spark, sf_dir, only=("nation",))
+    return spark.sql(
+        """
+        SELECT n_regionkey,
+               listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name) AS nations,
+               COUNT(*) AS n
+        FROM nation
+        GROUP BY n_regionkey
+        """
+    )
