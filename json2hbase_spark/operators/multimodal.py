@@ -136,3 +136,41 @@ def resize_plan(assets: DataFrame, target_w: int = 64, target_h: int = 64) -> Da
     return assets.select("doc_id", "data").mapInPandas(
         _resize_batches(target_w, target_h), RESIZE_SCHEMA
     )
+
+
+FEATURE_SCHEMA = "doc_id BIGINT, n_bytes BIGINT, feat ARRAY<BIGINT>"
+
+
+def extract_features(data: bytes) -> "object":
+    """Real feature-extractor hook (CNN embedding, CLIP, mel
+    spectrogram…) — requires model/codec libs absent here; the
+    batching/schema around it is the deployment contract."""
+    raise NotImplementedError("feature extractor not available in this environment")
+
+
+def _feature_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    import numpy as np
+    import pandas as pd
+
+    def hist16(b: bytes):
+        # deterministic stand-in feature vector: 16-bin byte-value
+        # histogram — same shape/dtype contract a learned embedding
+        # would have, reproducible by byte arithmetic in the oracle
+        arr = np.frombuffer(b, dtype=np.uint8)
+        return np.bincount(arr >> 4, minlength=16).astype("int64").tolist()
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": pdf["data"].map(len),
+                "feat": pdf["data"].map(hist16),
+            }
+        )
+
+
+def feature_plan(assets: DataFrame) -> DataFrame:
+    """Feature-extraction plumbing: binary assets → fixed-width
+    feature vectors through Arrow-batched mapInPandas (the stubbed
+    ``extract_features`` is the swap-in point)."""
+    return assets.select("doc_id", "data").mapInPandas(_feature_batches, FEATURE_SCHEMA)

@@ -1794,3 +1794,44 @@ def j37_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("regr_slope(ln(CAST(freq AS DOUBLE)), ln(CAST(rnk AS DOUBLE)))"), 4).alias("zipf_slope"),
         F.round(F.expr("regr_r2(ln(CAST(freq AS DOUBLE)), ln(CAST(rnk AS DOUBLE)))"), 4).alias("zipf_r2"),
     )
+
+
+@query(
+    "m5_feature_extract",
+    oracle="""
+    WITH pos AS (
+      SELECT d.doc_id, ascii(substr(d.text, i.i + 1, 1)) // 16 AS bin
+      FROM documents d,
+           LATERAL (SELECT unnest(range(len(d.text))) AS i) i
+    ),
+    hist AS (
+      SELECT doc_id, bin, COUNT(*) AS c FROM pos GROUP BY doc_id, bin
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bytes,
+           CAST(MAX(CASE WHEN bin = 6 THEN c ELSE 0 END) AS BIGINT) AS bin6,
+           CAST(MAX(CASE WHEN bin = 7 THEN c ELSE 0 END) AS BIGINT) AS bin7,
+           COUNT(*) AS n_nonzero_bins
+    FROM hist
+    GROUP BY doc_id
+    """,
+)
+def m5_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction plumbing (multimodal.feature_plan): binary
+    assets stream through Arrow-batched mapInPandas producing a
+    fixed-width 16-bin byte-histogram vector — the shape/dtype
+    contract of a learned embedding with a deterministic stand-in, so
+    the worker output is value-verified via byte arithmetic (ASCII
+    fixture text → bins 2-7 carry the mass). Surfaced as per-doc
+    histogram features for the hash check."""
+    docs = load(spark, sf_dir, "documents")
+    assets = multimodal.binary_assets_from_documents(widen(docs))
+    feats = multimodal.feature_plan(assets)
+    nz = F.filter(F.col("feat"), lambda c: c > 0)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.element_at("feat", 7).alias("bin6"),
+        F.element_at("feat", 8).alias("bin7"),
+        F.size(nz).alias("n_nonzero_bins"),
+    )

@@ -1152,3 +1152,34 @@ def d14_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_regionkey
         """
     )
+
+
+@query(
+    "b10_parameterized_sql",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_totalprice > 250000 AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def b10_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (spark.sql args binding): values bind as
+    typed literals AFTER parsing — no string interpolation, no
+    injection surface, and Catalyst constant-folds/pushes the bound
+    literal exactly like an inline one. The parameterized plan must
+    produce the same result as the inlined oracle."""
+    register_views(spark, sf_dir, only=("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        WHERE o_totalprice > :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 250000, "status": "O"},
+    )
