@@ -1183,3 +1183,36 @@ def b10_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_price": 250000, "status": "O"},
     )
+
+
+@query(
+    "c14_null_safe_join",
+    oracle="""
+    WITH a AS (
+      SELECT nullif(c_nationkey % 7, 3) AS k, COUNT(*) AS n_cust
+      FROM customer GROUP BY 1
+    ),
+    b AS (
+      SELECT nullif(s_nationkey % 7, 3) AS k, COUNT(*) AS n_supp
+      FROM supplier GROUP BY 1
+    )
+    SELECT a.k AS k, a.n_cust, b.n_supp
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def c14_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi join (`<=>` / IS NOT DISTINCT FROM as the JOIN
+    key): under standard equality the NULL-keyed groups silently drop
+    from the join; the null-safe operator makes NULL a joinable key
+    value — and Spark still plans a hash join on it (the null-safe
+    comparison is a valid equi-key), not a nested loop. Both sides
+    pre-aggregate so the join is dim-sized."""
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    a = c.groupBy(F.nullif(F.col("c_nationkey") % 7, F.lit(3)).alias("k")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    b = s.groupBy(F.nullif(F.col("s_nationkey") % 7, F.lit(3)).alias("kb")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return a.join(b, a.k.eqNullSafe(b.kb)).select("k", "n_cust", "n_supp")

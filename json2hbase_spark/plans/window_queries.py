@@ -1009,3 +1009,45 @@ def e9_ignore_nulls_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM e
         """
     )
+
+
+@query(
+    "h16_from_csv",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def h16_from_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression-level CSV codec round trip: rows serialize to CSV
+    strings with to_csv and parse back with from_csv (schema-checked,
+    same expression family as from_json) — the embedded-delimited-
+    payload shape (CSV inside a message envelope) without a file
+    boundary. Aggregates over the re-parsed columns must equal
+    aggregates over the originals; value survives via a decimal cast
+    at serialization so float text formatting cannot drift."""
+    ev = load(spark, sf_dir, "events")
+    as_csv = ev.select(
+        F.to_csv(
+            F.struct(
+                F.col("event_id"),
+                F.col("event_type"),
+                F.col("value").cast("decimal(12,2)").alias("value"),
+            )
+        ).alias("line")
+    )
+    parsed = as_csv.select(
+        F.from_csv(
+            "line", "event_id BIGINT, event_type STRING, value DECIMAL(12,2)"
+        ).alias("r")
+    ).select("r.*")
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("sum_ids"),
+        F.sum("value").cast("double").alias("sum_value"),
+    )
