@@ -742,3 +742,49 @@ def a20_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["max_order"], m["sum_qty"], m["n_discounted"])],
         "n_rows BIGINT, max_order BIGINT, sum_qty DOUBLE, n_discounted BIGINT",
     )
+
+
+@query(
+    "a21_dynamic_partition_overwrite",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           COUNT(*) AS n_orders
+    FROM orders
+    WHERE year(o_orderdate) != 1996
+       OR o_totalprice > 150000
+    GROUP BY 1
+    """,
+)
+def a21_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the idempotent-backfill primitive
+    of a partitioned lake: rewriting one day/year touches ONLY the
+    partitions present in the incoming frame, every other partition's
+    files stay byte-identical (static overwrite mode would truncate
+    the whole table). Here: full partitioned write, then a slimmed
+    1996 slice overwrites just that partition; the read-back must show
+    1996 replaced and all other years intact."""
+    import shutil
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    out = tempfile.mkdtemp(prefix="j2h_a21_")
+    try:
+        orders = load(spark, sf_dir, "orders").withColumn(
+            "o_year", F.year("o_orderdate").cast("int")
+        )
+        orders.write.partitionBy("o_year").mode("overwrite").parquet(out)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        backfill = orders.filter(
+            (F.col("o_year") == 1996) & (F.col("o_totalprice") > 150000)
+        )
+        backfill.write.partitionBy("o_year").mode("overwrite").parquet(out)
+        result = (
+            spark.read.parquet(out)
+            .groupBy("o_year")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+        )
+        # eager so the temp dir and conf can be released before return
+        result = result.localCheckpoint(eager=True)
+        return result
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        shutil.rmtree(out, ignore_errors=True)
