@@ -1835,3 +1835,86 @@ def m5_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("feat", 8).alias("bin7"),
         F.size(nz).alias("n_nonzero_bins"),
     )
+
+
+@query(
+    "j38_ivf_recall",
+    oracle=f"""
+    WITH cent_long AS (
+      SELECT label, i.i AS pos,
+             {QCENT_AVG.format(v="embedding[i.i + 1]")} AS cv
+      FROM embeddings, (SELECT unnest(range(64)) AS i) i
+      GROUP BY 1, 2
+    ),
+    cent AS (SELECT label, list(cv ORDER BY pos) AS centroid FROM cent_long GROUP BY label),
+    q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    qc AS (
+      SELECT qid, qe, label,
+             {_duck_dot("qe", "centroid")} / ({_duck_norm("qe")} * {_duck_norm("centroid")}) AS csim
+      FROM q, cent
+    ),
+    assigned AS (
+      SELECT qid, qe, label FROM (
+        SELECT qid, qe, label,
+               row_number() OVER (PARTITION BY qid ORDER BY csim DESC, label) AS pr
+        FROM qc
+      ) WHERE pr <= 1
+    ),
+    ap AS (
+      SELECT qid, cid FROM (
+        SELECT a.qid, e.vec_id AS cid,
+               row_number() OVER (
+                 PARTITION BY a.qid
+                 ORDER BY {_duck_dot("a.qe", "e.embedding")}
+                            / ({_duck_norm("a.qe")} * {_duck_norm("e.embedding")}) DESC,
+                          e.vec_id
+               ) AS rnk
+        FROM embeddings e JOIN assigned a ON e.label = a.label AND e.vec_id != a.qid
+      ) WHERE rnk <= 3
+    ),
+    ex AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, c.vec_id AS cid,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {_duck_dot("q.qe", "c.embedding")}
+                            / ({_duck_norm("q.qe")} * {_duck_norm("c.embedding")}) DESC,
+                          c.vec_id
+               ) AS rnk
+        FROM embeddings c, q WHERE c.vec_id != q.qid
+      ) WHERE rnk <= 3
+    )
+    SELECT ex.qid,
+           COUNT(*) AS n_exact,
+           COUNT(ap.cid) AS n_hit,
+           CAST(COUNT(ap.cid) AS DOUBLE) / COUNT(*) AS recall
+    FROM ex LEFT JOIN ap ON ex.qid = ap.qid AND ex.cid = ap.cid
+    GROUP BY ex.qid
+    """,
+)
+def j38_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall@3 vs exact brute force — completes the ANN eval pair
+    (j33 measures the LSH index): nprobe=1 recall quantifies what the
+    coarse quantizer loses when the true neighbor lives in another
+    list, the dial IVF deployments trade against probe cost. Both
+    sides deterministic (quantized-integer centroids, sequential-fold
+    cosine) so the recall hash-matches."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    candidates = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    exact_tbl = cosine_topk(queries, candidates, k=3).select("qid", "cid")
+    approx = ann_topk_ivf(queries, emb, k=3, nprobe=1).select(
+        F.col("qid").alias("aqid"), F.col("cid").alias("acid")
+    )
+    hit = exact_tbl.join(
+        F.broadcast(approx),
+        (F.col("qid") == F.col("aqid")) & (F.col("cid") == F.col("acid")),
+        "left",
+    )
+    return hit.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("acid").alias("n_hit"),
+        (F.count("acid").cast("double") / F.count(F.lit(1))).alias("recall"),
+    )
