@@ -1918,3 +1918,49 @@ def j38_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("acid").alias("n_hit"),
         (F.count("acid").cast("double") / F.count(F.lit(1))).alias("recall"),
     )
+
+
+@query(
+    "j39_url_parse",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+               || '?lang=' || lang AS url
+      FROM documents
+    )
+    SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           COUNT(*) AS n_urls,
+           COUNT(DISTINCT regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1)) AS n_paths,
+           MAX(regexp_extract(url, 'lang=([a-z]+)', 1)) AS max_lang
+    FROM urls
+    GROUP BY 1
+    """,
+)
+def j39_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with parse_url (HOST/PATH/QUERY-param
+    extraction) — the first stage of every web-corpus pipeline
+    (per-domain quality priors, dedup by canonical URL, robots
+    filtering all key on the parsed host). Spark's parse_url is a
+    dedicated expression; the oracle proves it equals the regex
+    decomposition DuckDB runs — per-host counts, distinct paths and
+    query-parameter extraction all hash-match."""
+    docs = load(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?lang="),
+            F.col("lang"),
+        ).alias("url"),
+    )
+    return urls.groupBy(
+        F.parse_url("url", F.lit("HOST")).alias("host")
+    ).agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct(F.parse_url("url", F.lit("PATH"))).alias("n_paths"),
+        F.max(F.parse_url("url", F.lit("QUERY"), F.lit("lang"))).alias("max_lang"),
+    )
