@@ -232,3 +232,85 @@ def k6_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB round() are half-away-from-zero — rounding must happen in
     # the engine so both sides share tie-breaking semantics
     return raw.select("vec_id", "label", F.round("l1_norm", 4).alias("l1_norm"))
+
+
+@query(
+    "k7_udtf_analyze",
+    oracle="""
+    WITH cols AS (SELECT unnest(['l_quantity', 'l_discount']) AS col),
+    stats AS (
+      SELECT 'l_quantity' AS col,
+             round(min(l_quantity), 4) AS mn,
+             round(max(l_quantity), 4) AS mx,
+             COUNT(*) AS n
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_discount',
+             round(min(l_discount), 4),
+             round(max(l_discount), 4),
+             COUNT(*)
+      FROM lineitem
+    )
+    SELECT col, mn, mx, n FROM stats
+    """,
+)
+def k7_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze`` static method):
+    the output schema is computed AT PLAN TIME from the call's literal
+    arguments — the table-function shape libraries use for
+    profile/describe-style helpers whose columns depend on what you
+    ask for. Here a stats profiler takes column names as a literal
+    and emits one row per requested column; the aggregation itself
+    runs in the engine beforehand (the UDTF only reshapes the tiny
+    agg row — Python never sees the 600k-row table)."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    @udtf
+    class ProfileReshaper:
+        @staticmethod
+        def analyze(*args):
+            from pyspark.sql.udtf import AnalyzeResult
+
+            # schema built programmatically: the analyze worker has no
+            # active session, so StructType.fromDDL is unavailable here
+            schema = StructType(
+                [
+                    StructField("col", StringType()),
+                    StructField("mn", DoubleType()),
+                    StructField("mx", DoubleType()),
+                    StructField("n", LongType()),
+                ]
+            )
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, *row_vals):
+            # row layout: (name1, mn1, mx1, n1, name2, mn2, mx2, n2, ...)
+            for i in range(0, len(row_vals), 4):
+                yield row_vals[i], row_vals[i + 1], row_vals[i + 2], row_vals[i + 3]
+
+    spark.udtf.register("profile_reshaper", ProfileReshaper)
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.round(F.min("l_quantity"), 4).alias("q_mn"),
+        F.round(F.max("l_quantity"), 4).alias("q_mx"),
+        F.count(F.lit(1)).alias("q_n"),
+        F.round(F.min("l_discount"), 4).alias("d_mn"),
+        F.round(F.max("l_discount"), 4).alias("d_mx"),
+        F.count(F.lit(1)).alias("d_n"),
+    )
+    agg.createOrReplaceTempView("k7_agg")
+    return spark.sql(
+        """
+        SELECT s.col, s.mn, s.mx, s.n
+        FROM k7_agg a, LATERAL profile_reshaper(
+          'l_quantity', a.q_mn, a.q_mx, a.q_n,
+          'l_discount', a.d_mn, a.d_mx, a.d_n) s
+        """
+    )
