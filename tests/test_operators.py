@@ -212,3 +212,79 @@ def test_a9_partition_pruning(spark, tmp_path):
     en = spark.read.parquet(path).filter(F.col("lang") == "en")
     plan = en._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(lang" in plan
+
+
+def test_e9_forward_fill_semantics(spark):
+    """IGNORE NULLS last_value carries the previous non-null forward;
+    lag IGNORE NULLS reaches past nulls to the prior observation."""
+    rows = [
+        (1, 1, None), (1, 2, 10.0), (1, 3, None), (1, 4, 20.0), (1, 5, None),
+    ]
+    df = spark.createDataFrame(rows, "u INT, seq INT, v DOUBLE")
+    df.createOrReplaceTempView("e9t")
+    out = {
+        r.seq: (r.ff, r.prev)
+        for r in spark.sql(
+            """
+            SELECT seq,
+                   last_value(v) IGNORE NULLS OVER
+                     (PARTITION BY u ORDER BY seq
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff,
+                   lag(v, 1) IGNORE NULLS OVER (PARTITION BY u ORDER BY seq) AS prev
+            FROM e9t
+            """
+        ).collect()
+    }
+    assert out[1] == (None, None)
+    assert out[2] == (10.0, None)
+    assert out[3] == (10.0, 10.0)
+    assert out[4] == (20.0, 10.0)
+    assert out[5] == (20.0, 20.0)
+
+
+def test_g5_recursion_depth_and_root(spark):
+    """The 5-ary hierarchy walk: node 24 -> 4 (4 < 5 stops) gives
+    depth 1, root 4; nodes < 5 are their own root at depth 0."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.registry import QUERIES
+
+    registry.load_all_query_modules()
+    out = {r.n_nationkey: (r.depth, r.root)
+           for r in QUERIES["g5_recursive_cte"](spark, "/root/testdata/sf0.001").collect()}
+    assert out[24] == (1, 4)
+    assert out[4] == (0, 4)
+    assert out[7] == (1, 1)
+
+
+def test_h14_theta_exact_at_small_cardinality(spark):
+    """Theta sketches are EXACT below their nominal k (2^12): the
+    set-algebra estimates equal the true counts on a small universe."""
+    a = spark.range(0, 300).selectExpr("id AS x")
+    b = spark.range(200, 500).selectExpr("id AS x")
+    a.createOrReplaceTempView("ta"); b.createOrReplaceTempView("tb")
+    r = spark.sql(
+        """
+        WITH sa AS (SELECT theta_sketch_agg(x) sk FROM ta),
+             sb AS (SELECT theta_sketch_agg(x) sk FROM tb)
+        SELECT theta_sketch_estimate(theta_intersection(sa.sk, sb.sk)) AS inter,
+               theta_sketch_estimate(theta_union(sa.sk, sb.sk)) AS uni,
+               theta_sketch_estimate(theta_difference(sa.sk, sb.sk)) AS diff
+        FROM sa, sb
+        """
+    ).collect()[0]
+    assert (r.inter, r.uni, r.diff) == (100, 500, 200)
+
+
+def test_j36_quartiles_partition_docs(spark, sf_dir):
+    """Quartile bucketing covers every scored doc exactly once and the
+    top stratum keeps everything (rate 1.0)."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.registry import QUERIES
+
+    registry.load_all_query_modules()
+    rows = QUERIES["j36_quality_mixture"](spark, sf_dir).collect()
+    assert {r.quartile for r in rows} <= {1, 2, 3, 4}
+    top = [r for r in rows if r.quartile == 4][0]
+    assert top.n_sampled == top.n_docs
+    for r in rows:
+        assert 0 <= r.n_sampled <= r.n_docs
