@@ -34,49 +34,66 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["d1_agg_hash"](spark, "/root/testdata/sf0.001")
 
 
-# Queries already driver-verified in rounds 1-2 (CORRECTNESS_r01/r02
-# both stop at the first 50 dict entries). The gate caps at 50, so
-# order the NOT-yet-recorded queries first: across rounds the union of
-# driver records then covers the whole registry instead of re-checking
-# the same 50. Local full-registry parity is still checked every
-# session via tools/oracle_check.py.
-_DRIVER_VERIFIED = (
-    "a1_parquet_scan a2_json_scan a3_kv_flatten a4_json_normalize a5_hbase_sink "
-    "a6_rowkey_derive a7_csv_scan a8_stream_source a9_partitioned_write "
-    "a10_jsonl_write a11_schema_evolution a12_orc_roundtrip a13_compaction "
-    "a14_zorder a15_kv_roundtrip b1_project b2_filter b3_cast_case "
-    "c1_join_broadcast c2_join_smj c3_join_outer c4_join_semi c5_join_anti "
-    "c6_join_theta c8_join_star c9_join_cross d1_agg_hash d2_agg_distinct "
-    "d3_agg_approx d4_agg_having d5_agg_rollup d6_agg_cube d7_agg_grouping_sets "
-    "d8_agg_conditional d9_agg_collect d10_agg_stats f4_sample_det d11_pivot "
-    "d12_unpivot h8_fn_bitwise e7_win_range_frame d13_mode b4_subqueries "
-    "f5_offset_pagination b5_merge_upsert b6_cdc_apply e1_win_rank e2_win_lag "
-    "e3_win_running e4_win_moving"
-).split()
+# The driver's correctness gate records only the FIRST 50 entries of
+# queries(), so order the NOT-yet-recorded queries first: across
+# rounds the union of driver records then covers the whole registry
+# instead of re-checking the same 50. Rather than hand-maintaining the
+# verified list, derive it from the CORRECTNESS_r*.json files the
+# driver leaves in the repo: a key counts as verified if it
+# hash-matched, or ran rows-only because SURVEY §2 declares no hash
+# oracle possible ("no_oracle"). Genuine failures re-surface into the
+# window automatically. Local full-registry parity is still checked
+# every session via tools/oracle_check.py.
+def _driver_verified() -> set[str]:
+    import json
+
+    done: set[str] = set()
+    for path in sorted(Path(_REPO).glob("CORRECTNESS_r*.json")):
+        try:
+            rec = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rec.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True or row.get("err") == "no_oracle":
+                done.add(name)
+    return done
 
 
 def _fresh_rank(name: str) -> int:
-    """Within the not-yet-recorded set, put the LLM-pipeline family
-    (j/m — the engine's centerpiece, absent from every driver record
-    so far) first, then UDF paths, then streaming, then the rest."""
+    """Within the not-yet-recorded set (64 at round-4 start), order so
+    the 50-entry window lands on whole families: streaming first (the
+    largest never-recorded family), then UDF paths, joins, set-ops /
+    window tails, sources, SQL-surface ops — scalar-function bundles
+    (h*) last, so the ~14 spilling to the next round are the most
+    uniform family rather than a scatter."""
     head = name.split("_", 1)[0]
-    if head[0] in ("j", "m"):
+    if head[0] == "i" or name == "c7_join_asof":
         return 0
     if head[0] == "k":
         return 1
-    if head[0] == "i" or name == "c7_join_asof":
+    if head[0] == "c":
         return 2
-    return 3
+    if head[0] in ("g", "e", "f", "d"):
+        return 3
+    if head[0] == "a":
+        return 4
+    if head[0] == "b":
+        return 5
+    if head[0] == "j" or head[0] == "m":
+        return 6
+    return 7  # h-family spills to the following round's window
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
     queries without a driver-side correctness record yet come first."""
-    seen = set(_DRIVER_VERIFIED)
+    seen = _driver_verified()
     fresh_names = [k for k in registry.QUERIES if k not in seen]
     fresh_names.sort(key=lambda n: (_fresh_rank(n), n))
     fresh = {k: registry.QUERIES[k] for k in fresh_names}
-    rest = {k: registry.QUERIES[k] for k in _DRIVER_VERIFIED if k in registry.QUERIES}
+    rest = {k: registry.QUERIES[k] for k in sorted(seen) if k in registry.QUERIES}
     return {**fresh, **rest}
 
 

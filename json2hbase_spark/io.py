@@ -61,6 +61,10 @@ def widen(df: DataFrame) -> DataFrame:
     >> cores splits and this is a no-op. Only wrap compute-heavy
     per-row pipelines — a blanket repartition in ``load`` would inject
     a shuffle into every plan."""
+    if df.isStreaming:
+        # .rdd is unsupported on a streaming DataFrame; micro-batch
+        # parallelism is governed by maxFilesPerTrigger/source splits.
+        return df
     want = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < want:
         return df.repartition(want)

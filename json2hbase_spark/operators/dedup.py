@@ -184,7 +184,7 @@ def minhash_signatures_agg(
     id_col: str,
     shingle_col: str,
     num_hashes: int = 64,
-    chunk: int = 32,
+    chunk: int = 64,
 ) -> DataFrame:
     """MinHash signatures from a shingle-ARRAY column: explode into an
     occurrence stream and delegate to ``minhash_from_stream``. Prefer

@@ -87,6 +87,8 @@ def write_hbase_foreach(
     client_factory,
     batch_size: int = 500,
     n_regions: int = 16,
+    max_retries: int = 0,
+    backoff_s: float = 0.0,
 ) -> None:
     """Client-path sink: region-partition + sort (same physical stages
     as the bulk-load path — region-aligned sorted runs are what keep a
@@ -96,22 +98,43 @@ def write_hbase_foreach(
     ``client_factory``: zero-arg callable, executed per partition on
     the executor, returning an ``HBaseClient``. Batches are bounded so
     executor memory stays flat regardless of partition size.
+
+    ``max_retries``: per-BATCH retries on a raised ``put_batch``
+    (region-server Puts fail transiently on splits/moves); the whole
+    batch is re-sent, so Puts must be idempotent — true for HBase,
+    where a Put is a cell version upsert. Exhausted retries re-raise,
+    failing the task so Spark's task-level retry takes over (the
+    partition re-runs from the sorted shuffle output, not the source).
     """
     cells = prepare_hbase_cells(kv, n_regions).select(
         "rowkey", "cf", "qualifier", "value"
     )
 
     def _write_partition(rows) -> None:
+        import time as _time
+
         client = client_factory()
+
+        def _flush(batch: list[tuple[str, str, str, str]]) -> None:
+            for attempt in range(max_retries + 1):
+                try:
+                    client.put_batch(batch)
+                    return
+                except Exception:
+                    if attempt == max_retries:
+                        raise
+                    if backoff_s:
+                        _time.sleep(backoff_s * (2**attempt))
+
         batch: list[tuple[str, str, str, str]] = []
         try:
             for r in rows:
                 batch.append((r["rowkey"], r["cf"], r["qualifier"], r["value"]))
                 if len(batch) >= batch_size:
-                    client.put_batch(batch)
+                    _flush(batch)
                     batch = []
             if batch:
-                client.put_batch(batch)
+                _flush(batch)
         finally:
             client.close()
 

@@ -523,38 +523,40 @@ def a16_bucketed_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
     cust = load(spark, sf_dir, "customer")
     o_tbl, c_tbl = f"a16_orders_{tag}", f"a16_cust_{tag}"
-    (
-        orders.write.format("parquet")
-        .bucketBy(8, "o_custkey")
-        .sortBy("o_custkey")
-        .option("path", f"{wh}/o")
-        .mode("overwrite")
-        .saveAsTable(o_tbl)
-    )
-    (
-        cust.write.format("parquet")
-        .bucketBy(8, "c_custkey")
-        .sortBy("c_custkey")
-        .option("path", f"{wh}/c")
-        .mode("overwrite")
-        .saveAsTable(c_tbl)
-    )
-    joined = spark.table(o_tbl).join(
-        spark.table(c_tbl), F.col("o_custkey") == F.col("c_custkey")
-    )
-    result = joined.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.countDistinct("c_mktsegment").alias("n_segments"),
-    )
-    # eagerly materialize the (tiny) aggregate so the catalog tables,
-    # warehouse dir and conf override can be released before returning
-    # — repeated invocations must not leak tables/dirs for the session
-    result = result.localCheckpoint(eager=True)
-    spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
-    spark.sql(f"DROP TABLE IF EXISTS {c_tbl}")
-    shutil.rmtree(wh, ignore_errors=True)
-    spark.conf.set("spark.sql.sources.bucketing.enabled", prev_bucketing)
-    return result
+    try:
+        (
+            orders.write.format("parquet")
+            .bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .option("path", f"{wh}/o")
+            .mode("overwrite")
+            .saveAsTable(o_tbl)
+        )
+        (
+            cust.write.format("parquet")
+            .bucketBy(8, "c_custkey")
+            .sortBy("c_custkey")
+            .option("path", f"{wh}/c")
+            .mode("overwrite")
+            .saveAsTable(c_tbl)
+        )
+        joined = spark.table(o_tbl).join(
+            spark.table(c_tbl), F.col("o_custkey") == F.col("c_custkey")
+        )
+        result = joined.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+        # eagerly materialize the (tiny) aggregate so the catalog
+        # tables, warehouse dir and conf override can be released
+        # before returning — repeated invocations (or a failed write)
+        # must not leak tables/dirs/confs for the session
+        return result.localCheckpoint(eager=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {o_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {c_tbl}")
+        shutil.rmtree(wh, ignore_errors=True)
+        spark.conf.set("spark.sql.sources.bucketing.enabled", prev_bucketing)
 
 
 @query(

@@ -1721,16 +1721,23 @@ def j36_quality_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "m4_image_resize",
     oracle="""
-    WITH b AS (
+    WITH ascii_docs AS (
+      -- char arithmetic == byte arithmetic only for ASCII text; guard
+      -- explicitly so a regenerated non-ASCII fixture surfaces as a
+      -- row-count diff on BOTH sides, not a silent hash mismatch
+      SELECT doc_id, text FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) = len(text)
+    ),
+    b AS (
       SELECT doc_id,
              octet_length(CAST(text AS BLOB)) AS src_bytes,
              CAST(ceil(octet_length(CAST(text AS BLOB)) / 7.0) AS BIGINT) AS thumb_bytes
-      FROM documents
+      FROM ascii_docs
     ),
     sampled AS (
       SELECT d.doc_id,
              CAST(SUM(ascii(substr(d.text, 1 + 7 * i.i, 1))) AS BIGINT) AS thumb_checksum
-      FROM documents d,
+      FROM ascii_docs d,
            LATERAL (SELECT unnest(range(CAST(ceil(len(d.text) / 7.0) AS BIGINT))) AS i) i
       GROUP BY d.doc_id
     )
@@ -1746,8 +1753,13 @@ def m4_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaced by a deterministic byte-stride subsample whose checksum
     DuckDB reproduces via character arithmetic (fixture text is
     ASCII), so the Python-worker path itself is hash-verified — not
-    just row counts. Partition-sizing and schema contracts match m1."""
-    docs = load(spark, sf_dir, "documents")
+    just row counts. Both sides filter to ASCII docs (byte-len ==
+    char-len) so a non-ASCII fixture regeneration can't silently skew
+    the char-vs-byte equivalence. Partition-sizing and schema
+    contracts match m1."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.expr("octet_length(text) = char_length(text)")
+    )
     assets = multimodal.binary_assets_from_documents(widen(docs))
     return multimodal.resize_plan(assets, 64, 64)
 
@@ -1799,9 +1811,16 @@ def j37_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "m5_feature_extract",
     oracle="""
-    WITH pos AS (
+    WITH ascii_docs AS (
+      -- non-empty ASCII docs only: empty text yields no hist row here
+      -- but a zero-vector row on the Spark side, and char arithmetic
+      -- == byte arithmetic only for ASCII (see m4)
+      SELECT doc_id, text FROM documents
+      WHERE len(text) > 0 AND octet_length(CAST(text AS BLOB)) = len(text)
+    ),
+    pos AS (
       SELECT d.doc_id, ascii(substr(d.text, i.i + 1, 1)) // 16 AS bin
-      FROM documents d,
+      FROM ascii_docs d,
            LATERAL (SELECT unnest(range(len(d.text))) AS i) i
     ),
     hist AS (
@@ -1823,8 +1842,13 @@ def m5_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract of a learned embedding with a deterministic stand-in, so
     the worker output is value-verified via byte arithmetic (ASCII
     fixture text → bins 2-7 carry the mass). Surfaced as per-doc
-    histogram features for the hash check."""
-    docs = load(spark, sf_dir, "documents")
+    histogram features for the hash check. Both sides filter to
+    non-empty ASCII docs — empty text would emit a zero-vector row
+    here but no hist row in the oracle, and non-ASCII breaks the
+    char-vs-byte equivalence (ADVICE r3)."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.expr("char_length(text) > 0 AND octet_length(text) = char_length(text)")
+    )
     assets = multimodal.binary_assets_from_documents(widen(docs))
     feats = multimodal.feature_plan(assets)
     nz = F.filter(F.col("feat"), lambda c: c > 0)

@@ -9,6 +9,8 @@ driven through SQL LATERAL.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StringType
@@ -305,11 +307,14 @@ def k7_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("l_discount"), 4).alias("d_mx"),
         F.count(F.lit(1)).alias("d_n"),
     )
-    agg.createOrReplaceTempView("k7_agg")
+    # unique view name: two concurrent k7 runs in one session must not
+    # clobber each other's staged agg row
+    view = f"k7_agg_{uuid.uuid4().hex[:12]}"
+    agg.createOrReplaceTempView(view)
     return spark.sql(
-        """
+        f"""
         SELECT s.col, s.mn, s.mx, s.n
-        FROM k7_agg a, LATERAL profile_reshaper(
+        FROM {view} a, LATERAL profile_reshaper(
           'l_quantity', a.q_mn, a.q_mx, a.q_n,
           'l_discount', a.d_mn, a.d_mx, a.d_n) s
         """

@@ -206,6 +206,100 @@ def test_write_hbase_foreach_with_recording_client(spark):
     assert len(written) == 100  # 50 rows × 2 map entries
 
 
+def test_write_hbase_foreach_flush_cadence(spark):
+    """The client-side buffer contract: every put_batch call carries
+    EXACTLY batch_size cells except the final flush of each partition,
+    and nothing is dropped or double-sent. This pins the bounded-batch
+    Put behavior a real region server depends on (memstore pressure is
+    per-batch; an unbounded buffer OOMs the executor at 100 TB)."""
+    rows = [(f"k{i:03d}", {"a": str(i), "b": str(i * 2)}) for i in range(53)]
+    df = spark.createDataFrame(rows, "rk STRING, doc MAP<STRING, STRING>")
+    from json2hbase_spark.operators.flatten import kv_flatten
+
+    class _CadenceClient:
+        def __init__(self, spill_dir: str):
+            self._path = os.path.join(
+                spill_dir, f"cad-{os.getpid()}-{id(self)}.txt"
+            )
+            self._fh = open(self._path, "a", encoding="utf-8")
+
+        def put_batch(self, cells):
+            self._fh.write(f"BATCH {len(cells)}\n")
+            for rk, cf, q, v in cells:
+                self._fh.write(f"{rk}\t{q}\n")
+
+        def close(self):
+            self._fh.write("CLOSE\n")
+            self._fh.close()
+
+    kv = kv_flatten(df, "rk", cf="d")
+    spill = tempfile.mkdtemp(prefix="j2h_hbase_cad_")
+    write_hbase_foreach(kv, lambda: _CadenceClient(spill), batch_size=8, n_regions=4)
+
+    written = []
+    for f in glob.glob(os.path.join(spill, "cad-*.txt")):
+        lines = [ln.rstrip("\n") for ln in open(f, encoding="utf-8")]
+        assert lines[-1] == "CLOSE", f  # client closed even on empty partition
+        sizes = [int(ln.split()[1]) for ln in lines if ln.startswith("BATCH ")]
+        cells = [ln for ln in lines if "\t" in ln]
+        assert sum(sizes) == len(cells), f
+        # every batch full except (at most) the partition's last flush
+        assert all(s == 8 for s in sizes[:-1]), sizes
+        assert not sizes or 0 < sizes[-1] <= 8, sizes
+        written.extend(cells)
+    assert len(written) == 106  # 53 rows × 2 map entries
+    assert len(set(written)) == 106  # exactly once
+
+
+def test_write_hbase_foreach_retries_transient_failure(spark):
+    """A transiently failing put_batch (first attempt per client) must
+    be retried and deliver every cell exactly once; with retries
+    exhausted the task must fail loudly, never drop cells silently."""
+    rows = [(f"k{i:03d}", {"a": str(i)}) for i in range(20)]
+    df = spark.createDataFrame(rows, "rk STRING, doc MAP<STRING, STRING>")
+    from json2hbase_spark.operators.flatten import kv_flatten
+
+    class _FlakyClient:
+        def __init__(self, spill_dir: str, fail_always: bool = False):
+            self._failed_once = False
+            self._fail_always = fail_always
+            self._path = os.path.join(
+                spill_dir, f"flaky-{os.getpid()}-{id(self)}.txt"
+            )
+
+        def put_batch(self, cells):
+            if self._fail_always or not self._failed_once:
+                self._failed_once = True
+                raise IOError("transient region move")
+            with open(self._path, "a", encoding="utf-8") as fh:
+                for rk, cf, q, v in cells:
+                    fh.write(f"{rk}\t{q}\n")
+
+        def close(self):
+            pass
+
+    kv = kv_flatten(df, "rk", cf="d")
+    spill = tempfile.mkdtemp(prefix="j2h_hbase_flaky_")
+    write_hbase_foreach(
+        kv, lambda: _FlakyClient(spill), batch_size=6, n_regions=2, max_retries=2
+    )
+    written = []
+    for f in glob.glob(os.path.join(spill, "flaky-*.txt")):
+        written.extend(ln.rstrip("\n") for ln in open(f, encoding="utf-8"))
+    assert len(written) == 20 and len(set(written)) == 20
+
+    # exhausted retries surface as a job failure, not silent loss
+    spill2 = tempfile.mkdtemp(prefix="j2h_hbase_flaky2_")
+    with pytest.raises(Exception):
+        write_hbase_foreach(
+            kv,
+            lambda: _FlakyClient(spill2, fail_always=True),
+            batch_size=6,
+            n_regions=2,
+            max_retries=1,
+        )
+
+
 # ---------------------------------------------------------------- stream confs
 
 
@@ -471,6 +565,42 @@ def test_c12_lateral_decorrelated_to_window(spark, sf_dir):
     plan = _physical_plan(registry.QUERIES["c12_join_lateral"](spark, sf_dir))
     assert "Window" in plan, plan
     assert "row_number" in plan, plan
+
+
+def test_g5_recursive_cte_bounded_loop_plan(spark, sf_dir):
+    """The recursive CTE must execute as the engine's bounded
+    union-loop operator (iterate-until-fixpoint with a row/depth
+    limit), not as an unrolled chain of self-joins — unrolling would
+    blow the plan up linearly with recursion depth at 100 TB."""
+    import re
+
+    df = registry.QUERIES["g5_recursive_cte"](spark, sf_dir)
+    plan = _physical_plan(df)
+    # exactly one loop operator (plus its Ref leaf inside the loop
+    # body): the recursion is a single fixpoint iteration, not
+    # nested/unrolled self-joins
+    assert len(re.findall(r"UnionLoop(?!Ref)", plan)) == 1, plan
+    assert "UnionLoopRef" in plan, plan
+
+
+def test_c13_exists_chain_decorrelates_to_hash_joins(spark, sf_dir):
+    """Every EXISTS / NOT EXISTS in the chain must decorrelate into
+    hash-based semi/anti joins; a BroadcastNestedLoopJoin anywhere
+    means a correlated predicate survived as an O(n·m) scan."""
+    plan = _physical_plan(registry.QUERIES["c13_exists_chain"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_j36_mixture_single_percentile_agg_no_window(spark, sf_dir):
+    """Quartile cutpoints must come from ONE percentile aggregate
+    broadcast back over the corpus — a global ntile/rank window here
+    would single-partition the full corpus sort at 100 TB."""
+    plan = _physical_plan(registry.QUERIES["j36_quality_mixture"](spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "percentile" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
 
 
 def test_widen_noop_when_partitions_sufficient(spark):
