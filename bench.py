@@ -50,7 +50,8 @@ def main() -> None:
     registry.QUERIES["d1_agg_hash"](spark, sf_dir).write.format("noop").mode("overwrite").save()
     for warm in (
         "j13_fingerprint",
-        "j9_minhash_sig",
+        "j2_dedup_near",  # superset warm: signature agg (shared with j9) + band join + verify
+        "j15_simhash",
         "i4_watermark",
         "a19_python_datasource",
         "i18_python_stream_source",

@@ -175,11 +175,14 @@ def _duck_sqdist(a: str, b: str) -> str:
     )
 
 
-def _kmeans_oracle(iters: int = 3) -> str:
-    """Unrolled Lloyd iterations as CTEs: every arithmetic step
-    (double sqdist folds, argmin tie-break, quantized-integer centroid
-    averages) is bit-identical to the Spark plan, so the iterative
-    algorithm hash-matches end-to-end — no rows-only fallback."""
+def kmeans_ctes(iters: int = 3) -> str:
+    """Unrolled Lloyd iterations as DuckDB CTEs ending in
+    ``af(vec_id, cluster)`` (plus ``v(vec_id, ve)`` with double
+    vectors): every arithmetic step (double sqdist folds, argmin
+    tie-break, quantized-integer centroid averages) is bit-identical
+    to the Spark plan, so iterative algorithms built on the
+    assignments hash-match end-to-end — no rows-only fallback. Shared
+    by j21 and the SemDeDup oracle (corpus_queries.j43)."""
     q = (
         "CAST(SUM(CAST(floor(ve[i.i + 1] * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)"
         " / (COUNT(*) * 1000000)"
@@ -216,9 +219,62 @@ def _kmeans_oracle(iters: int = 3) -> str:
                                   ORDER BY {_duck_sqdist('v.ve', 'c.ce')}, c.cluster) AS rn
         FROM v, {prev} c) WHERE rn = 1)"""
     )
+    return ",\n".join(parts)
+
+
+def _kmeans_oracle(iters: int = 3) -> str:
     return (
-        ",\n".join(parts)
+        kmeans_ctes(iters)
         + "\nSELECT cluster, COUNT(*) AS n_members, min(vec_id) AS min_vec FROM af GROUP BY cluster"
+    )
+
+
+def kmeans_assign(spark: SparkSession, sf_dir: str, iters: int = 3) -> DataFrame:
+    """Lloyd's k-means assignment plan (k=10 seeded from vec_id 0..9,
+    deterministic argmin tie-break by cluster id): returns
+    (vec_id, v, cluster) after ``iters`` rounds, with the centroid
+    table materialized per iteration so lineage stays flat. Spark twin
+    of ``kmeans_ctes``'s ``af``. Shared by j21 and j43."""
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", F.col("embedding").alias("v"))
+
+    def sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    centroids = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").cast("int").alias("cluster"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("c"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cluster"))
+    for it in range(iters):
+        assigned = (
+            vecs.crossJoin(F.broadcast(centroids))
+            .withColumn("d", sqdist(F.col("v"), F.col("c")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cluster")
+        )
+        centroids = materialize(
+            assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.expr(QCENT_AVG.format(v="val")).alias("cv"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
+                ).alias("c")
+            )
+        )
+    return (
+        vecs.crossJoin(F.broadcast(centroids))
+        .withColumn("d", sqdist(F.col("v"), F.col("c")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cluster")
     )
 
 
@@ -241,46 +297,7 @@ def j21_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB twin (_kmeans_oracle unrolls the three Lloyd steps as
     CTEs) — the argmin assignments, and therefore the final clusters,
     match exactly."""
-    emb = load(spark, sf_dir, "embeddings")
-    vecs = emb.select("vec_id", F.col("embedding").alias("v"))
-
-    def sqdist(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    centroids = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").cast("int").alias("cluster"),
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("c"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cluster"))
-    for _ in range(3):
-        assigned = (
-            vecs.crossJoin(F.broadcast(centroids))
-            .withColumn("d", sqdist(F.col("v"), F.col("c")))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "v", "cluster")
-        )
-        centroids = materialize(
-            assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
-            .groupBy("cluster", "pos")
-            .agg(F.expr(QCENT_AVG.format(v="val")).alias("cv"))
-            .groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
-                ).alias("c")
-            )
-        )
-    final = (
-        vecs.crossJoin(F.broadcast(centroids))
-        .withColumn("d", sqdist(F.col("v"), F.col("c")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-    )
+    final = kmeans_assign(spark, sf_dir, iters=3)
     return final.groupBy("cluster").agg(
         F.count("*").alias("n_members"),
         F.min("vec_id").alias("min_vec"),
