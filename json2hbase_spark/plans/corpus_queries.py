@@ -1,0 +1,536 @@
+"""Corpus-pipeline operators (round 4): word-n-gram near-dup scoring,
+cross-document boilerplate detection, RAG chunking, bigram-LM quality
+scoring, SemDeDup (cluster-then-prune embedding dedup), the dataset
+report card, and the hypertable rollup cascade (fine→coarse time
+aggregates computed from the fine level, continuous-aggregate style).
+
+These extend SURVEY.md §2's J/I families with the operations a
+training-data pipeline runs corpus-wide. Scale notes inline; the
+common theme is that every pairwise step is blocked (rare-n-gram
+blocking in j40, k-means cells in j43) so nothing is O(n²) at 100 TB,
+and every rollup reuses a coarser pre-aggregate instead of rescanning
+raw data (i22).
+
+Float conventions follow functions/exact.py: int-ratio divisions are
+single IEEE ops (bit-identical cross-engine, no rounding); ln+avg
+scores round to 4 like j31; money-style sums stay DECIMAL until one
+final cast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from json2hbase_spark.io import load, widen
+from json2hbase_spark.materialize import materialize
+from json2hbase_spark.operators.similarity import dot as vdot
+from json2hbase_spark.operators.similarity import l2_norm
+from json2hbase_spark.operators.text import whitespace_tokens
+from json2hbase_spark.plans.advanced_queries import kmeans_assign, kmeans_ctes
+from json2hbase_spark.registry import query
+
+
+def word_ngrams(w, n: int):
+    """Array of space-joined word n-grams from a token array column.
+    Caller must pre-filter ``size(w) >= n`` (Spark's ``sequence`` with
+    start > stop would count DOWN, not return empty)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + k) for k in range(n)]),
+    )
+
+
+def _duck_ngrams(w: str, n: int) -> str:
+    """DuckDB twin of ``word_ngrams`` — same 1-based window walk."""
+    cols = ", ".join(f"{w}[i+{k}]" if k else f"{w}[i]" for k in range(n))
+    return f"list_transform(range(1, len({w}) - {n - 1} + 1), i -> concat_ws(' ', {cols}))"
+
+
+_DUCK_TOKS = (
+    "SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x != '') AS w"
+    " FROM documents"
+)
+
+
+# ---------------------------------------------------------------- j40
+
+@query(
+    "j40_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS ({_DUCK_TOKS}),
+    gr AS (
+      SELECT DISTINCT doc_id, unnest({_duck_ngrams("w", 2)}) AS g
+      FROM toks WHERE len(w) >= 2
+    ),
+    dfreq AS (SELECT g, COUNT(*) AS df FROM gr GROUP BY g),
+    rare AS (SELECT gr.doc_id, gr.g FROM gr JOIN dfreq USING (g) WHERE df BETWEEN 2 AND 8),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM gr GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN gr ga ON ga.doc_id = c.doc_a
+      JOIN gr gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, i.n_inter,
+           CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jacc
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    """,
+)
+def j40_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard near-dup scoring with rare-n-gram blocking
+    (the classic record-linkage alternative to MinHash banding): only
+    document pairs sharing a bigram with corpus frequency in [2, 8]
+    become candidates, then exact set Jaccard over each pair's full
+    distinct-bigram sets. The df ceiling is the scale lever — common
+    bigrams never generate candidates, so pair count is bounded by
+    (#rare grams × df²) instead of n². The intersection join ships
+    only (pair, gram) ids; Jaccard is one IEEE division of ints —
+    bit-identical cross-engine, no rounding. Complements j2 (MinHash
+    char shingles) with exact word-level similarity."""
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        widen(docs)
+        .select("doc_id", whitespace_tokens(F.col("text")).alias("w"))
+        .filter(F.size("w") >= 2)
+    )
+    return ngram_jaccard_pairs(toks)
+
+
+def ngram_jaccard_pairs(
+    toks: DataFrame, df_min: int = 2, df_max: int = 8
+) -> DataFrame:
+    """Rare-bigram-blocked exact Jaccard over (doc_id, w token-array)
+    rows: see j40's docstring. Candidate pairs only form on grams with
+    document frequency in [df_min, df_max]."""
+    grams = materialize(
+        toks.select("doc_id", F.explode(word_ngrams(F.col("w"), 2)).alias("g")).distinct()
+    )
+    dfreq = grams.groupBy("g").agg(F.count("*").alias("df"))
+    rare = grams.join(dfreq.filter((F.col("df") >= df_min) & (F.col("df") <= df_max)), "g")
+    cand = (
+        rare.alias("a")
+        .join(
+            rare.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ga = grams.select(F.col("doc_id").alias("doc_a"), "g")
+    gb = grams.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (
+        cand.join(ga, "doc_a")
+        .join(gb, ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).alias("jacc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- j41
+
+@query(
+    "j41_boilerplate",
+    oracle=f"""
+    WITH toks AS ({_DUCK_TOKS}),
+    gr AS (
+      SELECT DISTINCT doc_id, lang, unnest({_duck_ngrams("w", 4)}) AS g
+      FROM toks WHERE len(w) >= 4
+    ),
+    shared AS (SELECT g FROM gr GROUP BY g HAVING COUNT(*) >= 3)
+    SELECT doc_id, lang,
+           COUNT(*) AS n_grams,
+           CAST(COUNT(*) FILTER (g IN (SELECT g FROM shared)) AS BIGINT) AS n_boiler,
+           CAST(COUNT(*) FILTER (g IN (SELECT g FROM shared)) AS DOUBLE) / COUNT(*)
+             AS boiler_ratio
+    FROM gr
+    GROUP BY doc_id, lang
+    """,
+)
+def j41_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection (RefinedWeb-style): a word
+    4-gram appearing in ≥3 distinct documents is boilerplate (headers,
+    navigation, license blurbs); each doc scores the fraction of its
+    distinct 4-grams that are boilerplate. Complements j32 (WITHIN-doc
+    repetition): this is the ACROSS-doc repetition signal. Two hash
+    aggs + one semi-join-shaped flag join, all on gram strings — at
+    100 TB the shared-gram table is the only broadcast/bucketed state
+    and is pruned by the HAVING floor. Ratio is one IEEE int division,
+    no rounding."""
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        widen(docs)
+        .select("doc_id", "lang", whitespace_tokens(F.col("text")).alias("w"))
+        .filter(F.size("w") >= 4)
+    )
+    grams = materialize(
+        toks.select(
+            "doc_id", "lang", F.explode(word_ngrams(F.col("w"), 4)).alias("g")
+        ).distinct()
+    )
+    shared = grams.groupBy("g").agg(F.count("*").alias("ndocs")).filter(F.col("ndocs") >= 3)
+    flagged = grams.join(
+        shared.select("g", F.lit(1).alias("is_boiler")), "g", "left"
+    )
+    return flagged.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.coalesce(F.col("is_boiler"), F.lit(0))).alias("n_boiler"),
+        (
+            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0))).cast("double") / F.count("*")
+        ).alias("boiler_ratio"),
+    )
+
+
+# ---------------------------------------------------------------- j42
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+@query(
+    "j42_rag_chunk",
+    oracle=f"""
+    WITH toks AS ({_DUCK_TOKS}),
+    s AS (
+      SELECT doc_id, w, unnest(range(1, len(w) + 1, {CHUNK_STRIDE})) AS st
+      FROM toks WHERE len(w) >= 1
+    )
+    SELECT doc_id,
+           CAST((st - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(w, st, least(st + {CHUNK_TOKENS} - 1, len(w)))) AS BIGINT)
+             AS n_tok,
+           md5(array_to_string(list_slice(w, st, least(st + {CHUNK_TOKENS} - 1, len(w))), ' '))
+             AS chunk_hash
+    FROM s
+    """,
+)
+def j42_rag_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking: overlapping fixed-token windows (64 tokens,
+    stride 48 → 16-token overlap) fanned out one row per chunk, each
+    carrying its token count and content hash (the dedup/join key a
+    retrieval index stores). Pure expression fan-out — sequence of
+    window starts, slice per start, explode — no UDF, scales linearly
+    and embarrassingly parallel at 100 TB. The hash stands in for the
+    chunk text so the result stays narrow (the real pipeline writes
+    text to the chunk store keyed by it)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        widen(docs)
+        .select("doc_id", whitespace_tokens(F.col("text")).alias("w"))
+        .filter(F.size("w") >= 1)
+    )
+    return rag_chunks(toks)
+
+
+def rag_chunks(
+    toks: DataFrame, chunk_tokens: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Overlapping-window chunk fan-out over (doc_id, w) rows: see
+    j42's docstring."""
+    starts = toks.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(1), F.size("w"), F.lit(stride))).alias("st"),
+    )
+    chunk = F.slice(F.col("w"), F.col("st"), chunk_tokens)
+    return starts.select(
+        "doc_id",
+        F.expr(f"CAST((st - 1) DIV {stride} AS BIGINT)").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_tok"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+# ---------------------------------------------------------------- j44
+
+@query(
+    "j44_bigram_logprob",
+    oracle=f"""
+    WITH toks AS ({_DUCK_TOKS}),
+    bg AS (
+      SELECT doc_id, lang, unnest({_duck_ngrams("w", 2)}) AS g
+      FROM toks WHERE len(w) >= 2
+    ),
+    b2 AS (SELECT g, COUNT(*) AS c2 FROM bg GROUP BY g),
+    b1 AS (SELECT split_part(g, ' ', 1) AS w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+    vv AS (SELECT COUNT(DISTINCT split_part(g, ' ', 2)) AS v FROM bg)
+    SELECT bg.doc_id, bg.lang,
+           COUNT(*) AS n_bigrams,
+           round(avg(ln(CAST(b2.c2 + 1 AS DOUBLE) / (b1.c1 + vv.v))), 4) AS lm2_score
+    FROM bg
+    JOIN b2 ON b2.g = bg.g
+    JOIN b1 ON b1.w1 = split_part(bg.g, ' ', 1), vv
+    GROUP BY bg.doc_id, bg.lang
+    """,
+)
+def j44_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality scoring (one order up from j31's
+    unigram): corpus bigram counts give add-one-smoothed conditional
+    probabilities p(w2|w1) = (c(w1 w2)+1)/(c(w1·)+V); each doc scores
+    the average log-probability of its bigram stream — the perplexity
+    proxy that separates fluent text from shuffled-word spam, which a
+    unigram model cannot see. Three hash aggs (bigram counts, left-
+    context counts, vocab size) + two hash joins on the occurrence
+    stream; the single-row V attaches via crossJoin (broadcast), never
+    a global window. At 100 TB the count tables persist as the "LM"
+    and score new corpora incrementally. ln+avg rounds to 4 per the
+    exact.py convention (same as j31)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        widen(docs)
+        .select("doc_id", "lang", whitespace_tokens(F.col("text")).alias("w"))
+        .filter(F.size("w") >= 2)
+    )
+    bg = materialize(
+        toks.select("doc_id", "lang", F.explode(word_ngrams(F.col("w"), 2)).alias("g"))
+    )
+    b2 = bg.groupBy("g").agg(F.count("*").alias("c2"))
+    b1 = (
+        bg.select(F.expr("split_part(g, ' ', 1)").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    vv = bg.select(F.expr("split_part(g, ' ', 2)").alias("w2")).agg(
+        F.countDistinct("w2").alias("v")
+    )
+    scored = (
+        bg.join(b2, "g")
+        .withColumn("w1", F.expr("split_part(g, ' ', 1)"))
+        .join(b1, "w1")
+        .crossJoin(F.broadcast(vv))
+        .withColumn(
+            "logp", F.log((F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("v")))
+        )
+    )
+    return scored.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("logp"), 4).alias("lm2_score"),
+    )
+
+
+# ---------------------------------------------------------------- j43
+
+SEMDEDUP_TAU = 0.35
+
+
+def _duck_pair_dot(a: str, b: str) -> str:
+    return f"list_aggregate(list_transform(range(1, 65), i -> {a}[i] * {b}[i]), 'sum')"
+
+
+@query(
+    "j43_semdedup",
+    oracle=kmeans_ctes(3)
+    + f""",
+    vn AS (
+      SELECT vec_id, ve, sqrt({_duck_pair_dot("ve", "ve")}) AS nrm FROM v
+    ),
+    sd AS (
+      SELECT a.cluster, b.vec_id AS vec_b,
+             {_duck_pair_dot("va.ve", "vb.ve")} / (va.nrm * vb.nrm) AS sim
+      FROM af a
+      JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      JOIN vn va ON va.vec_id = a.vec_id
+      JOIN vn vb ON vb.vec_id = b.vec_id
+    ),
+    pr AS (
+      SELECT cluster, COUNT(DISTINCT vec_b) AS n_pruned
+      FROM sd WHERE sim >= {SEMDEDUP_TAU} GROUP BY cluster
+    ),
+    mem AS (SELECT cluster, COUNT(*) AS n_members FROM af GROUP BY cluster)
+    SELECT mem.cluster, mem.n_members,
+           COALESCE(pr.n_pruned, 0) AS n_pruned,
+           mem.n_members - COALESCE(pr.n_pruned, 0) AS n_survivors
+    FROM mem LEFT JOIN pr ON pr.cluster = mem.cluster
+    """,
+)
+def j43_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup by clustering
+    embeddings (k-means, shared with j21 — same seeded Lloyd plan)
+    then pruning, WITHIN each cluster only, every vector that has a
+    lower-id neighbor at cosine ≥ τ. The cluster step is what makes
+    embedding dedup scale: candidate pairs are O(Σ cell²) instead of
+    O(n²), and cells shrink as k grows — at 100 TB k is chosen so
+    cells fit an executor (then the within-cell pair join is a local
+    quadratic, no shuffle amplification). Hash-checked end-to-end:
+    assignments reuse j21's bit-exact iteration, cosine is the same
+    sequential fold both engines run, so the pruned sets match
+    exactly."""
+    asg = materialize(kmeans_assign(spark, sf_dir, iters=3).select("vec_id", "cluster"))
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # hoist the norm to once-per-vector (5k folds) instead of twice-
+    # per-pair (2.5M folds): identical arithmetic — sqrt of the same
+    # sequential fold — so the similarity values (and the hash) are
+    # unchanged, but the pair stage runs ONE fold per pair. 12.6 s →
+    # ~5 s at sf0.1.
+    side = materialize(
+        asg.join(emb, "vec_id").select(
+            "cluster",
+            "vec_id",
+            F.col("embedding").alias("va"),
+            F.sqrt(vdot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        )
+    )
+    a = side.select(
+        "cluster", F.col("vec_id").alias("vec_a"), "va", F.col("nrm").alias("na")
+    )
+    b = side.select(
+        F.col("cluster").alias("cl_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("va").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(b, (a.cluster == b.cl_b) & (a.vec_a < b.vec_b)).withColumn(
+        "sim", vdot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    )
+    pruned = (
+        pairs.filter(F.col("sim") >= SEMDEDUP_TAU)
+        .groupBy("cluster")
+        .agg(F.countDistinct("vec_b").alias("n_pruned"))
+    )
+    mem = asg.groupBy("cluster").agg(F.count("*").alias("n_members"))
+    return (
+        mem.join(pruned, "cluster", "left")
+        .select(
+            "cluster",
+            "n_members",
+            F.coalesce(F.col("n_pruned"), F.lit(0)).alias("n_pruned"),
+            (F.col("n_members") - F.coalesce(F.col("n_pruned"), F.lit(0))).alias(
+                "n_survivors"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------- j45
+
+@query(
+    "j45_dataset_card",
+    oracle="""
+    SELECT COALESCE(lang, 'ALL') AS lang,
+           COALESCE(source, 'ALL') AS source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM (
+      SELECT lang, source, n_chars,
+             len(list_filter(string_split(text, ' '), x -> x != '')) AS n_toks
+      FROM documents
+    )
+    GROUP BY GROUPING SETS ((lang, source), (lang), ())
+    """,
+)
+def j45_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset report card: the corpus-composition rollup every
+    training-data release ships (docs / tokens / size by language ×
+    source, with language and grand totals) in one GROUPING SETS pass
+    — one shuffle produces all three aggregation levels instead of
+    three scans. COALESCE('ALL') labels the rollup rows (fixtures
+    have no NULL lang/source, so the sentinel is unambiguous).
+    avg_chars is exact-sum ÷ count — one IEEE division, bit-identical
+    cross-engine. At 100 TB this is a metadata-only pass: n_chars and
+    token counts come from doc-level stats columns, no text scan."""
+    docs = load(spark, sf_dir, "documents")
+    view = f"j45_docs_{id(docs) & 0xFFFF:x}"
+    docs.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT COALESCE(lang, 'ALL') AS lang,
+               COALESCE(source, 'ALL') AS source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+               CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        FROM (
+          SELECT lang, source, n_chars,
+                 size(filter(split(text, ' '), x -> x != '')) AS n_toks
+          FROM {view}
+        )
+        GROUP BY GROUPING SETS ((lang, source), (lang), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------- i22
+
+@query(
+    "i22_hypertable_rollup",
+    oracle="""
+    WITH fine AS (
+      SELECT event_type,
+             date_trunc('minute', ts::TIMESTAMP) AS m,
+             COUNT(*) AS n_events,
+             SUM(CAST(value AS DECIMAL(12,2))) AS sv
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT event_type,
+           epoch_us(date_trunc('hour', m)) AS hour_us,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(sv) AS DOUBLE) AS sum_value,
+           COUNT(*) AS n_minutes
+    FROM fine
+    GROUP BY 1, 2
+    """,
+)
+def i22_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup cascade (TimescaleDB continuous-aggregate
+    style): raw events roll to per-minute partials, and the hourly
+    level aggregates THE MINUTE PARTIALS — counts sum, decimal sums
+    re-sum exactly — never rescanning raw rows. That associativity is
+    the 100 TB story: each resolution is ~60× smaller than the one
+    below, so maintaining a day of hourly aggregates costs a scan of
+    1440 minute rows per key, not 100 TB of raw events, and the same
+    cascade extends to day/month levels. Sums stay DECIMAL through
+    both levels (order-free, partition-count-free) with one final
+    DOUBLE cast; the hour bucket surfaces as unix micros per the
+    engine's timestamp convention."""
+    ev = load(spark, sf_dir, "events")
+    return hypertable_rollup(ev)
+
+
+def hypertable_rollup(ev: DataFrame) -> DataFrame:
+    """Minute→hour rollup cascade over (event_type, ts, value) rows:
+    see i22's docstring."""
+    fine = ev.groupBy(
+        "event_type", F.date_trunc("minute", F.col("ts")).alias("m")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("sv"),
+    )
+    return (
+        fine.groupBy("event_type", F.date_trunc("hour", F.col("m")).alias("h"))
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sv").cast("double").alias("sum_value"),
+            F.count("*").alias("n_minutes"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros("h").alias("hour_us"),
+            "n_events",
+            "sum_value",
+            "n_minutes",
+        )
+    )

@@ -47,4 +47,5 @@ def load_all_query_modules() -> None:
         llm_queries,
         udf_queries,
         advanced_queries,
+        corpus_queries,
     )

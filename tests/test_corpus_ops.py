@@ -1,0 +1,90 @@
+"""Round-4 corpus-operator tests: word-n-gram building blocks, blocked
+Jaccard on planted duplicates, chunk-boundary arithmetic, and the
+rollup cascade's exactness against a direct hourly aggregate."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from json2hbase_spark.plans.corpus_queries import (
+    hypertable_rollup,
+    ngram_jaccard_pairs,
+    rag_chunks,
+    word_ngrams,
+)
+
+
+def test_word_ngrams_windows(spark):
+    df = spark.createDataFrame([(["a", "b", "c", "d"],)], "w array<string>")
+    bi = df.select(word_ngrams(F.col("w"), 2).alias("g")).first().g
+    assert bi == ["a b", "b c", "c d"]
+    four = df.select(word_ngrams(F.col("w"), 4).alias("g")).first().g
+    assert four == ["a b c d"]
+
+
+def test_ngram_jaccard_planted_pair(spark):
+    # docs 1 and 2 identical (J=1); doc 3 disjoint (never a candidate)
+    docs = [
+        (1, ["x", "y", "z", "w", "v"]),
+        (2, ["x", "y", "z", "w", "v"]),
+        (3, ["p", "q", "r", "s", "t"]),
+    ]
+    toks = spark.createDataFrame(docs, "doc_id INT, w array<string>")
+    rows = ngram_jaccard_pairs(toks).collect()
+    assert [(r.doc_a, r.doc_b, r.n_inter, r.jacc) for r in rows] == [(1, 2, 4, 1.0)]
+
+
+def test_ngram_jaccard_partial_overlap(spark):
+    # 1: a b c d -> {ab, bc, cd}; 2: a b c e -> {ab, bc, ce}
+    # inter=2, union=4 -> J=0.5
+    docs = [(1, ["a", "b", "c", "d"]), (2, ["a", "b", "c", "e"])]
+    toks = spark.createDataFrame(docs, "doc_id INT, w array<string>")
+    rows = ngram_jaccard_pairs(toks).collect()
+    assert [(r.doc_a, r.doc_b, r.n_inter, r.jacc) for r in rows] == [(1, 2, 2, 0.5)]
+
+
+def test_rag_chunk_boundaries(spark):
+    # 100 tokens, chunk=64, stride=48: starts 1, 49, 97 ->
+    # lengths 64, 52, 4; idx 0, 1, 2
+    toks = spark.createDataFrame(
+        [(1, [f"t{i}" for i in range(100)])], "doc_id INT, w array<string>"
+    )
+    rows = sorted(rag_chunks(toks).collect(), key=lambda r: r.chunk_idx)
+    assert [(r.chunk_idx, r.n_tok) for r in rows] == [(0, 64), (1, 52), (2, 4)]
+    # overlap: chunk 1 starts at token index 48 (0-based), inside chunk 0
+    assert len({r.chunk_hash for r in rows}) == 3
+
+
+def test_rag_chunk_short_doc_single_chunk(spark):
+    toks = spark.createDataFrame([(1, ["only", "four", "tokens", "here"])],
+                                 "doc_id INT, w array<string>")
+    rows = rag_chunks(toks).collect()
+    assert [(r.chunk_idx, r.n_tok) for r in rows] == [(0, 4)]
+
+
+def test_hypertable_rollup_equals_direct_hourly(spark):
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    events = [
+        (i, base + dt.timedelta(minutes=7 * i), "click" if i % 2 else "view", 1.25 * i)
+        for i in range(40)
+    ]
+    ev = spark.createDataFrame(
+        events, "event_id INT, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    )
+    cascade = {
+        (r.event_type, r.hour_us): (r.n_events, r.sum_value)
+        for r in hypertable_rollup(ev).collect()
+    }
+    direct = {
+        (r.event_type, r.hour_us): (r.n_events, r.sum_value)
+        for r in ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .select("event_type", F.unix_micros("h").alias("hour_us"), "n_events", "sum_value")
+        .collect()
+    }
+    assert cascade == direct and len(cascade) > 2
