@@ -641,3 +641,49 @@ def test_partition_pruning_through_join(spark, sf_dir):
         assert joined.count() >= 1
     finally:
         spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
+
+
+# ------------------------------------------------- round-4 corpus ops
+
+
+def test_j40_all_joins_equi(spark, sf_dir):
+    """j40's candidate generation and intersection joins are all equi
+    joins on gram/doc keys — a CartesianProduct or BNLJ here would be
+    the O(n²) disaster rare-gram blocking exists to avoid."""
+    plan = _physical_plan(registry.QUERIES["j40_ngram_jaccard"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_j42_chunking_is_narrow(spark, sf_dir):
+    """Chunk fan-out is a pure per-row explode: no aggregation, no
+    join, and the only allowed Exchange is widen()'s repartition of
+    the single-file local scan (a no-op on a real multi-split layout)."""
+    plan = _physical_plan(registry.QUERIES["j42_rag_chunk"](spark, sf_dir))
+    assert plan.count("Exchange") <= 1, plan
+    assert "HashAggregate" not in plan and "Join" not in plan, plan
+
+
+def test_j43_pair_join_is_equi_on_cluster(spark, sf_dir):
+    """SemDeDup's pair stage must join ON the cluster key (hash/merge),
+    never a cartesian with a post-filter — the cell blocking IS the
+    scale story."""
+    plan = _physical_plan(registry.QUERIES["j43_semdedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_j45_single_expand_single_shuffle(spark, sf_dir):
+    """GROUPING SETS must compile to ONE Expand + one partial/final
+    aggregate pair (one shuffle) — three separate scans/aggs would
+    triple the 100 TB cost."""
+    plan = _physical_plan(registry.QUERIES["j45_dataset_card"](spark, sf_dir))
+    assert plan.count("Expand") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_i22_rollup_reuses_fine_level(spark, sf_dir):
+    """The hour level aggregates the minute partials — exactly two
+    grouping exchanges (minute, hour), no third pass over raw rows."""
+    plan = _physical_plan(registry.QUERIES["i22_hypertable_rollup"](spark, sf_dir))
+    assert plan.count("Exchange") == 2, plan
+    assert plan.count("HashAggregate") == 4, plan
