@@ -27,7 +27,12 @@ from json2hbase_spark.materialize import materialize
 from json2hbase_spark.operators.similarity import dot as vdot
 from json2hbase_spark.operators.similarity import l2_norm
 from json2hbase_spark.operators.text import whitespace_tokens
-from json2hbase_spark.plans.advanced_queries import kmeans_assign, kmeans_ctes
+from json2hbase_spark.plans.advanced_queries import (
+    DUCK_DUP_EDGES,
+    _dup_edges,
+    kmeans_assign,
+    kmeans_ctes,
+)
 from json2hbase_spark.registry import query
 
 
@@ -534,3 +539,152 @@ def hypertable_rollup(ev: DataFrame) -> DataFrame:
             "n_minutes",
         )
     )
+
+
+# ---------------------------------------------------------------- j46
+
+BPE_TOP_K = 20
+
+
+@query(
+    "j46_bpe_merges",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word
+      FROM documents
+    ),
+    wf AS (SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word),
+    ch AS (
+      SELECT cnt,
+             list_transform(range(1, len(word) + 1), i -> substr(word, i, 1)) AS c
+      FROM wf WHERE len(word) >= 2
+    ),
+    pairs AS (SELECT unnest({_duck_ngrams("c", 2)}) AS pair, cnt FROM ch)
+    SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT {BPE_TOP_K}
+    """,
+)
+def j46_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate mining — the counting step of byte-pair-
+    encoding tokenizer training: adjacent character-pair frequencies
+    over the corpus, weighted by word frequency, top-K as the first
+    merge table (ties broken by pair string, so the cut is exact).
+    The crucial scale move is aggregating to the DISTINCT-WORD table
+    first: pair counting then runs over the vocabulary (≈100k rows
+    regardless of corpus size) × word length, not over 100 TB of
+    running text — the same trick real BPE trainers use. Iterating
+    merges re-runs this plan on the re-segmented vocab table."""
+    docs = load(spark, sf_dir, "documents")
+    words = widen(docs).select(
+        F.explode(whitespace_tokens(F.col("text"))).alias("word")
+    )
+    wf = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    ch = wf.filter(F.length("word") >= 2).select(
+        "cnt",
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.col("word").substr(i, F.lit(1)),
+        ).alias("c"),
+    )
+    pairs = ch.select(F.explode(word_ngrams(F.col("c"), 2)).alias("pair"), "cnt")
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(BPE_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------- j47
+
+PR_QUANT = 1000000000000  # 1e-12 contribution quantum
+PR_ITERS = 3
+
+
+def _duck_pagerank(iters: int = PR_ITERS) -> str:
+    """Unrolled PageRank iterations over the deterministic dup-edge
+    graph: contributions quantized to 1e-12 BIGINTs so the per-node
+    sum is order-free and bit-identical to Spark's shuffle-order sum."""
+    parts = [
+        DUCK_DUP_EDGES.rstrip(),
+        """, bi AS (
+      SELECT doc_a AS src, doc_b AS dst FROM edges
+      UNION ALL SELECT doc_b, doc_a FROM edges
+    ),
+    deg AS (SELECT src, COUNT(*) AS deg FROM bi GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    p0 AS (SELECT src AS node, deg, CAST(1.0 AS DOUBLE) / nn.n AS pr FROM deg, nn)""",
+    ]
+    prev = "p0"
+    for it in range(1, iters + 1):
+        parts.append(
+            f""",
+    p{it} AS (
+      SELECT d.src AS node, d.deg,
+             CAST(0.15 AS DOUBLE) / nn.n
+               + CAST(0.85 AS DOUBLE) * (CAST(SUM(c.q) AS DOUBLE) / {PR_QUANT}) AS pr
+      FROM (
+        SELECT bi.dst, CAST(floor(p.pr / p.deg * {PR_QUANT} + 0.5) AS BIGINT) AS q
+        FROM bi JOIN {prev} p ON p.node = bi.src
+      ) c
+      JOIN deg d ON d.src = c.dst, nn
+      GROUP BY d.src, d.deg, nn.n
+    )"""
+        )
+        prev = f"p{it}"
+    parts.append(f"\n    SELECT node, pr FROM {prev}")
+    return "".join(parts)
+
+
+@query("j47_pagerank", oracle=_duck_pagerank(PR_ITERS))
+def j47_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 iterations) over the near-dup graph —
+    the centrality signal that ranks canonical documents inside big
+    duplicate clusters (complement of j26's argmax-quality pick). The
+    numeric trick that makes an ITERATIVE float algorithm hash-exact:
+    per-edge contributions quantize to 1e-12 BIGINT before the per-node
+    sum, so accumulation order (Spark shuffle vs DuckDB group) cannot
+    change the result, while the damping arithmetic stays plain IEEE.
+    Each iteration is one join + one hash agg with the per-iteration
+    rank table materialized (flat lineage, same posture as j21); the
+    edge set materializes once — exactly the 100 TB checkpointing
+    shape. Quantization bias is 1e-12 per edge — epsilon against
+    PR values ≥ 0.15/N."""
+    edges = materialize(_dup_edges(spark, sf_dir))
+    bi = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    bi = materialize(bi)
+    deg = bi.groupBy("src").agg(F.count("*").alias("deg"))
+    nn = deg.agg(F.count("*").alias("n"))
+    pr = (
+        deg.crossJoin(F.broadcast(nn))
+        .select(
+            F.col("src").alias("node"),
+            "deg",
+            (F.lit(1.0) / F.col("n")).alias("pr"),
+        )
+    )
+    for _ in range(PR_ITERS):
+        contribs = bi.join(
+            pr.select(F.col("node").alias("src"), "deg", "pr"), "src"
+        ).select(
+            "dst",
+            F.floor(F.col("pr") / F.col("deg") * PR_QUANT + 0.5).cast("long").alias("q"),
+        )
+        sums = contribs.groupBy("dst").agg(F.sum("q").alias("sq"))
+        pr = materialize(
+            sums.join(deg.select(F.col("src").alias("dst"), "deg"), "dst")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                F.col("dst").alias("node"),
+                "deg",
+                (
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85) * (F.col("sq").cast("double") / F.lit(PR_QUANT))
+                ).alias("pr"),
+            )
+        )
+    return pr.select("node", "pr")

@@ -88,3 +88,47 @@ def test_hypertable_rollup_equals_direct_hourly(spark):
         .collect()
     }
     assert cascade == direct and len(cascade) > 2
+
+
+def test_bpe_merges_semantics(spark, sf_dir):
+    """Top merge pair on a literal corpus: 'ab' appears 3x + 'abc' 2x
+    -> pair 'a b' weight 5 beats every other pair."""
+    from json2hbase_spark import registry
+    import json2hbase_spark.plans.corpus_queries  # noqa: F401
+    from json2hbase_spark.plans.corpus_queries import word_ngrams
+
+    wf = spark.createDataFrame(
+        [("ab", 3), ("abc", 2), ("zz", 1)], "word STRING, cnt INT"
+    )
+    ch = wf.select(
+        "cnt",
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.col("word").substr(i, F.lit(1)),
+        ).alias("c"),
+    )
+    pairs = (
+        ch.select(F.explode(word_ngrams(F.col("c"), 2)).alias("pair"), "cnt")
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .collect()
+    )
+    assert (pairs[0].pair, pairs[0].n) == ("a b", 5)
+    assert dict((p.pair, p.n) for p in pairs) == {"a b": 5, "b c": 2, "z z": 1}
+
+
+def test_pagerank_sums_to_one_and_ranks_hubs(spark, sf_dir):
+    """PR over the fixture dup graph: total mass ≈ 1 per component-free
+    normalization (0.15/N leak-free on a graph where every node has
+    out-edges), and every rank ≥ the teleport floor."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    rows = registry.QUERIES["j47_pagerank"](spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    total = sum(r.pr for r in rows)
+    assert abs(total - 1.0) < 1e-6, total
+    floor = 0.15 / n
+    assert all(r.pr >= floor - 1e-12 for r in rows)
