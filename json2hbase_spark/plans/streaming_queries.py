@@ -1174,3 +1174,67 @@ def i21_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(spark.table("i21_arrived_mem"), "event_type")
         .select("event_type", "n_unique", "n_arrived")
     )
+
+
+@query(
+    "i23_stream_rollup",
+    oracle="""
+    WITH mx AS (SELECT max(ts::TIMESTAMP) AS m FROM events),
+    fine AS (
+      SELECT date_trunc('minute', ts::TIMESTAMP) AS mnt, event_type,
+             COUNT(*) AS n_events,
+             SUM(CAST(value AS DECIMAL(12,2))) AS sv
+      FROM events, mx
+      WHERE date_trunc('minute', ts::TIMESTAMP) + INTERVAL 1 MINUTE
+            <= mx.m - INTERVAL 2 HOUR
+      GROUP BY 1, 2
+    )
+    SELECT event_type,
+           epoch_us(date_trunc('hour', mnt)) AS hour_us,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(sv) AS DOUBLE) AS sum_value,
+           COUNT(*) AS n_minutes
+    FROM fine
+    GROUP BY 1, 2
+    """,
+)
+def i23_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming continuous aggregate (the real-time half of i22's
+    hypertable cascade): the stream maintains watermarked per-minute
+    partials in append mode — each minute window emits exactly once,
+    when the 2 h watermark closes it — and the hourly level rolls up
+    FROM the landed minute partials in batch (counts sum, DECIMAL
+    sums re-sum exactly). This is the lambda-architecture collapse
+    Structured Streaming enables: one code path maintains the fine
+    level incrementally with bounded state (watermark-evicted), and
+    every coarser level derives from it at 1/60th the row volume.
+    The oracle reproduces the append-mode eviction cut
+    (minute_end <= max_ts - 2h) exactly, then the same rollup."""
+    stream = load_events_stream(spark, sf_dir)
+    fine = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("sv"),
+        )
+        .select(F.col("w.start").alias("mnt"), "event_type", "n_events", "sv")
+    )
+    with scoped_stream_confs(spark):
+        _run_to_memory(fine, "i23_mem", "append")
+    minutes = spark.table("i23_mem")
+    return (
+        minutes.groupBy("event_type", F.date_trunc("hour", F.col("mnt")).alias("h"))
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sv").cast("double").alias("sum_value"),
+            F.count("*").alias("n_minutes"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros("h").alias("hour_us"),
+            "n_events",
+            "sum_value",
+            "n_minutes",
+        )
+    )

@@ -319,3 +319,62 @@ def k7_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
           'l_discount', a.d_mn, a.d_mx, a.d_n) s
         """
     )
+
+
+@query(
+    "k8_cogroup_pandas",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderpriority,
+           COUNT(l.l_orderkey) AS n_lines,
+           CAST(COALESCE(SUM(CAST(l.l_quantity AS BIGINT)), 0) AS BIGINT) AS total_qty
+    FROM orders o
+    LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey % 100 = 0
+    GROUP BY o.o_orderkey, o.o_orderpriority
+    """,
+)
+def k8_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas (the two-sided grouped-map surface,
+    completing the K family): orders and lineitem cogrouped per
+    orderkey, each Python call receiving BOTH sides' rows for one key
+    — the escape hatch for per-key reconciliation logic (matching
+    engines, custom conformance checks) that a join+agg can't express
+    imperatively. Key slice (1/100th) keeps the Arrow transfer volume
+    proportional in the bench while exercising empty-side handling;
+    quantities are integral doubles, summed as int64 (exact). At
+    100 TB both sides co-shuffle once on the key — same cost shape
+    as a shuffled join."""
+    import pandas as pd
+
+    def reconcile(key, orders_pdf: pd.DataFrame, lines_pdf: pd.DataFrame) -> pd.DataFrame:
+        if orders_pdf.empty:  # lineitem without order: not emitted (left semantics)
+            return pd.DataFrame(
+                columns=["o_orderkey", "o_orderpriority", "n_lines", "total_qty"]
+            )
+        return pd.DataFrame(
+            {
+                "o_orderkey": [int(key[0])],
+                "o_orderpriority": [orders_pdf["o_orderpriority"].iloc[0]],
+                "n_lines": [len(lines_pdf)],
+                "total_qty": [int(lines_pdf["l_quantity"].sum()) if len(lines_pdf) else 0],
+            }
+        )
+
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    lines = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .select("l_orderkey", "l_quantity")
+    )
+    return (
+        orders.groupBy("o_orderkey")
+        .cogroup(lines.groupBy("l_orderkey"))
+        .applyInPandas(
+            reconcile,
+            "o_orderkey BIGINT, o_orderpriority STRING, n_lines BIGINT, total_qty BIGINT",
+        )
+    )

@@ -687,3 +687,15 @@ def test_i22_rollup_reuses_fine_level(spark, sf_dir):
     plan = _physical_plan(registry.QUERIES["i22_hypertable_rollup"](spark, sf_dir))
     assert plan.count("Exchange") == 2, plan
     assert plan.count("HashAggregate") == 4, plan
+
+
+def test_c15_bloom_filter_pushed_to_fact_scan(spark, sf_dir):
+    """The runtime bloom filter must appear as a might_contain()
+    pre-filter on the fact side, built by a bloom_filter_agg subquery
+    on the selective dim — and survive the scoped-conf restore."""
+    df = registry.QUERIES["c15_join_bloom_pruned"](spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "might_contain" in plan, plan
+    assert "bloom_filter_agg" in plan, plan
+    # conf overrides were restored
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold") != "0"
