@@ -131,3 +131,51 @@ def test_minhash_estimate_tracks_exact_jaccard(spark, overlap):
     sigs = {r.id: r.sig for r in minhash_signatures_agg(df, "id", "sh", 64).collect()}
     est = sum(x == y for x, y in zip(sigs[1], sigs[2])) / 64
     assert abs(est - exact) <= 0.2, (overlap, est, exact)
+
+
+@SETTLE
+@given(
+    words=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=2, max_size=8),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_ngram_jaccard_bounds_and_symmetry(spark, words):
+    """Every emitted candidate pair has 0 < jacc <= 1, doc_a < doc_b,
+    and n_inter never exceeds either side's gram count."""
+    from json2hbase_spark.plans.corpus_queries import ngram_jaccard_pairs
+
+    toks = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id INT, w array<string>"
+    )
+    for r in ngram_jaccard_pairs(toks, df_min=2, df_max=50).collect():
+        assert r.doc_a < r.doc_b
+        assert 0.0 < r.jacc <= 1.0
+        assert r.n_inter >= 1
+
+
+@SETTLE
+@given(
+    n_tokens=st.integers(min_value=1, max_value=300),
+)
+def test_rag_chunks_cover_every_token_exactly(spark, n_tokens):
+    """Chunk fan-out invariants: chunk 0 starts at token 1, consecutive
+    chunks start stride apart, every token lands in >=1 chunk, and
+    total coverage equals sum of chunk lengths (with overlap)."""
+    from json2hbase_spark.plans.corpus_queries import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        rag_chunks,
+    )
+
+    toks = spark.createDataFrame(
+        [(1, [f"t{i}" for i in range(n_tokens)])], "doc_id INT, w array<string>"
+    )
+    rows = sorted(rag_chunks(toks).collect(), key=lambda r: r.chunk_idx)
+    n_chunks = (max(n_tokens - 1, 0) // CHUNK_STRIDE) + 1
+    assert [r.chunk_idx for r in rows] == list(range(n_chunks))
+    assert all(r.n_tok >= 1 for r in rows)
+    assert all(r.n_tok <= CHUNK_TOKENS for r in rows)
+    # last chunk reaches the final token: start + len - 1 == n_tokens
+    assert (n_chunks - 1) * CHUNK_STRIDE + rows[-1].n_tok == n_tokens
