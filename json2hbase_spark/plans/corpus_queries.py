@@ -688,3 +688,141 @@ def j47_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return pr.select("node", "pr")
+
+
+# ---------------------------------------------------------------- j48
+
+MD5MH_K = 16       # hash functions in the md5 MinHash family
+MD5MH_BANDS = 4    # 4 bands x 4 rows
+
+
+def _md5_hash_col(s, k: int):
+    """Hash k of the md5 MinHash family: first 12 hex chars of
+    md5('k:' || shingle) parsed as a 48-bit BIGINT — identical
+    arithmetic in Spark (conv base 16) and DuckDB ('0x' cast)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{k}:"), s)), 1, 12), 16, 10
+    ).cast("long")
+
+
+def _duck_md5_hash(s: str, k: int) -> str:
+    return f"('0x' || substr(md5('{k}:' || {s}), 1, 12))::BIGINT"
+
+
+def _duck_md5_minhash_oracle() -> str:
+    mins = ",\n             ".join(
+        f"MIN({_duck_md5_hash('s', k)}) AS m{k}" for k in range(MD5MH_K)
+    )
+    rows = MD5MH_K // MD5MH_BANDS
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws(','"
+        + "".join(f", m{b * rows + r}" for r in range(rows))
+        + ") AS bv FROM mins"
+        for b in range(MD5MH_BANDS)
+    )
+    jacc = (
+        "CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)"
+        " / (len(sa.shingles) + len(sb.shingles)"
+        " - len(list_intersect(sa.shingles, sb.shingles)))"
+    )
+    return f"""
+    WITH normed AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(norm) - 7, 0) + 1),
+                                          i -> substr(norm, i, 8))) AS shingles
+      FROM normed WHERE len(norm) >= 8
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    mins AS (
+      SELECT doc_id,
+             {mins}
+      FROM ex GROUP BY doc_id
+    ),
+    bands AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, {jacc} AS jacc
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+    WHERE {jacc} >= 0.5
+    """
+
+
+@query("j48_dedup_near_md5", oracle=_duck_md5_minhash_oracle())
+def j48_dedup_near_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup dedup with a FULLY HASH-CHECKED oracle:
+    the hash family is md5-derived (first 12 hex chars of
+    md5('k:'||shingle) as a 48-bit int) — an expression both engines
+    evaluate bit-identically — so the signature mins, the 4×4 band
+    blocking, the candidate set, and the verified Jaccard pairs all
+    hash-match DuckDB end-to-end. This closes the j2/j9 oracle gap:
+    those remain the FAST path (codegen xxhash64 families, rows-only
+    by design since DuckDB lacks xxhash64); j48 is the slower md5
+    twin proving the banding pipeline itself is engine-exact. Same
+    scale shape as j2: one explode + wide min-agg (map-side combine),
+    O(n·bands) band shuffle, verification only on candidates."""
+    from json2hbase_spark.operators.dedup import char_shingles, normalize_text
+
+    docs = load(spark, sf_dir, "documents")
+    normed = (
+        widen(docs)
+        .select("doc_id", normalize_text(F.col("text")).alias("norm"))
+        .filter(F.length("norm") >= 8)
+    )
+    sh = materialize(
+        normed.select("doc_id", char_shingles(F.col("norm"), 8).alias("shingles"))
+    )
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    mins = ex.groupBy("doc_id").agg(
+        *[F.min(_md5_hash_col(F.col("s"), k)).alias(f"m{k}") for k in range(MD5MH_K)]
+    )
+    rows = MD5MH_K // MD5MH_BANDS
+    banded = mins.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.col(f"m{b * rows + r}") for r in range(rows)]
+                        ).alias("bv"),
+                    )
+                    for b in range(MD5MH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bv")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jacc = inter.cast("double") / union
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jacc", jacc)
+        .filter(F.col("jacc") >= 0.5)
+        .select("doc_a", "doc_b", "jacc")
+    )

@@ -132,3 +132,15 @@ def test_pagerank_sums_to_one_and_ranks_hubs(spark, sf_dir):
     assert abs(total - 1.0) < 1e-6, total
     floor = 0.15 / n
     assert all(r.pr >= floor - 1e-12 for r in rows)
+
+
+def test_md5_minhash_finds_planted_dup(spark, sf_dir):
+    """j48's md5-family banding must surface the fixture's planted
+    near-dups exactly like the exact-Jaccard verifier (j2v): every
+    pair it emits has jacc >= 0.5 and doc_a < doc_b."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    rows = registry.QUERIES["j48_dedup_near_md5"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r.doc_a < r.doc_b and r.jacc >= 0.5 for r in rows)
