@@ -771,6 +771,25 @@ def j48_dedup_near_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin proving the banding pipeline itself is engine-exact. Same
     scale shape as j2: one explode + wide min-agg (map-side combine),
     O(n·bands) band shuffle, verification only on candidates."""
+    sh, cand = _md5_minhash_parts(spark, sf_dir)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jacc = inter.cast("double") / union
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jacc", jacc)
+        .filter(F.col("jacc") >= 0.5)
+        .select("doc_a", "doc_b", "jacc")
+    )
+
+
+def _md5_minhash_parts(spark: SparkSession, sf_dir: str):
+    """Shared md5-MinHash pipeline: returns (sh, cand) — the
+    materialized (doc_id, shingles) table and the banded candidate
+    pair set. Used by j48 (verify stage) and j49 (recall eval)."""
     from json2hbase_spark.operators.dedup import char_shingles, normalize_text
 
     docs = load(spark, sf_dir, "documents")
@@ -814,15 +833,98 @@ def j48_dedup_near_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return sh, cand
+
+
+# ---------------------------------------------------------------- j49
+
+_DUCK_TRUTH_JACC = (
+    "CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)"
+    " / (len(a.shingles) + len(b.shingles)"
+    " - len(list_intersect(a.shingles, b.shingles)))"
+)
+
+
+def _duck_dedup_recall_oracle() -> str:
+    # reuse j48's CTE chain up to cand, then score against the
+    # prefix-blocked exact reference set
+    base = _duck_md5_minhash_oracle()
+    head = base[: base.index("SELECT c.doc_a")]
+    return (
+        head
+        + f""",
+    truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {_DUCK_TRUTH_JACC} AS j
+      FROM (SELECT sh.*, substr(n.norm, 1, 40) AS block
+            FROM sh JOIN normed n ON n.doc_id = sh.doc_id) a
+      JOIN (SELECT sh.*, substr(n.norm, 1, 40) AS block
+            FROM sh JOIN normed n ON n.doc_id = sh.doc_id) b
+        ON a.block = b.block AND a.doc_id < b.doc_id
+      WHERE {_DUCK_TRUTH_JACC} >= 0.5
+    )
+    SELECT CAST(floor(t.j * 10) AS BIGINT) AS j_bucket,
+           COUNT(*) AS n_truth,
+           CAST(COUNT(c.doc_a) AS BIGINT) AS n_found,
+           CAST(COUNT(c.doc_a) AS DOUBLE) / COUNT(*) AS recall
+    FROM truth t
+    LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    GROUP BY 1
+    """
+    )
+
+
+@query("j49_dedup_recall", oracle=_duck_dedup_recall_oracle())
+def j49_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall eval for banded MinHash dedup (completes the eval-pair
+    story j33/j38 built for ANN): the deterministic prefix-blocked
+    exact-Jaccard pairs (j2v semantics, J ≥ 0.5) are ground truth;
+    the md5-family banding candidates (j48's pipeline, shared plan)
+    are the detector; output is per-Jaccard-decile recall. This is
+    the dial an operator tunes bands×rows against — measured
+    ON-ENGINE, hash-matched in both engines because every stage of
+    both the truth and the detector is engine-exact expression math.
+    At 100 TB the truth set comes from a sampled block audit, same
+    plan shape."""
+    from json2hbase_spark.operators.dedup import char_shingles, normalize_text
+
+    sh, cand = _md5_minhash_parts(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    normed = (
+        widen(docs)
+        .select("doc_id", normalize_text(F.col("text")).alias("norm"))
+        .filter(F.length("norm") >= 8)
+    )
+    blocked = materialize(
+        normed.select(
+            "doc_id",
+            F.substring("norm", 1, 40).alias("block"),
+            char_shingles(F.col("norm"), 8).alias("shingles"),
+        )
+    )
+    a = blocked.select(
+        "block", F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    b = blocked.select(
+        F.col("block").alias("block_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jacc = inter.cast("double") / union
+    truth = (
+        a.join(b, (F.col("block") == F.col("block_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .withColumn("j", jacc)
+        .filter(F.col("j") >= 0.5)
+        .select("doc_a", "doc_b", "j")
+    )
+    found = cand.withColumn("hit", F.lit(1))
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jacc", jacc)
-        .filter(F.col("jacc") >= 0.5)
-        .select("doc_a", "doc_b", "jacc")
+        truth.join(found, ["doc_a", "doc_b"], "left")
+        .groupBy(F.floor(F.col("j") * 10).cast("bigint").alias("j_bucket"))
+        .agg(
+            F.count("*").alias("n_truth"),
+            F.count("hit").alias("n_found"),
+            (F.count("hit").cast("double") / F.count("*")).alias("recall"),
+        )
     )
