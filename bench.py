@@ -54,6 +54,7 @@ def main() -> None:
         "j15_simhash",
         "i4_watermark",
         "a19_python_datasource",
+        "a22_python_datasource_writer",
         "i18_python_stream_source",
     ):
         registry.QUERIES[warm](spark, warm_dir).write.format("noop").mode("overwrite").save()

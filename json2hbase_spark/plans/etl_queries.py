@@ -790,3 +790,97 @@ def a21_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         shutil.rmtree(out, ignore_errors=True)
+
+
+@query(
+    "a22_python_datasource_writer",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def a22_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource WRITE path (completes the custom-source
+    triangle with a19 batch read and i18 streaming read): a JSONL sink
+    with the writer API's real two-phase commit — executors stage one
+    temp file per partition inside ``write()`` and return commit
+    messages; the driver's ``commit()`` atomically renames staged
+    files into place (``abort()`` deletes them), so a failed job
+    publishes nothing. The landed files are read back and aggregated;
+    the result must equal the direct aggregate over the source —
+    proving no loss/duplication through the sink. At 100 TB this is
+    the no-JVM extension point for bespoke sinks; the staging-dir
+    rename is the same exactly-once pattern a real object-store
+    committer uses."""
+    import glob
+    import json
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), f"j2h_pyds_sink_{tag}")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    class _Staged(WriterCommitMessage):
+        def __init__(self, path: str, rows: int):
+            self.path = path
+            self.rows = rows
+
+    class _JsonlWriter(DataSourceWriter):
+        def __init__(self, path: str):
+            self.path = path
+
+        def write(self, iterator):
+            staged = os.path.join(self.path, f"_staged_{uuid.uuid4().hex}.jsonl")
+            n = 0
+            with open(staged, "w") as f:
+                for row in iterator:
+                    f.write(
+                        json.dumps(
+                            {
+                                "doc_id": row.doc_id,
+                                "lang": row.lang,
+                                "n_chars": row.n_chars,
+                            }
+                        )
+                        + "\n"
+                    )
+                    n += 1
+            return _Staged(staged, n)
+
+        def commit(self, messages):
+            for i, m in enumerate(messages):
+                os.rename(m.path, os.path.join(self.path, f"part-{i:05d}.jsonl"))
+
+        def abort(self, messages):
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+
+    class JsonlSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "j2h_jsonl_sink"
+
+        def writer(self, schema, overwrite: bool):
+            return _JsonlWriter(self.options["path"])
+
+    spark.dataSource.register(JsonlSink)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    docs.write.format("j2h_jsonl_sink").option("path", out).mode("append").save()
+
+    assert not glob.glob(os.path.join(out, "_staged_*")), "uncommitted staged files"
+    back = spark.read.json(os.path.join(out, "*.jsonl"))
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
