@@ -19,7 +19,7 @@ final cast.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from json2hbase_spark.io import load, widen
@@ -927,4 +927,86 @@ def j49_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("hit").alias("n_found"),
             (F.count("hit").cast("double") / F.count("*")).alias("recall"),
         )
+    )
+
+
+# ---------------------------------------------------------------- j50
+
+_KS_A = ("src0", "src1", "src2", "src3", "src4")
+
+
+@query(
+    "j50_drift_ks",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT n_chars,
+             CASE WHEN source IN {_KS_A} THEN 1 ELSE 0 END AS in_a
+      FROM documents
+    ),
+    tot AS (
+      SELECT CAST(SUM(in_a) AS BIGINT) AS na, CAST(SUM(1 - in_a) AS BIGINT) AS nb FROM tagged
+    ),
+    hist AS (
+      SELECT n_chars,
+             SUM(in_a) AS ca, SUM(1 - in_a) AS cb
+      FROM tagged GROUP BY n_chars
+    ),
+    cdf AS (
+      SELECT n_chars,
+             CAST(SUM(ca) OVER (ORDER BY n_chars
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) / tot.na
+               AS fa,
+             CAST(SUM(cb) OVER (ORDER BY n_chars
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) / tot.nb
+               AS fb
+      FROM hist, tot
+    )
+    SELECT tot.na AS n_a, tot.nb AS n_b,
+           ks.ks_stat, ks.ks_at
+    FROM tot, (
+      SELECT abs(fa - fb) AS ks_stat, n_chars AS ks_at
+      FROM cdf ORDER BY abs(fa - fb) DESC, n_chars LIMIT 1
+    ) ks
+    """,
+)
+def j50_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift detector: the two-sample Kolmogorov–Smirnov
+    statistic between the doc-length distributions of two source
+    cohorts (src0–4 vs the rest) — the monitoring check a training-
+    data pipeline runs when a new crawl lands, before quality scores
+    shift silently. Everything is exact: per-value conditional counts,
+    windowed cumulative sums, one IEEE division per CDF point, exact
+    subtraction — so the KS statistic and its argmax location (ties →
+    smallest value) hash-match. The global window runs over the
+    DISTINCT-VALUE domain (hundreds of rows at any corpus size), not
+    the corpus — the same domain-sized trick as j46's vocabulary."""
+    docs = load(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "n_chars",
+        F.when(F.col("source").isin(*_KS_A), 1).otherwise(0).alias("in_a"),
+    )
+    tot = tagged.agg(
+        F.sum("in_a").alias("na"), F.sum(1 - F.col("in_a")).alias("nb")
+    )
+    hist = tagged.groupBy("n_chars").agg(
+        F.sum("in_a").alias("ca"), F.sum(1 - F.col("in_a")).alias("cb")
+    )
+    w = (
+        Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cdf = (
+        hist.crossJoin(F.broadcast(tot))
+        .withColumn("fa", F.sum("ca").over(w).cast("double") / F.col("na"))
+        .withColumn("fb", F.sum("cb").over(w).cast("double") / F.col("nb"))
+        .withColumn("d", F.abs(F.col("fa") - F.col("fb")))
+    )
+    ks = (
+        cdf.orderBy(F.desc("d"), F.asc("n_chars"))
+        .limit(1)
+        .select(F.col("d").alias("ks_stat"), F.col("n_chars").alias("ks_at"))
+    )
+    return tot.crossJoin(ks).select(
+        F.col("na").alias("n_a"), F.col("nb").alias("n_b"), "ks_stat", "ks_at"
     )

@@ -1988,3 +1988,52 @@ def j39_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.parse_url("url", F.lit("PATH"))).alias("n_paths"),
         F.max(F.parse_url("url", F.lit("QUERY"), F.lit("lang"))).alias("max_lang"),
     )
+
+
+@query(
+    "m6_modality_mix",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id,
+             octet_length(CAST(text AS BLOB)) AS n_bytes,
+             CASE octet_length(CAST(text AS BLOB)) % 4
+               WHEN 0 THEN 'text' WHEN 1 THEN 'image'
+               WHEN 2 THEN 'audio' ELSE 'video' END AS modality
+      FROM documents
+    )
+    SELECT modality,
+           COUNT(*) AS n_assets,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(n_bytes) AS DOUBLE) / COUNT(*) AS avg_bytes,
+           CAST(MAX(n_bytes) AS BIGINT) AS max_bytes
+    FROM a GROUP BY modality
+    """,
+)
+def m6_modality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality-mix report over the binary asset table: per-modality
+    asset counts and byte volumes — the storage/shard-planning pass a
+    multimodal corpus runs before partitioning decode work (video
+    bytes dominate rows by orders of magnitude, so shard plans key on
+    bytes, not rows). Modality here derives deterministically from
+    payload length (the fixture stand-in for real magic-byte
+    sniffing — the CASE is the swap-in point); everything else is one
+    metadata-only hash agg, no byte scan. avg is exact-sum ÷ count,
+    one IEEE division."""
+    docs = load(spark, sf_dir, "documents")
+    assets = multimodal.binary_assets_from_documents(docs)
+    mod = (
+        F.when(F.length("data") % 4 == 0, "text")
+        .when(F.length("data") % 4 == 1, "image")
+        .when(F.length("data") % 4 == 2, "audio")
+        .otherwise("video")
+    )
+    return (
+        assets.select(F.length("data").alias("n_bytes"), mod.alias("modality"))
+        .groupBy("modality")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            (F.sum("n_bytes").cast("double") / F.count("*")).alias("avg_bytes"),
+            F.max("n_bytes").cast("bigint").alias("max_bytes"),
+        )
+    )

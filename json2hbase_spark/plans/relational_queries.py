@@ -1277,3 +1277,74 @@ def c15_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@query(
+    "b11_incremental_view",
+    oracle="""
+    WITH base_agg AS (
+      SELECT o_custkey,
+             COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+      FROM orders WHERE o_orderkey % 10 < 8
+      GROUP BY o_custkey
+    ),
+    delta_agg AS (
+      SELECT o_custkey,
+             COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+      FROM orders WHERE o_orderkey % 10 >= 8
+      GROUP BY o_custkey
+    )
+    SELECT COALESCE(b.o_custkey, d.o_custkey) AS o_custkey,
+           CAST(COALESCE(b.n_orders, 0) + COALESCE(d.n_orders, 0) AS BIGINT)
+             AS n_orders,
+           CAST(COALESCE(b.spend, 0) + COALESCE(d.spend, 0) AS DOUBLE) AS spend
+    FROM base_agg b FULL OUTER JOIN delta_agg d ON b.o_custkey = d.o_custkey
+    """,
+)
+def b11_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a per-customer (count, spend)
+    materialized aggregate is REFRESHED by merging the delta batch's
+    partial aggregate into the stored one — full-outer join on the
+    group key, counts add, DECIMAL sums add exactly — never rescanning
+    the base. This is the batch-MERGE face of the associativity i22's
+    rollup cascade exploits: at 100 TB the nightly refresh costs
+    O(delta + view), not O(base). The oracle computes the same
+    merge; by construction both equal the one-shot aggregate over
+    base ∪ delta (the IVM correctness invariant, pinned in tests).
+    Decimal stays exact through both partials and the merge; one
+    final DOUBLE cast."""
+    orders = load(spark, sf_dir, "orders")
+
+    def part_agg(df):
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("spend"),
+        )
+
+    base = part_agg(orders.filter(F.col("o_orderkey") % 10 < 8))
+    delta = part_agg(orders.filter(F.col("o_orderkey") % 10 >= 8))
+    b = base.select(
+        F.col("o_custkey").alias("k_b"),
+        F.col("n_orders").alias("n_b"),
+        F.col("spend").alias("s_b"),
+    )
+    d = delta.select(
+        F.col("o_custkey").alias("k_d"),
+        F.col("n_orders").alias("n_d"),
+        F.col("spend").alias("s_d"),
+    )
+    zero = F.lit(0).cast("decimal(12,2)")
+    return (
+        b.join(d, b.k_b == d.k_d, "full_outer")
+        .select(
+            F.coalesce("k_b", "k_d").alias("o_custkey"),
+            (F.coalesce("n_b", F.lit(0)) + F.coalesce("n_d", F.lit(0)))
+            .cast("bigint")
+            .alias("n_orders"),
+            (F.coalesce("s_b", zero) + F.coalesce("s_d", zero))
+            .cast("double")
+            .alias("spend"),
+        )
+    )

@@ -144,3 +144,30 @@ def test_md5_minhash_finds_planted_dup(spark, sf_dir):
     rows = registry.QUERIES["j48_dedup_near_md5"](spark, sf_dir).collect()
     assert len(rows) > 0
     assert all(r.doc_a < r.doc_b and r.jacc >= 0.5 for r in rows)
+
+
+def test_incremental_view_equals_one_shot(spark, sf_dir):
+    """The IVM invariant: merging the delta partial aggregate into the
+    base partial aggregate equals the one-shot aggregate over the full
+    table — for every customer, exactly."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.io import load
+
+    registry.load_all_query_modules()
+    merged = {
+        r.o_custkey: (r.n_orders, r.spend)
+        for r in registry.QUERIES["b11_incremental_view"](spark, sf_dir).collect()
+    }
+    orders = load(spark, sf_dir, "orders")
+    direct = {
+        r.o_custkey: (r.n_orders, r.spend)
+        for r in orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("spend"),
+        )
+        .collect()
+    }
+    assert merged == direct and len(merged) > 100
