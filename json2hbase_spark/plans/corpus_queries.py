@@ -1010,3 +1010,68 @@ def j50_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.crossJoin(ks).select(
         F.col("na").alias("n_a"), F.col("nb").alias("n_b"), "ks_stat", "ks_at"
     )
+
+
+# ---------------------------------------------------------------- j51
+
+@query(
+    "j51_dataset_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 != 0
+    ),
+    v2 AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 11 = 0 THEN text || ' [edited]' ELSE text END) AS h
+      FROM documents WHERE doc_id % 5 != 0
+    ),
+    j AS (
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.h != b.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+    )
+    SELECT status, COUNT(*) AS n_docs,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM j GROUP BY status
+    """,
+)
+def j51_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — the data-versioning pass run before a
+    training-set release: two snapshots compared by (doc_id, content
+    hash) via one full-outer join → added / removed / changed /
+    unchanged counts with id ranges. Snapshots here derive
+    deterministically from the fixture (v1 drops every 7th doc, v2
+    drops every 5th and edits every 11th) so the oracle reproduces
+    them; in production v1/v2 are two partition snapshots and the
+    diff is the audit record. Content addressing by md5 keeps the
+    join payload at 16 bytes/doc regardless of document size — at
+    100 TB the hashes come precomputed from the ingest manifest, no
+    text scan."""
+    docs = load(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", F.md5("text").alias("h1")
+    )
+    v2 = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" [edited]"))
+            ).otherwise(F.col("text"))
+        ).alias("h2"),
+    )
+    joined = v1.join(v2, "doc_id", "full_outer").select(
+        "doc_id",
+        F.when(F.col("h1").isNull(), "added")
+        .when(F.col("h2").isNull(), "removed")
+        .when(F.col("h1") != F.col("h2"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return joined.groupBy("status").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

@@ -1051,3 +1051,48 @@ def h16_from_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("event_id").cast("bigint").alias("sum_ids"),
         F.sum("value").cast("double").alias("sum_value"),
     )
+
+
+@query(
+    "h17_fn_collation",
+    oracle="""
+    WITH k AS (
+      SELECT lang,
+             CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN upper(lang)
+               WHEN 1 THEN concat(upper(substr(lang, 1, 1)), substr(lang, 2))
+               ELSE lang END AS variant
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT variant) AS n_variants,
+           COUNT(DISTINCT lower(variant)) AS n_ci
+    FROM k GROUP BY lang
+    """,
+)
+def h17_fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collation support: COUNT(DISTINCT x COLLATE UTF8_LCASE)
+    collapses case variants AT THE COMPARISON LEVEL — no lower()
+    normalization column, so the original strings survive and every
+    downstream comparison inherits the collation. The mixed-case
+    variants derive deterministically from doc_id so the DuckDB twin
+    (which has no collations — it lowercases) must agree: 3 binary
+    variants per language, 1 case-insensitive. At 100 TB collation
+    beats normalize-and-duplicate: no second column, and the
+    comparison runs inside codegen."""
+    docs = load(spark, sf_dir, "documents")
+    k = docs.select(
+        "lang",
+        F.expr(
+            "CASE CAST(doc_id % 3 AS INT)"
+            " WHEN 0 THEN upper(lang)"
+            " WHEN 1 THEN concat(upper(substr(lang, 1, 1)), substr(lang, 2))"
+            " ELSE lang END"
+        ).alias("variant"),
+    )
+    return k.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("variant").alias("n_variants"),
+        F.expr("COUNT(DISTINCT variant COLLATE UTF8_LCASE)").alias("n_ci"),
+    )
