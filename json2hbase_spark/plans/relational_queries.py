@@ -1348,3 +1348,56 @@ def b11_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("spend"),
         )
     )
+
+
+@query(
+    "c16_join_dpp",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE CAST(EXTRACT(year FROM o_orderdate) AS INT) IN (1995, 1996)
+    GROUP BY 1, 2
+    """,
+)
+def c16_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning as a first-class operator: the fact
+    table lands partitioned by year, the (runtime-filtered) year dim
+    joins it, and Spark injects a dynamicpruning subquery into the
+    fact scan's PartitionFilters — only the two matching year
+    directories are read, however many the table has. At 100 TB this
+    is THE difference between scanning 7 years and scanning 2; the
+    oracle is the equivalent static filter (the join is against a
+    distinct year dim, so it changes no multiplicity). The
+    partitioned staging write is per-sf-dir and reused across calls
+    in a session; plan regression for the pruning subquery is pinned
+    in tests/test_plans_scale.py."""
+    import os
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    part_dir = os.path.join(tempfile.gettempdir(), f"j2h_dpp_orders_{tag}")
+    marker = os.path.join(part_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        orders.write.partitionBy("o_year").mode("overwrite").parquet(part_dir)
+    fact = spark.read.parquet(part_dir)
+    years = (
+        fact.select(F.col("o_year").alias("d_year"))
+        .distinct()
+        .filter(F.col("d_year").isin(1995, 1996))
+    )
+    return (
+        fact.join(years, fact.o_year == years.d_year)
+        .groupBy("o_year", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

