@@ -1075,3 +1075,58 @@ def j51_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+# ---------------------------------------------------------------- j52
+
+@query(
+    "j52_sequence_mining",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS e2,
+             lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS e3
+      FROM events
+    ),
+    tri AS (
+      SELECT user_id, concat_ws('>', event_type, e2, e3) AS pattern
+      FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    )
+    SELECT pattern,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_occurrences
+    FROM tri GROUP BY pattern
+    HAVING COUNT(DISTINCT user_id) >= 40
+    """,
+)
+def j52_sequence_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent event-sequence mining (PrefixSpan-lite): every length-3
+    event-type sequence each user emits, kept when ≥40 distinct users
+    share it — DISCOVERS the behavioral patterns i15's funnel then
+    measures for a FIXED pattern. The windowed lead() runs inside each
+    user's partition (no global window), the support count is one hash
+    agg with map-side combine, and the support floor is the classic
+    anti-explosion lever: at 100 TB candidate patterns are bounded by
+    |event_type|³, not by user count. Deterministic tie-handling via
+    the (ts, event_id) sort key."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    tri = seq.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull()).select(
+        "user_id", F.concat_ws(">", "event_type", "e2", "e3").alias("pattern")
+    )
+    return (
+        tri.groupBy("pattern")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_users") >= 40)
+    )
