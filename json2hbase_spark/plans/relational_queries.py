@@ -1401,3 +1401,45 @@ def c16_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@query(
+    "d15_argmax",
+    oracle="""
+    WITH keyed AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) * 10000000000 + o_orderkey
+               AS price_key
+      FROM orders
+    )
+    SELECT o_custkey,
+           max_by(o_orderkey, price_key) AS best_order,
+           min_by(o_orderkey, price_key) AS worst_order,
+           COUNT(*) AS n_orders
+    FROM keyed GROUP BY o_custkey
+    """,
+)
+def d15_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax/argmin aggregation (max_by / min_by): each customer's
+    highest- and lowest-priced order id in ONE hash-agg pass — no
+    row_number window, no self-join, map-side combinable, which at
+    100 TB is the difference between one shuffle of (key, best-so-far)
+    pairs and a full sort per group. Determinism under price ties is
+    engineered into the comparison key: price-cents × 10^10 +
+    orderkey is a single BIGINT that never ties, so both engines pick
+    the same row (max_by/min_by on tied keys is otherwise
+    engine-nondeterministic — the trap this operator documents)."""
+    orders = load(spark, sf_dir, "orders")
+    keyed = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.round(F.col("o_totalprice") * 100).cast("bigint") * F.lit(10000000000)
+            + F.col("o_orderkey")
+        ).alias("price_key"),
+    )
+    return keyed.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", "price_key").alias("best_order"),
+        F.min_by("o_orderkey", "price_key").alias("worst_order"),
+        F.count("*").alias("n_orders"),
+    )
