@@ -27,6 +27,17 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 
+# Static confs: only effective at JVM start (builder path); silently
+# skipped by apply_engine_confs on an already-running session.
+STATIC_CONFS: dict[str, str] = {
+    # local[32] runs executors inside the driver JVM, whose default
+    # heap is 1 GB regardless of box RAM — fine at sf0.1, found fatal
+    # by tools/scale_probe.py at 10x (executor-side OOM in a plain
+    # explode+agg). Size the heap to the harness box; a real cluster
+    # sets spark.executor.memory per node instead.
+    "spark.driver.memory": "48g",
+}
+
 
 def get_spark(app_name: str = "json2hbase_spark", master: str | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults.
@@ -39,7 +50,7 @@ def get_spark(app_name: str = "json2hbase_spark", master: str | None = None) -> 
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
-    for k, v in ENGINE_CONFS.items():
+    for k, v in {**STATIC_CONFS, **ENGINE_CONFS}.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
 
