@@ -62,28 +62,34 @@ def _driver_verified() -> set[str]:
 
 
 def _fresh_rank(name: str) -> int:
-    """Within the not-yet-recorded set (64 at round-4 start), order so
-    the 50-entry window lands on whole families: streaming first (the
-    largest never-recorded family), then UDF paths, joins, set-ops /
-    window tails, sources, SQL-surface ops — scalar-function bundles
-    (h*) last, so the ~14 spilling to the next round are the most
-    uniform family rather than a scatter."""
+    """Within the not-yet-recorded set (87 at round-4 end: the 64
+    never-recorded from rounds 1-3 plus the 23 round-4 additions),
+    order so the 50-entry window covers the streaming family (largest,
+    hardest to re-verify) and the round-4 HEADLINE corpus operators
+    (j40+, m6) in the same round; the spill to the next round is then
+    the uniform scalar-function bundles (h*) plus small
+    relational/source tails, all of which fit the following 50-entry
+    window."""
     head = name.split("_", 1)[0]
     if head[0] == "i" or name == "c7_join_asof":
         return 0
     if head[0] == "k":
         return 1
-    if head[0] == "c":
+    if head[0] == "j" and head[1:].isdigit() and int(head[1:]) >= 40:
+        return 2  # round-4 corpus ops: driver-verify in their own round
+    if name == "m6_modality_mix":
         return 2
-    if head[0] in ("g", "e", "f", "d"):
+    if head[0] == "c":
         return 3
-    if head[0] == "a":
+    if head[0] in ("g", "e", "f", "d"):
         return 4
-    if head[0] == "b":
+    if head[0] == "a":
         return 5
-    if head[0] == "j" or head[0] == "m":
+    if head[0] == "b":
         return 6
-    return 7  # h-family spills to the following round's window
+    if head[0] == "j" or head[0] == "m":
+        return 7
+    return 8  # h-family spills to the following round's window
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

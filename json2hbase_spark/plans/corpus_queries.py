@@ -457,24 +457,31 @@ def j45_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_chars is exact-sum ÷ count — one IEEE division, bit-identical
     cross-engine. At 100 TB this is a metadata-only pass: n_chars and
     token counts come from doc-level stats columns, no text scan."""
+    import uuid
+
     docs = load(spark, sf_dir, "documents")
-    view = f"j45_docs_{id(docs) & 0xFFFF:x}"
+    view = f"j45_docs_{uuid.uuid4().hex}"  # unique per call (k7 convention)
     docs.createOrReplaceTempView(view)
-    return spark.sql(
-        f"""
-        SELECT COALESCE(lang, 'ALL') AS lang,
-               COALESCE(source, 'ALL') AS source,
-               COUNT(*) AS n_docs,
-               CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
-               CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
-        FROM (
-          SELECT lang, source, n_chars,
-                 size(filter(split(text, ' '), x -> x != '')) AS n_toks
-          FROM {view}
+    try:
+        return spark.sql(
+            f"""
+            SELECT COALESCE(lang, 'ALL') AS lang,
+                   COALESCE(source, 'ALL') AS source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+                   CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+            FROM (
+              SELECT lang, source, n_chars,
+                     size(filter(split(text, ' '), x -> x != '')) AS n_toks
+              FROM {view}
+            )
+            GROUP BY GROUPING SETS ((lang, source), (lang), ())
+            """
         )
-        GROUP BY GROUPING SETS ((lang, source), (lang), ())
-        """
-    )
+    finally:
+        # the returned DataFrame's plan is already analyzed; dropping
+        # the view keeps the catalog clean across invocations
+        spark.catalog.dropTempView(view)
 
 
 # ---------------------------------------------------------------- i22
@@ -885,22 +892,17 @@ def j49_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     both the truth and the detector is engine-exact expression math.
     At 100 TB the truth set comes from a sampled block audit, same
     plan shape."""
-    from json2hbase_spark.operators.dedup import char_shingles, normalize_text
+    from json2hbase_spark.operators.dedup import normalize_text
 
     sh, cand = _md5_minhash_parts(spark, sf_dir)
     docs = load(spark, sf_dir, "documents")
-    normed = (
-        widen(docs)
-        .select("doc_id", normalize_text(F.col("text")).alias("norm"))
-        .filter(F.length("norm") >= 8)
+    # reuse the MATERIALIZED shingle arrays from the detector pipeline
+    # (the shingle HOF projection is its most expensive stage); only
+    # the cheap 40-char block key is recomputed from the raw text
+    blocks = docs.select(
+        "doc_id", F.substring(normalize_text(F.col("text")), 1, 40).alias("block")
     )
-    blocked = materialize(
-        normed.select(
-            "doc_id",
-            F.substring("norm", 1, 40).alias("block"),
-            char_shingles(F.col("norm"), 8).alias("shingles"),
-        )
-    )
+    blocked = sh.join(blocks, "doc_id")
     a = blocked.select(
         "block", F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
     )
@@ -1029,7 +1031,7 @@ def j50_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
              CASE WHEN a.doc_id IS NULL THEN 'added'
                   WHEN b.doc_id IS NULL THEN 'removed'
-                  WHEN a.h != b.h THEN 'changed'
+                  WHEN a.h IS DISTINCT FROM b.h THEN 'changed'
                   ELSE 'unchanged' END AS status
       FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
     )
@@ -1051,8 +1053,12 @@ def j51_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the hashes come precomputed from the ingest manifest, no
     text scan."""
     docs = load(spark, sf_dir, "documents")
+    # presence markers, NOT hash nullness, decide added/removed: with
+    # a NULL text md5() is NULL on both sides and hash-null keying
+    # would misreport an in-both doc as added (and diverge from the
+    # oracle's doc_id-presence logic)
     v1 = docs.filter(F.col("doc_id") % 7 != 0).select(
-        "doc_id", F.md5("text").alias("h1")
+        "doc_id", F.md5("text").alias("h1"), F.lit(1).alias("in1")
     )
     v2 = docs.filter(F.col("doc_id") % 5 != 0).select(
         "doc_id",
@@ -1061,12 +1067,13 @@ def j51_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" [edited]"))
             ).otherwise(F.col("text"))
         ).alias("h2"),
+        F.lit(1).alias("in2"),
     )
     joined = v1.join(v2, "doc_id", "full_outer").select(
         "doc_id",
-        F.when(F.col("h1").isNull(), "added")
-        .when(F.col("h2").isNull(), "removed")
-        .when(F.col("h1") != F.col("h2"), "changed")
+        F.when(F.col("in1").isNull(), "added")
+        .when(F.col("in2").isNull(), "removed")
+        .when(~F.col("h1").eqNullSafe(F.col("h2")), "changed")
         .otherwise("unchanged")
         .alias("status"),
     )

@@ -1382,9 +1382,23 @@ def c16_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tag = sf_dir.strip("/").replace("/", "_")
     part_dir = os.path.join(tempfile.gettempdir(), f"j2h_dpp_orders_{tag}")
-    marker = os.path.join(part_dir, "_SUCCESS")
-    if not os.path.exists(marker):
+    # freshness marker keyed on the SOURCE file's (mtime, size) — the
+    # driver regenerates fixtures between rounds, and a path-only
+    # marker would silently serve a stale staged copy (same trap
+    # io.py's schema cache guards against)
+    src_file = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src_file)
+    stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    marker = os.path.join(part_dir, "_J2H_SOURCE_STAMP")
+    fresh = False
+    try:
+        fresh = open(marker).read() == stamp
+    except OSError:
+        pass
+    if not fresh:
         orders.write.partitionBy("o_year").mode("overwrite").parquet(part_dir)
+        with open(marker, "w") as f:
+            f.write(stamp)
     fact = spark.read.parquet(part_dir)
     years = (
         fact.select(F.col("o_year").alias("d_year"))

@@ -773,10 +773,9 @@ def test_python_writer_abort_cleans_staged_files(spark, tmp_path):
 
     spark.dataSource.register(FlakySink)
     df = spark.range(0, 20, 1, 4)  # 4 partitions; one contains id=7
-    try:
+    import pytest
+
+    with pytest.raises(Exception, match="simulated partition failure"):
         df.write.format("j2h_flaky_sink").option("path", out).mode("append").save()
-        raise AssertionError("write should have failed")
-    except Exception as exc:
-        assert "simulated partition failure" in str(exc) or "abort" in str(exc).lower() or True
     leftovers = [p for p in os.listdir(out)]
     assert leftovers == [], leftovers
