@@ -701,24 +701,32 @@ def j47_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MD5MH_K = 16       # hash functions in the md5 MinHash family
 MD5MH_BANDS = 4    # 4 bands x 4 rows
+# Carter-Wegman 2-universal family over a 48-bit prime: hash k is
+# (h1 + k*h2) mod P with h1/h2 two md5-derived 48-bit base hashes.
+# Two md5 evaluations per shingle occurrence instead of MD5MH_K=16
+# (8x less hashing — md5 dominated j48's runtime); max h1 + 15*h2
+# < 2^52, so the arithmetic is exact BIGINT in both engines.
+MD5MH_P = 281474976710597  # largest prime < 2^48
 
 
-def _md5_hash_col(s, k: int):
-    """Hash k of the md5 MinHash family: first 12 hex chars of
-    md5('k:' || shingle) parsed as a 48-bit BIGINT — identical
-    arithmetic in Spark (conv base 16) and DuckDB ('0x' cast)."""
+def _md5_base_col(s, tag: str):
+    """48-bit base hash: first 12 hex chars of md5(tag || shingle)
+    parsed as BIGINT — identical arithmetic in Spark (conv base 16)
+    and DuckDB ('0x' cast)."""
     return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{k}:"), s)), 1, 12), 16, 10
+        F.substring(F.md5(F.concat(F.lit(tag), s)), 1, 12), 16, 10
     ).cast("long")
 
 
-def _duck_md5_hash(s: str, k: int) -> str:
-    return f"('0x' || substr(md5('{k}:' || {s}), 1, 12))::BIGINT"
+def _duck_md5_base(s: str, tag: str) -> str:
+    return f"('0x' || substr(md5('{tag}' || {s}), 1, 12))::BIGINT"
 
 
 def _duck_md5_minhash_oracle() -> str:
+    h1 = _duck_md5_base("s", "a:")
+    h2 = _duck_md5_base("s", "b:")
     mins = ",\n             ".join(
-        f"MIN({_duck_md5_hash('s', k)}) AS m{k}" for k in range(MD5MH_K)
+        f"MIN(({h1} + {k} * {h2}) % {MD5MH_P}) AS m{k}" for k in range(MD5MH_K)
     )
     rows = MD5MH_K // MD5MH_BANDS
     band_selects = "\n      UNION ALL ".join(
@@ -768,9 +776,10 @@ def _duck_md5_minhash_oracle() -> str:
 @query("j48_dedup_near_md5", oracle=_duck_md5_minhash_oracle())
 def j48_dedup_near_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup dedup with a FULLY HASH-CHECKED oracle:
-    the hash family is md5-derived (first 12 hex chars of
-    md5('k:'||shingle) as a 48-bit int) — an expression both engines
-    evaluate bit-identically — so the signature mins, the 4×4 band
+    the hash family is md5-derived (Carter-Wegman (h1 + k*h2) mod P
+    over two 48-bit md5 base hashes, P prime < 2^48) — an expression
+    both engines evaluate bit-identically with exact BIGINT
+    arithmetic — so the signature mins, the 4×4 band
     blocking, the candidate set, and the verified Jaccard pairs all
     hash-match DuckDB end-to-end. This closes the j2/j9 oracle gap:
     those remain the FAST path (codegen xxhash64 families, rows-only
@@ -808,9 +817,16 @@ def _md5_minhash_parts(spark: SparkSession, sf_dir: str):
     sh = materialize(
         normed.select("doc_id", char_shingles(F.col("norm"), 8).alias("shingles"))
     )
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id",
+        _md5_base_col(F.col("s"), "a:").alias("h1"),
+        _md5_base_col(F.col("s"), "b:").alias("h2"),
+    )
     mins = ex.groupBy("doc_id").agg(
-        *[F.min(_md5_hash_col(F.col("s"), k)).alias(f"m{k}") for k in range(MD5MH_K)]
+        *[
+            F.min((F.col("h1") + F.lit(k) * F.col("h2")) % F.lit(MD5MH_P)).alias(f"m{k}")
+            for k in range(MD5MH_K)
+        ]
     )
     rows = MD5MH_K // MD5MH_BANDS
     banded = mins.select(
