@@ -77,7 +77,7 @@ def _fresh_rank(name: str) -> int:
         return 1
     if head[0] == "j" and head[1:].isdigit() and int(head[1:]) >= 40:
         return 2  # round-4 corpus ops: driver-verify in their own round
-    if name == "m6_modality_mix":
+    if name in ("m6_modality_mix", "m7_media_dedup"):
         return 2
     if head[0] == "c":
         return 3

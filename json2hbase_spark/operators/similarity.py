@@ -72,6 +72,33 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    q_id: str = "qid",
+    q_vec: str = "qe",
+    c_id: str = "cid",
+    c_vec: str = "ce",
+    q_label: str = "qlabel",
+    c_label: str = "clabel",
+) -> DataFrame:
+    """Top-k most-similar DIFFERENT-label candidates per query — the
+    hard negatives a contrastive trainer batches (DPR/Contriever).
+    Same broadcast shape as ``cosine_topk``; the label anti-filter is
+    evaluated in the join condition, before any vector fold runs."""
+    joined = candidates.join(F.broadcast(queries), F.col(c_label) != F.col(q_label))
+    scored = joined.select(
+        q_id, c_id, cosine(F.col(q_vec), F.col(c_vec)).alias("sim")
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "sim", "rank")
+    )
+
+
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket id: sign bit per plane packed into
     an int. ``planes`` are plan-time constants (deterministic seeds)."""

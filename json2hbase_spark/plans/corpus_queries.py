@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from json2hbase_spark.io import load, widen
 from json2hbase_spark.materialize import materialize
 from json2hbase_spark.operators.similarity import dot as vdot
-from json2hbase_spark.operators.similarity import l2_norm
+from json2hbase_spark.operators.similarity import hard_negatives, l2_norm
 from json2hbase_spark.operators.text import whitespace_tokens
 from json2hbase_spark.plans.advanced_queries import (
     DUCK_DUP_EDGES,
@@ -1153,3 +1153,330 @@ def j52_sequence_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_users") >= 40)
     )
+
+
+# ---------------------------------------------------------------- j53
+
+SPAN_W = 6  # tokens per span window
+
+
+@query(
+    "j53_span_dedup",
+    oracle=f"""
+    WITH toks AS ({_DUCK_TOKS}),
+    spans AS (
+      SELECT doc_id, unnest({_duck_ngrams("w", SPAN_W)}) AS g
+      FROM toks WHERE len(w) >= {SPAN_W}
+    ),
+    docfreq AS (
+      SELECT g, COUNT(DISTINCT doc_id) AS df FROM spans GROUP BY g
+    )
+    SELECT s.doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS dup_ratio
+    FROM spans s JOIN docfreq d USING (g)
+    GROUP BY s.doc_id
+    """,
+)
+def j53_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-SPAN detection (the scalable stand-in for the
+    suffix-array substring dedup of Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every sliding
+    6-token window is a span; a span occurrence is a duplicate when
+    the same span text also appears in ANOTHER document. Output is the
+    per-document duplicated-span ratio — the signal used to drop or
+    trim boilerplate-heavy documents, finer-grained than whole-doc
+    near-dup (j2) because it catches shared paragraphs inside
+    otherwise-unique documents. Plan: one explode (O(total tokens)
+    rows), one doc-frequency hash agg with map-side combine, one
+    shuffle join back on the span key, one per-doc agg — no pairwise
+    stage at all, so it scales exactly like a token count. At 100 TB
+    the span string key is replaced by xxhash64(span) to cut shuffle
+    payload ~6x (the md5/string key here keeps the oracle
+    engine-exact; collisions at 64 bits are ~0 at any corpus size)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = widen(docs).select("doc_id", whitespace_tokens(F.col("text")).alias("w"))
+    return span_dup_stats(toks)
+
+
+def span_dup_stats(toks: DataFrame, w: int = SPAN_W) -> DataFrame:
+    """Per-doc duplicated-span stats over (doc_id, w token-array) rows
+    — see j53's docstring. A span occurrence counts as duplicated when
+    its text occurs in ≥2 distinct documents."""
+    spans = materialize(
+        toks.filter(F.size("w") >= w).select(
+            "doc_id", F.explode(word_ngrams(F.col("w"), w)).alias("g")
+        )
+    )
+    docfreq = spans.groupBy("g").agg(F.countDistinct("doc_id").alias("df"))
+    dup = F.when(F.col("df") >= 2, 1).otherwise(0)
+    return (
+        spans.join(docfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(dup).cast("bigint").alias("n_dup_spans"),
+            (F.sum(dup).cast("double") / F.count("*")).alias("dup_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- j54
+
+# shared with j22_pii_scan (llm_queries.py) — same public-pattern set
+PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+PII_URL_RE = "https?://[^ ]+"
+PII_NUMRUN_RE = "[0-9][0-9][0-9][0-9][0-9]+"
+
+
+@query(
+    "j54_pii_redact",
+    oracle=f"""
+    WITH pii AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.org or https://t.example.org/' || CAST(doc_id AS VARCHAR)
+                  || ' ref ' || CAST(doc_id + 1000000 AS VARCHAR) AS text
+      FROM documents
+    ),
+    red AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '{PII_EMAIL_RE}')) AS n_emails,
+             len(regexp_extract_all(lower(text), '{PII_URL_RE}')) AS n_urls,
+             len(regexp_extract_all(lower(text), '{PII_NUMRUN_RE}')) AS n_numruns,
+             regexp_replace(regexp_replace(regexp_replace(lower(text),
+               '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{PII_URL_RE}', '<URL>', 'g'),
+               '{PII_NUMRUN_RE}', '<NUM>', 'g') AS redacted
+      FROM pii
+    )
+    SELECT doc_id,
+           CAST(n_emails + n_urls + n_numruns AS BIGINT) AS n_redactions,
+           len(redacted) AS redacted_len,
+           md5(redacted) AS redacted_md5
+    FROM red
+    WHERE n_emails + n_urls + n_numruns > 0
+    """,
+)
+def j54_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII REDACTION transform (the fix stage for j22's scan): emails,
+    URLs and long digit runs are replaced in-place with typed
+    placeholders, applied in a fixed pattern order (email → URL →
+    number) so overlapping matches resolve deterministically. The
+    result content is verified by md5 — the oracle hash-checks the
+    REDACTED TEXT itself cross-engine, not just the counts — while
+    keeping the driver payload at 16 bytes/doc regardless of document
+    size (same trick as j51's snapshot diff). Pure regexp_replace
+    expressions: narrow projection, no UDF, scales as a map-only pass;
+    per-pattern counts come from the pre-redaction text so the audit
+    row says what was removed. The fixture corpus is letters-only (no
+    digits or @ anywhere), so the input plants one email, one URL and
+    one digit run per document deterministically (replicated in the
+    oracle) — the md5 check then proves the redaction really stripped
+    them, not that there was nothing to strip."""
+    docs = load(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.org or https://t.example.org/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" ref "),
+        (F.col("doc_id") + 1000000).cast("string"),
+    )
+    docs = docs.select("doc_id", planted.alias("text"))
+    red = redact_pii(F.col("text"))
+    return (
+        docs.select(
+            "doc_id",
+            pii_match_count(F.col("text")).cast("bigint").alias("n_redactions"),
+            F.length(red).alias("redacted_len"),
+            F.md5(F.encode(red, "UTF-8")).alias("redacted_md5"),
+        )
+        .filter(F.col("n_redactions") > 0)
+    )
+
+
+def redact_pii(col) -> "F.Column":
+    """Redacted (lowercased) text: email → URL → digit-run, fixed
+    order so overlapping matches resolve deterministically."""
+    low = F.lower(col)
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(low, PII_EMAIL_RE, "<EMAIL>"),
+            PII_URL_RE,
+            "<URL>",
+        ),
+        PII_NUMRUN_RE,
+        "<NUM>",
+    )
+
+
+def pii_match_count(col) -> "F.Column":
+    """Total PII matches in the PRE-redaction lowercased text."""
+    low = F.lower(col)
+    return (
+        F.size(F.regexp_extract_all(low, F.lit(PII_EMAIL_RE), 0))
+        + F.size(F.regexp_extract_all(low, F.lit(PII_URL_RE), 0))
+        + F.size(F.regexp_extract_all(low, F.lit(PII_NUMRUN_RE), 0))
+    )
+
+
+# ---------------------------------------------------------------- j55
+
+# fixed model weights (a trained fasttext-style quality classifier's
+# linear head, frozen as literals — inference only, like every
+# CCNet-style pipeline ships it)
+QLR_B = -0.6
+QLR_W_LEN = 1.1      # on min(n_tokens,100)/100
+QLR_W_STOP = 2.0     # on stopword_ratio
+QLR_W_DIGIT = -3.0   # on digit_ratio
+QLR_W_AVGLEN = 0.08  # on avg token length
+
+
+@query(
+    "j55_quality_lr",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tok,
+             CAST(list_aggregate(list_transform(list_filter(string_split(text, ' '),
+                    x -> x != ''), t -> len(t)), 'sum') AS DOUBLE)
+               / greatest(len(list_filter(string_split(text, ' '), x -> x != '')), 1)
+               AS avg_tok_len,
+             CAST(len(list_filter(list_filter(string_split(text, ' '), x -> x != ''),
+                  t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t)))
+                  AS DOUBLE)
+               / greatest(len(list_filter(string_split(text, ' '), x -> x != '')), 1)
+               AS stop_ratio,
+             CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+               / greatest(len(text), 1) AS digit_ratio
+      FROM documents
+    )
+    SELECT doc_id,
+           {QLR_B} + {QLR_W_LEN} * (CAST(least(n_tok, 100) AS DOUBLE) / 100.0)
+                   + {QLR_W_STOP} * stop_ratio
+                   + {QLR_W_DIGIT} * digit_ratio
+                   + {QLR_W_AVGLEN} * avg_tok_len AS score,
+           ({QLR_B} + {QLR_W_LEN} * (CAST(least(n_tok, 100) AS DOUBLE) / 100.0)
+                    + {QLR_W_STOP} * stop_ratio
+                    + {QLR_W_DIGIT} * digit_ratio
+                    + {QLR_W_AVGLEN} * avg_tok_len) >= 0.0 AS keep
+    FROM f
+    """,
+)
+def j55_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality FILTERING: inference for a linear
+    (logistic-regression-head) quality classifier with frozen weights — the
+    shape every CCNet/LLaMA-style pipeline uses to keep or drop
+    documents at scale (features in-engine, dot-with-weights, margin
+    threshold). The margin (pre-sigmoid score) is the output — the
+    sigmoid is monotone, so keep = score ≥ 0 is the exact same
+    decision without transcendentals, which keeps the whole operator
+    bit-exact cross-engine (no rounding anywhere). Complements j12
+    (heuristic score) and j35 (rule gate): this is the TRAINED-model
+    slot, weights swap in from any upstream training run. Map-only
+    pass, narrow projection, one IEEE op chain in fixed order —
+    scales as a scan."""
+    docs = load(spark, sf_dir, "documents")
+    score = quality_lr_score(F.col("text"))
+    return docs.select(
+        "doc_id",
+        score.alias("score"),
+        (score >= 0.0).alias("keep"),
+    )
+
+
+def quality_lr_score(text) -> "F.Column":
+    """The frozen linear model's margin score over in-engine features
+    (see j55's docstring for the exact op order — it is part of the
+    cross-engine contract)."""
+    toks = whitespace_tokens(text)
+    n_tok = F.size(toks)
+    n_tok1 = F.greatest(n_tok, F.lit(1))
+    avg_tok_len = (
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double") / n_tok1
+    )
+    stop_ratio = (
+        F.size(
+            F.filter(
+                toks,
+                lambda t: t.isin("the", "a", "of", "and", "to", "in", "is", "on", "for", "with"),
+            )
+        ).cast("double")
+        / n_tok1
+    )
+    ln = F.length(text)
+    digit_ratio = (
+        (ln - F.length(F.regexp_replace(text, "[0-9]", ""))).cast("double")
+        / F.greatest(ln, F.lit(1))
+    )
+    return (
+        F.lit(QLR_B)
+        + F.lit(QLR_W_LEN) * (F.least(n_tok, F.lit(100)).cast("double") / F.lit(100.0))
+        + F.lit(QLR_W_STOP) * stop_ratio
+        + F.lit(QLR_W_DIGIT) * digit_ratio
+        + F.lit(QLR_W_AVGLEN) * avg_tok_len
+    )
+
+
+# ---------------------------------------------------------------- j56
+
+def _duck_vec_dot(a: str, b: str) -> str:
+    # CAST the left element to DOUBLE so the per-element product and
+    # the fold run in float64 — bit-identical to operators.similarity
+    # dot's zip_with(x.cast(double) * y) (same convention as
+    # llm_queries._duck_dot; FLOAT*FLOAT would fold in float32)
+    return (
+        f"list_aggregate(list_transform(range(1, 65),"
+        f" i -> CAST({a}[i] AS DOUBLE) * {b}[i]), 'sum')"
+    )
+
+
+@query(
+    "j56_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+      FROM embeddings WHERE vec_id < 8
+    ),
+    c AS (SELECT vec_id AS cid, embedding AS ce, label AS clabel FROM embeddings),
+    s AS (
+      SELECT qid, cid,
+             {_duck_vec_dot("qe", "ce")}
+               / (sqrt({_duck_vec_dot("qe", "qe")}) * sqrt({_duck_vec_dot("ce", "ce")}))
+               AS sim
+      FROM c, q WHERE clabel != qlabel
+    )
+    SELECT qid, cid, sim, rank FROM (
+      SELECT qid, cid, sim,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+      FROM s
+    ) WHERE rank <= 5
+    """,
+)
+def j56_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative MINING for retrieval/embedding training: for each
+    query vector, the top-5 most-similar vectors with a DIFFERENT
+    label — the highest-loss negatives a contrastive trainer wants in
+    the batch (DPR/Contriever recipe). Same broadcast-queries ×
+    candidate-scan shape as j3, plus the label anti-filter evaluated
+    BEFORE the dot product so excluded candidates cost a comparison,
+    not a 64-float fold. Sequential-fold cosine, row_number with (sim
+    DESC, cid) tie-break — bit-exact cross-engine. At 100 TB the
+    candidate scan routes through j17's IVF cells first (mine within
+    the query's top cells only), identical downstream plan."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("label").alias("clabel"),
+    )
+    return hard_negatives(q, c, k=5)

@@ -2037,3 +2037,68 @@ def m6_modality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_bytes").cast("bigint").alias("max_bytes"),
         )
     )
+
+
+@query(
+    "m7_media_dedup",
+    oracle="""
+    WITH uploads AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, text
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    keyed AS (
+      SELECT doc_id,
+             md5(text) AS content_key,
+             octet_length(CAST(text AS BLOB)) AS n_bytes
+      FROM uploads
+    )
+    SELECT content_key,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS keeper,
+           CAST((COUNT(*) - 1) * MIN(n_bytes) AS BIGINT) AS wasted_bytes
+    FROM keyed
+    GROUP BY content_key
+    HAVING COUNT(*) >= 2
+    """,
+)
+def m7_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed MEDIA dedup: exact duplicate detection over
+    opaque binary payloads by content digest — the first dedup pass
+    every multimodal store runs (the same image/video uploaded under
+    many doc_ids), and the basis of content-addressed storage (store
+    each distinct blob once, reference it by digest). One md5 per
+    asset (16-byte shuffle key regardless of blob size — a video
+    never crosses the network), one hash agg; keeper = min doc_id,
+    wasted_bytes = what deleting the copies reclaims. Identical copies
+    have identical sizes, so MIN(n_bytes) is exact. Unlike j1 (which
+    keys text dedup on a normalized string), this keys on RAW bytes —
+    the right semantics for media where any byte difference is a
+    different asset. Scales as a scan + agg; at 100 TB digest
+    computation co-locates with the parquet scan, and only digests
+    shuffle. The fixture text corpus has no EXACT byte duplicates, so
+    the asset table models re-uploads: every 7th document appears a
+    second time under a new doc_id (deterministic, replicated in the
+    oracle) — the clusters this finds are real, not vacuous."""
+    docs = load(spark, sf_dir, "documents")
+    uploads = docs.unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(10000000)
+        )
+    )
+    assets = multimodal.binary_assets_from_documents(uploads)
+    keyed = assets.select(
+        "doc_id",
+        F.md5("data").alias("content_key"),
+        F.length("data").alias("n_bytes"),
+    )
+    return (
+        keyed.groupBy("content_key")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keeper"),
+            ((F.count("*") - 1) * F.min("n_bytes")).cast("bigint").alias("wasted_bytes"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )

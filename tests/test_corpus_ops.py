@@ -171,3 +171,110 @@ def test_incremental_view_equals_one_shot(spark, sf_dir):
         .collect()
     }
     assert merged == direct and len(merged) > 100
+
+
+# ---------------------------------------------------------------- round-4b ops
+
+def test_span_dedup_planted_shared_paragraph(spark):
+    # docs 1 and 2 share a 6-token run; doc 3 is fully unique
+    shared = "one two three four five six"
+    docs = [
+        (1, shared + " alpha beta"),
+        (2, "prefix " + shared),
+        (3, "u1 u2 u3 u4 u5 u6 u7"),
+    ]
+    from json2hbase_spark.operators.text import whitespace_tokens
+    from json2hbase_spark.plans.corpus_queries import span_dup_stats
+
+    toks = spark.createDataFrame(docs, "doc_id long, text string").select(
+        "doc_id", whitespace_tokens(F.col("text")).alias("w")
+    )
+    rows = {r.doc_id: r for r in span_dup_stats(toks).collect()}
+    # doc 1: 3 spans, exactly the pure-shared window duplicated
+    assert rows[1].n_spans == 3 and rows[1].n_dup_spans == 1
+    # doc 2: 2 spans ("prefix one ... five" and the shared run)
+    assert rows[2].n_spans == 2 and rows[2].n_dup_spans == 1
+    assert rows[3].n_dup_spans == 0 and rows[3].dup_ratio == 0.0
+
+
+def test_redact_pii_strips_all_patterns(spark):
+    from json2hbase_spark.plans.corpus_queries import pii_match_count, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            ("Mail Bob.Smith@corp.example.com now", 1),
+            ("see https://x.org/a?b=1 and call 1234567", 2),
+            ("clean text with no pii at all", 0),
+        ],
+        "text string, expected long",
+    )
+    out = df.select(
+        "expected",
+        pii_match_count(F.col("text")).alias("n"),
+        redact_pii(F.col("text")).alias("red"),
+    ).collect()
+    for r in out:
+        assert r.n >= r.expected  # URL row has both a URL and a digit run
+        # nothing matchable survives redaction
+        assert "@" not in r.red or "<EMAIL>" in r.red
+        import re
+
+        assert not re.search(r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+", r.red)
+        assert not re.search(r"https?://[^ ]+", r.red.replace("<URL>", ""))
+        assert not re.search(r"[0-9]{5,}", r.red)
+
+
+def test_quality_lr_digit_penalty_and_stopword_reward(spark):
+    from json2hbase_spark.plans.corpus_queries import quality_lr_score
+
+    df = spark.createDataFrame(
+        [
+            ("clean", "the quick brown fox jumps over the lazy dog with style"),
+            ("digits", "9999999 8888888 7777777 6666666 5555555 4444444"),
+        ],
+        "tag string, text string",
+    )
+    s = {r.tag: r.s for r in df.select("tag", quality_lr_score(F.col("text")).alias("s")).collect()}
+    assert s["clean"] > s["digits"]
+    assert s["digits"] < 0  # digit-ratio weight drives rejection
+
+
+def test_hard_negatives_never_returns_same_label(spark):
+    from json2hbase_spark.operators.similarity import hard_negatives
+
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0], 7)], "qid long, qe array<float>, qlabel int"
+    )
+    c = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0], 7),   # identical but SAME label → excluded
+            (11, [0.9, 0.1], 3),   # close, different label → rank 1
+            (12, [0.0, 1.0], 3),   # orthogonal, different label → rank 2
+        ],
+        "cid long, ce array<float>, clabel int",
+    )
+    out = hard_negatives(q, c, k=5).orderBy("rank").collect()
+    assert [r.cid for r in out] == [11, 12]
+    assert out[0].sim > out[1].sim
+
+
+def test_media_dedup_clusters_match_recomputation(spark, sf_dir):
+    import hashlib
+
+    import pandas as pd
+
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    out = registry.QUERIES["m7_media_dedup"](spark, sf_dir).toPandas()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    dup = docs[docs.doc_id % 7 == 0].assign(doc_id=lambda d: d.doc_id + 10000000)
+    allrows = pd.concat([docs, dup])
+    allrows["key"] = allrows.text.map(lambda t: hashlib.md5(t.encode()).hexdigest())
+    g = allrows.groupby("key").agg(n=("doc_id", "size"), exp_keeper=("doc_id", "min"))
+    expect = g[g.n >= 2]
+    assert len(out) == len(expect)
+    merged = out.set_index("content_key").join(expect, how="inner")
+    assert len(merged) == len(expect)
+    assert (merged.n_copies == merged.n).all()
+    assert (merged.keeper == merged.exp_keeper).all()
