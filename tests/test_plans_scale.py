@@ -779,3 +779,50 @@ def test_python_writer_abort_cleans_staged_files(spark, tmp_path):
         df.write.format("j2h_flaky_sink").option("path", out).mode("append").save()
     leftovers = [p for p in os.listdir(out)]
     assert leftovers == [], leftovers
+
+
+def test_j53_no_pairwise_stage(spark, sf_dir):
+    """Span dedup's whole point is NO pairwise stage: only equi joins
+    on the span key, one explode, hash aggs — a cartesian/BNLJ here
+    means someone re-introduced doc-pair comparison."""
+    plan = _physical_plan(registry.QUERIES["j53_span_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_j54_redact_is_map_only(spark, sf_dir):
+    """Redaction is a pure per-row expression pass: no join, no
+    aggregate; widen()'s repartition is the only allowed Exchange."""
+    plan = _physical_plan(registry.QUERIES["j54_pii_redact"](spark, sf_dir))
+    assert "Join" not in plan and "HashAggregate" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+
+
+def test_j55_model_filter_is_map_only(spark, sf_dir):
+    """Classifier inference must stay a scan-shaped map pass — the
+    whole reason the weights are frozen literals."""
+    plan = _physical_plan(registry.QUERIES["j55_quality_lr"](spark, sf_dir))
+    assert "Join" not in plan and "HashAggregate" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+
+
+def test_j56_candidates_never_shuffle(spark, sf_dir):
+    """Hard-negative mining broadcasts the tiny query set over the
+    candidate scan (BNLJ from the non-equi label filter is the
+    expected form); the candidate corpus itself must not exchange
+    before the join."""
+    plan = _physical_plan(registry.QUERIES["j56_hard_negatives"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    # the only hash exchange is the top-k window on qid, and it sits
+    # ABOVE a partial WindowGroupLimit, so each task ships at most k
+    # rows per query — scored pairs pre-reduce before they shuffle
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "row_number(), 5, Partial" in plan, plan
+
+
+def test_m7_digest_agg_has_partial_combine(spark, sf_dir):
+    """Media dedup is digest + hash agg with map-side combine (two
+    HashAggregates around one Exchange) — blobs never shuffle, only
+    16-byte digests do."""
+    plan = _physical_plan(registry.QUERIES["m7_media_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
