@@ -114,6 +114,31 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _normalize_events_ts(stream)
 
 
+def load_table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Any fixture table as an unbounded streaming source — the same
+    schema-probe + symlink-staging path as ``load_events_stream`` (the
+    file source needs an explicit schema and a directory), without the
+    events-only timestamp normalization. Used by streaming corpus ops
+    (i24) that stream ``documents`` instead of ``events``."""
+    import os
+    import tempfile
+
+    src = f"{sf_dir}/{table}.parquet"
+    st = os.stat(src)
+    cache_key = (sf_dir, table, st.st_mtime_ns, st.st_size)
+    raw_schema = _stream_schema_cache.get(cache_key)
+    if raw_schema is None:
+        raw_schema = spark.read.parquet(src).schema
+        _stream_schema_cache[cache_key] = raw_schema
+    tag = sf_dir.strip("/").replace("/", "_")
+    stage = os.path.join(tempfile.gettempdir(), f"json2hbase_stream_{table}_{tag}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, f"{table}.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return spark.readStream.schema(raw_schema).parquet(stage)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLES}
 

@@ -1480,3 +1480,68 @@ def j56_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("clabel"),
     )
     return hard_negatives(q, c, k=5)
+
+
+# ---------------------------------------------------------------- j57
+
+OOV_VOCAB_K = 20
+BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@query(
+    "j57_oov_rate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{BPE_RE}')) AS token
+      FROM documents
+    ),
+    freq AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+    vocab AS (
+      SELECT token FROM freq ORDER BY n DESC, token LIMIT {OOV_VOCAB_K}
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON v.token = t.token
+    GROUP BY t.doc_id
+    """,
+)
+def j57_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage eval: per-document out-of-vocabulary rate
+    against the corpus' own top-K BPE-ish token vocabulary (K=20 here
+    because the synthetic fixture corpus has a ~31-token vocabulary —
+    production K is 32k/50k; the plan is K-independent) — the
+    check a tokenizer/corpus pairing runs before training (high OOV →
+    the tokenizer fragments this slice into bytes, inflating sequence
+    length and cost). Deterministic vocab cut: (freq DESC, token) via
+    TakeOrdered — vocabulary-sized work, NO global shuffle of running
+    text — then a BROADCAST left join tags each token occurrence.
+    At 100 TB the vocab is identical (vocab work scales with distinct
+    tokens, not corpus size) and the tagging join stays broadcast —
+    the corpus-side plan is scan + hash agg, nothing else. Pairs with
+    j46 (the merges this vocab came from) and j27 (packing, whose
+    budget OOV inflation blows)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = widen(docs).select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_RE), 0)).alias(
+            "token"
+        ),
+    )
+    toks = materialize(toks)
+    freq = toks.groupBy("token").agg(F.count("*").alias("n"))
+    vocab = freq.orderBy(F.desc("n"), "token").limit(OOV_VOCAB_K).select(
+        "token", F.lit(1).alias("in_vocab")
+    )
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(oov).cast("bigint").alias("n_oov"),
+            (F.sum(oov).cast("double") / F.count("*")).alias("oov_rate"),
+        )
+    )

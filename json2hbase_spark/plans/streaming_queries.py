@@ -1238,3 +1238,70 @@ def i23_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_minutes",
         )
     )
+
+
+# ---------------------------------------------------------------- i24
+
+
+@query(
+    "i24_stream_model_filter",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tok,
+             CAST(len(list_filter(list_filter(string_split(text, ' '), x -> x != ''),
+                  t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t)))
+                  AS DOUBLE)
+               / greatest(len(list_filter(string_split(text, ' '), x -> x != '')), 1)
+               AS stop_ratio,
+             CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+               / greatest(len(text), 1) AS digit_ratio,
+             CAST(list_aggregate(list_transform(list_filter(string_split(text, ' '),
+                    x -> x != ''), t -> len(t)), 'sum') AS DOUBLE)
+               / greatest(len(list_filter(string_split(text, ' '), x -> x != '')), 1)
+               AS avg_tok_len
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             -0.6 + 1.1 * (CAST(least(n_tok, 100) AS DOUBLE) / 100.0)
+                  + 2.0 * stop_ratio
+                  + -3.0 * digit_ratio
+                  + 0.08 * avg_tok_len AS score
+      FROM f
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN score >= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM scored
+    GROUP BY lang
+    """,
+)
+def i24_stream_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING model-based quality gate: the document stream scored
+    by j55's frozen linear classifier inside the micro-batch (pure
+    expressions — classifier inference adds zero streaming state) and
+    the keep/drop tally aggregated per language in complete mode. This
+    is the ingest-time shape of corpus curation: score-and-gate as
+    documents land, not as a nightly batch — any model whose inference
+    is expression-shaped (linear/GBDT-as-CASE) drops into the same
+    plan. The final sink equals the batch gate over the same corpus,
+    which is exactly what the oracle checks. The only streaming state
+    is the |lang|-sized running count — watermark-free, bounded at
+    any corpus size."""
+    from json2hbase_spark.io import load_table_stream
+    from json2hbase_spark.plans.corpus_queries import quality_lr_score
+
+    docs = load_table_stream(spark, sf_dir, "documents")
+    score = quality_lr_score(F.col("text"))
+    tally = (
+        docs.select("lang", (score >= 0.0).cast("int").alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("keep").cast("bigint").alias("n_kept"),
+        )
+    )
+    with scoped_stream_confs(spark):
+        _run_to_memory(tally, "i24_mem", "complete")
+    return spark.table("i24_mem")

