@@ -884,3 +884,61 @@ def a22_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@query(
+    "a23_binary_ingest",
+    oracle="""
+    WITH blobs AS (
+      SELECT filename, content
+      FROM read_blob('/tmp/j2h_a23_assets_root_testdata_sf0.01/*.bin')
+    )
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+           CAST(octet_length(content) AS BIGINT) AS n_bytes,
+           md5(content::VARCHAR) AS content_md5
+    FROM blobs
+    """,
+)
+def a23_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-file ingestion through Spark's ``binaryFile`` source —
+    the real entry point of the multimodal pipeline (m-family): a
+    directory of media blobs becomes (path, length, content) rows with
+    NO decoding, ready for the digest/metadata passes (m1/m7). The
+    staged fixture is 40 deterministic .bin files derived from the
+    documents table (media libs absent, so text bytes stand in for
+    payloads); the oracle reads the SAME files via DuckDB's read_blob
+    and must agree on every (name, size, md5) — proving byte-faithful
+    ingestion, not just row counts. At 100 TB binaryFile lists and
+    splits by file (one task per blob group, content never in the
+    driver), pairing with m7's digest-only shuffle. The oracle's
+    read_blob glob is pinned to the DRIVER's sf0.01 staging dir (the
+    correctness gate runs at sf0.01); the Spark side stages and reads
+    its own per-sf dir at any scale."""
+    import os
+
+    docs = load(spark, sf_dir, "documents")
+    tag = sf_dir.strip("/").replace("/", "_")
+    stage = os.path.join(tempfile.gettempdir(), f"j2h_a23_assets_{tag}")
+    marker = os.path.join(stage, "_staged")
+    if not os.path.exists(marker):
+        os.makedirs(stage, exist_ok=True)
+        rows = (
+            docs.filter(F.col("doc_id") < 40)
+            .select("doc_id", "text")
+            .collect()  # staging harness only: 40 tiny fixture blobs
+        )
+        for r in rows:
+            with open(os.path.join(stage, f"asset_{r.doc_id:05d}.bin"), "wb") as f:
+                f.write(r.text.encode("utf-8"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(stage)
+    )
+    return bf.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )

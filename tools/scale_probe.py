@@ -45,6 +45,9 @@ PROBES = [
     "j40_ngram_jaccard",
     "j41_boilerplate",
     "j6_text_tokens",
+    "j53_span_dedup",
+    "j54_pii_redact",
+    "j57_oov_rate",
 ]
 
 
