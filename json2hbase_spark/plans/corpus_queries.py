@@ -1545,3 +1545,194 @@ def j57_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(oov).cast("double") / F.count("*")).alias("oov_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------- j58
+
+_J58_GRAM = "concat_ws(' ', w[pos], w[pos+1], w[pos+2], w[pos+3], w[pos+4], w[pos+5])"
+
+
+@query(
+    "j58_span_remove",
+    oracle=f"""
+    WITH toks AS ({_DUCK_TOKS}),
+    spang AS (
+      SELECT doc_id, w,
+             unnest(range(1, greatest(len(w) - 5, 0) + 1)) AS pos
+      FROM toks
+    ),
+    grams AS (
+      SELECT doc_id, pos, {_J58_GRAM} AS g FROM spang
+    ),
+    shared AS (
+      SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    covered AS (
+      SELECT DISTINCT gr.doc_id, gr.pos + o.off AS idx
+      FROM grams gr JOIN shared USING (g),
+           (SELECT unnest(range(6)) AS off) o
+    ),
+    cov AS (SELECT doc_id, list(idx) AS cv FROM covered GROUP BY doc_id),
+    clean AS (
+      SELECT t.doc_id,
+             len(t.w) AS n_tokens,
+             list_filter(
+               list_transform(range(1, len(t.w) + 1),
+                 i -> CASE WHEN cov.cv IS NULL OR NOT list_contains(cov.cv, i)
+                           THEN t.w[i] END),
+               x -> x IS NOT NULL) AS cw
+      FROM toks t LEFT JOIN cov ON cov.doc_id = t.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_tokens - len(cw) AS BIGINT) AS n_removed,
+           md5(COALESCE(array_to_string(cw, ' '), '')) AS cleaned_md5
+    FROM clean
+    """,
+)
+def j58_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span REMOVAL (the transform j53 only measures — what
+    Lee et al. 2022 actually do to the corpus): every token covered by
+    any 6-token span that also occurs in another document is dropped;
+    the remaining tokens keep their original order. Plan: positional
+    span explode → shared-span semi join → per-doc covered-index set
+    (collect_set, order-free because it is only probed by
+    array_contains) → one ORDER-PRESERVING higher-order filter over
+    the original token array. No pairwise stage anywhere — identical
+    scale shape to j53 plus one map-side HOF. The cleaned CONTENT is
+    md5-verified cross-engine (j54's trick): the oracle rebuilds the
+    exact surviving token sequence, so a single out-of-order or
+    off-by-one token fails the gate."""
+    docs = load(spark, sf_dir, "documents")
+    toks = widen(docs).select("doc_id", whitespace_tokens(F.col("text")).alias("w"))
+    return span_remove(toks)
+
+
+def span_remove(toks: DataFrame, w: int = SPAN_W) -> DataFrame:
+    """Order-preserving removal of every token covered by a shared
+    w-token span — see j58's docstring."""
+    grams = toks.filter(F.size("w") >= w).select(
+        "doc_id",
+        F.posexplode(word_ngrams(F.col("w"), w)).alias("pos0", "g"),
+    )
+    grams = materialize(grams)
+    shared = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("g")
+    )
+    covered = (
+        grams.join(shared, "g", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos0") + 1, F.col("pos0") + w)).alias("idx"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("idx").alias("cv"))
+    )
+    cleaned = F.filter(
+        F.col("w"),
+        lambda t, i: F.col("cv").isNull() | ~F.array_contains(F.col("cv"), i + 1),
+    )
+    return (
+        toks.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("w").cast("bigint").alias("n_tokens"),
+            (F.size("w") - F.size(cleaned)).cast("bigint").alias("n_removed"),
+            F.md5(F.encode(F.concat_ws(" ", cleaned), "UTF-8")).alias("cleaned_md5"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- j59
+
+@query(
+    "j59_quality_calibration",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tok,
+             CAST(len(list_filter(list_filter(string_split(text, ' '), x -> x != ''),
+                  t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t)))
+                  AS DOUBLE)
+               / greatest(len(list_filter(string_split(text, ' '), x -> x != '')), 1)
+               AS stop_ratio,
+             CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+               / greatest(len(text), 1) AS digit_ratio,
+             CAST(list_aggregate(list_transform(list_filter(string_split(text, ' '),
+                    x -> x != ''), t -> len(t)), 'sum') AS DOUBLE)
+               / greatest(len(list_filter(string_split(text, ' '), x -> x != '')), 1)
+               AS avg_tok_len
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, n_tok,
+             {QLR_B} + {QLR_W_LEN} * (CAST(least(n_tok, 100) AS DOUBLE) / 100.0)
+                     + {QLR_W_STOP} * stop_ratio
+                     + {QLR_W_DIGIT} * digit_ratio
+                     + {QLR_W_AVGLEN} * avg_tok_len AS score,
+             round(ln(1 + n_tok) * (1.0 - digit_ratio) * (0.5 + stop_ratio), 4)
+               AS heuristic
+      FROM f
+    )
+    SELECT CAST(floor(score * 10) AS BIGINT) AS score_bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN score >= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CAST(heuristic AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*)
+             AS avg_heuristic
+    FROM scored
+    GROUP BY 1
+    """,
+)
+def j59_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier CALIBRATION report: j55's model scores bucketed into
+    0.1-wide bands vs the independent j12 heuristic's mean inside each
+    band — the agreement curve a curation team reads before trusting a
+    new quality model (a well-behaved model's bands rank the heuristic
+    monotonically; inversions localize disagreement to a score range).
+    Completes the detector/eval pairing the engine keeps (j33/j38 for
+    ANN, j49 for dedup banding — this is the one for quality models).
+    The heuristic mean is an ORDER-FREE exact sum: j12's quality is
+    already rounded to 4 decimals, so summing as DECIMAL(12,4) is
+    exact in any aggregation order, then ONE IEEE division — the same
+    exact-sum convention as functions/exact.py. One scan, one hash
+    agg; scales as a token count."""
+    docs = load(spark, sf_dir, "documents")
+    toks = whitespace_tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_tok1 = F.greatest(n_tok, F.lit(1))
+    stop_ratio = (
+        F.size(
+            F.filter(
+                toks,
+                lambda t: t.isin("the", "a", "of", "and", "to", "in", "is", "on", "for", "with"),
+            )
+        ).cast("double")
+        / n_tok1
+    )
+    ln_ = F.length("text")
+    digit_ratio = (
+        (ln_ - F.length(F.regexp_replace(F.col("text"), "[0-9]", ""))).cast("double")
+        / F.greatest(ln_, F.lit(1))
+    )
+    score = quality_lr_score(F.col("text"))
+    heuristic = F.round(F.log(1 + n_tok) * (1.0 - digit_ratio) * (0.5 + stop_ratio), 4)
+    scored = docs.select(
+        score.alias("score"),
+        heuristic.alias("heuristic"),
+    )
+    return (
+        scored.groupBy(F.floor(F.col("score") * 10).cast("bigint").alias("score_bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("score") >= 0.0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            (
+                F.sum(F.col("heuristic").cast("decimal(12,4)")).cast("double")
+                / F.count("*")
+            ).alias("avg_heuristic"),
+        )
+    )

@@ -314,3 +314,46 @@ def test_j57_vocab_cut_is_deterministic_and_oov_real(spark, sf_dir):
     assert a.equals(b)  # same vocab cut both runs (tie-break pinned)
     assert (a.oov_rate >= 0).all() and (a.oov_rate <= 1).all()
     assert a.n_oov.sum() > 0  # the K=20 cut leaves real OOV mass
+
+
+def test_span_remove_drops_only_covered_tokens(spark):
+    import hashlib
+
+    from json2hbase_spark.operators.text import whitespace_tokens
+    from json2hbase_spark.plans.corpus_queries import span_remove
+
+    shared = "one two three four five six"
+    docs = [
+        (1, shared + " alpha beta"),
+        (2, "prefix " + shared),
+        (3, "u1 u2 u3 u4 u5 u6 u7"),
+    ]
+    toks = spark.createDataFrame(docs, "doc_id long, text string").select(
+        "doc_id", whitespace_tokens(F.col("text")).alias("w")
+    )
+    rows = {r.doc_id: r for r in span_remove(toks).collect()}
+    # doc 1: the shared 6-token run vanishes, the unique tail stays
+    assert rows[1].n_removed == 6
+    assert rows[1].cleaned_md5 == hashlib.md5(b"alpha beta").hexdigest()
+    # doc 2: 'prefix' survives, the shared run vanishes
+    assert rows[2].n_removed == 6
+    assert rows[2].cleaned_md5 == hashlib.md5(b"prefix").hexdigest()
+    # doc 3 untouched — md5 of its full text
+    assert rows[3].n_removed == 0
+    assert rows[3].cleaned_md5 == hashlib.md5(b"u1 u2 u3 u4 u5 u6 u7").hexdigest()
+
+
+def test_span_remove_fully_covered_doc_empties(spark):
+    import hashlib
+
+    from json2hbase_spark.operators.text import whitespace_tokens
+    from json2hbase_spark.plans.corpus_queries import span_remove
+
+    same = "a b c d e f"
+    toks = spark.createDataFrame(
+        [(1, same), (2, same)], "doc_id long, text string"
+    ).select("doc_id", whitespace_tokens(F.col("text")).alias("w"))
+    rows = {r.doc_id: r for r in span_remove(toks).collect()}
+    for d in (1, 2):
+        assert rows[d].n_removed == rows[d].n_tokens == 6
+        assert rows[d].cleaned_md5 == hashlib.md5(b"").hexdigest()
