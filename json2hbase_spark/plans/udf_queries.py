@@ -378,3 +378,65 @@ def k8_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey BIGINT, o_orderpriority STRING, n_lines BIGINT, total_qty BIGINT",
         )
     )
+
+
+@query(
+    "k9_udtf_table_arg",
+    oracle="""
+    WITH d AS (
+      SELECT lang, n_chars,
+             lag(n_chars) OVER (PARTITION BY lang ORDER BY doc_id) AS prev
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND n_chars > prev THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ascents
+    FROM d GROUP BY lang
+    """,
+)
+def k9_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF consuming a TABLE ARGUMENT with PARTITION BY /
+    ORDER BY (Spark 4) — the per-group ORDERED-ITERATION escape hatch:
+    the engine shuffles rows into language partitions, orders each by
+    doc_id, and streams the partition through one stateful Python
+    instance (``eval`` per row, ``terminate`` emits the group row).
+    The demo state machine counts length ascents between consecutive
+    docs — a computation that needs ordered traversal — and the
+    oracle reproduces it with lag()+agg, proving the partition/order
+    contract end-to-end. This is the modern replacement for RDD
+    groupByKey+mapValues loops: the shuffle and ordering stay in the
+    engine, only the per-group fold is Python. At 100 TB each group
+    streams Arrow batches through a worker — group size, not corpus
+    size, bounds memory."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="lang string, n_docs bigint, n_ascents bigint")
+    class AscentCounter:
+        def __init__(self):
+            self._lang = None
+            self._n = 0
+            self._asc = 0
+            self._prev = None
+
+        def eval(self, row):
+            self._lang = row["lang"]
+            self._n += 1
+            if self._prev is not None and row["n_chars"] > self._prev:
+                self._asc += 1
+            self._prev = row["n_chars"]
+
+        def terminate(self):
+            if self._n:
+                yield self._lang, self._n, self._asc
+
+    spark.udtf.register("k9_ascents", AscentCounter)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    view = f"k9_docs_{uuid.uuid4().hex[:12]}"
+    docs.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT lang, n_docs, n_ascents
+        FROM k9_ascents(TABLE({view}) PARTITION BY lang ORDER BY doc_id)
+        """
+    )
