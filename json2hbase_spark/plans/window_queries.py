@@ -1096,3 +1096,86 @@ def h17_fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("variant").alias("n_variants"),
         F.expr("COUNT(DISTINCT variant COLLATE UTF8_LCASE)").alias("n_ci"),
     )
+
+
+# ---------------------------------------------------------------- e10
+
+@query(
+    "e10_win_time_range",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+    ),
+    burst AS (
+      SELECT user_id,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+                            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+               AS n_last_hour
+      FROM e
+    )
+    SELECT user_id,
+           CAST(MAX(n_last_hour) AS BIGINT) AS max_burst,
+           COUNT(*) AS n_events
+    FROM burst GROUP BY user_id
+    """,
+)
+def e10_win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-interval RANGE frame (the window surface e7's numeric
+    range doesn't cover): per user, events inside the trailing hour of
+    each event — the burst/rate-limit detector shape. Implemented as a
+    value-range frame over unix_micros(ts) (identical to SQL's RANGE
+    BETWEEN INTERVAL 1 HOUR PRECEDING: microsecond arithmetic, peers
+    included), reduced to per-user max burst so the payload is
+    user-sized. The window runs inside each user's partition — no
+    global sort — and at 100 TB this partitions by user exactly like
+    i15/i16; the frame bound is O(events-in-hour) per row, the
+    streaming twin being i2's sliding window."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    burst = ev.select("user_id", F.count("*").over(w).alias("n_last_hour"))
+    return burst.groupBy("user_id").agg(
+        F.max("n_last_hour").cast("bigint").alias("max_burst"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------- g7
+
+@query(
+    "g7_union_by_name",
+    oracle="""
+    SELECT 'customer' AS src, c_custkey AS acct_key, c_acctbal AS acctbal,
+           c_mktsegment AS mktsegment
+    FROM customer
+    UNION ALL
+    SELECT 'supplier', s_suppkey, s_acctbal, NULL
+    FROM supplier
+    """,
+)
+def g7_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving union: two account sources with DIFFERENT
+    column sets combined by NAME with missing columns null-filled
+    (``unionByName(allowMissingColumns=True)``) — the lakehouse
+    append pattern when upstream schemas drift (a11's evolution story
+    at the set-operation level, vs g1's positional union of identical
+    shapes). Catalyst resolves the alignment at plan time: the
+    physical plan is a plain Union of two projections, zero runtime
+    cost for the missing column."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("src"),
+        F.col("c_custkey").alias("acct_key"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("src"),
+        F.col("s_suppkey").alias("acct_key"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return cust.unionByName(supp, allowMissingColumns=True)
