@@ -62,14 +62,15 @@ def _driver_verified() -> set[str]:
 
 
 def _fresh_rank(name: str) -> int:
-    """Within the not-yet-recorded set (87 at round-4 end: the 64
-    never-recorded from rounds 1-3 plus the 23 round-4 additions),
+    """Within the not-yet-recorded set (100 at round-4 end: the 64
+    never-recorded from rounds 1-3 plus the 36 round-4 additions),
     order so the 50-entry window covers the streaming family (largest,
     hardest to re-verify) and the round-4 HEADLINE corpus operators
-    (j40+, m6) in the same round; the spill to the next round is then
-    the uniform scalar-function bundles (h*) plus small
-    relational/source tails, all of which fit the following 50-entry
-    window."""
+    (j40-j59, m6) in the same round; the 50-entry spill to the next
+    round is then the uniform scalar-function bundles (h*), the
+    relational/source tails (a16-a23, b7-b11, c10-c16, d/e/f/g
+    singles) and m7 — all verified locally every session via
+    tools/oracle_check.py."""
     head = name.split("_", 1)[0]
     if head[0] == "i" or name == "c7_join_asof":
         return 0
