@@ -1736,3 +1736,111 @@ def j59_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_heuristic"),
         )
     )
+
+
+# ---------------------------------------------------------------- j60
+
+BM25_TERMS = ("join", "filter", "vector")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+
+def _duck_bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS t
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, t, COUNT(*) AS tf FROM toks
+      WHERE t IN ({terms}) GROUP BY doc_id, t
+    ),
+    idf AS (
+      SELECT t, ln(1.0 + (s.n_docs - df + 0.5) / (df + 0.5)) AS idf
+      FROM (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY t), stats s
+    ),
+    contrib AS (
+      SELECT tf.doc_id,
+             round(idf.idf * (tf.tf * ({BM25_K1} + 1.0))
+                   / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                      + {BM25_B} * (CAST(dl.len AS DOUBLE) / s.avgdl))), 6)
+               AS c
+      FROM tf
+      JOIN dl ON dl.doc_id = tf.doc_id
+      JOIN idf ON idf.t = tf.t, stats s
+    )
+    SELECT doc_id,
+           CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) AS score
+    FROM contrib GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT {BM25_TOPK}
+    """
+
+
+@query("j60_bm25_search", oracle=_duck_bm25_oracle())
+def j60_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed term query —
+    the SEARCH half of the inverted-index story j30 builds: tf, doc
+    length, avgdl and idf all computed on-engine, top-10 docs by
+    score. Scale shape is what makes engine-side BM25 viable at
+    100 TB: the corpus explode is immediately filtered to the query's
+    terms (predicate ON the exploded token, so only matching
+    occurrences survive the map side), doc-length and avgdl come from
+    one narrow agg, idf is a |terms|-row broadcast, and the final
+    ranking is a TakeOrdered top-k, never a global sort. Per-term
+    contributions are rounded to 6 decimals and summed as
+    DECIMAL(18,6) — order-free exact aggregation (same convention as
+    j59), so the float hash matches cross-engine; idf's ln() is
+    inside the rounding, absorbing libm last-bit differences."""
+    docs = load(spark, sf_dir, "documents")
+    toks = widen(docs).select(
+        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("t")
+    )
+    toks = materialize(toks)
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("len"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("len").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("t").isin(*BM25_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tbl = tf.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    idf = df_tbl.crossJoin(F.broadcast(stats)).select(
+        "t",
+        F.log(
+            1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    contrib = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(idf), "t")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * (BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1.0 - BM25_B + BM25_B * (F.col("len").cast("double") / F.col("avgdl")))
+                ),
+                6,
+            ).alias("c"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum(F.col("c").cast("decimal(18,6)")).cast("double").alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(BM25_TOPK)
+    )

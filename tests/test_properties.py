@@ -179,3 +179,52 @@ def test_rag_chunks_cover_every_token_exactly(spark, n_tokens):
     assert all(r.n_tok <= CHUNK_TOKENS for r in rows)
     # last chunk reaches the final token: start + len - 1 == n_tokens
     assert (n_chunks - 1) * CHUNK_STRIDE + rows[-1].n_tok == n_tokens
+
+
+# ---------------------------------------------------------------- round-4b
+
+pii_text = st.text(
+    alphabet="ab @.:/09xyz", max_size=40
+).map(lambda s: s.replace("\x00", ""))
+
+
+@SETTLE
+@given(texts=st.lists(pii_text, min_size=1, max_size=4))
+def test_redact_pii_is_idempotent(spark, texts):
+    """Redaction is a fixpoint: placeholders contain no matchable
+    pattern, so redacting twice equals redacting once."""
+    from json2hbase_spark.plans.corpus_queries import redact_pii
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    once = df.select(redact_pii(F.col("text")).alias("r"))
+    twice = once.select(redact_pii(F.col("r")).alias("r"))
+    assert [r.r for r in once.collect()] == [r.r for r in twice.collect()]
+
+
+words = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]),
+    min_size=0,
+    max_size=14,
+)
+
+
+@SETTLE
+@given(docs=st.lists(words, min_size=2, max_size=4))
+def test_span_remove_consistent_with_span_stats(spark, docs):
+    """For the same corpus and span width, a doc loses tokens IFF the
+    span counter saw a duplicated span in it, and survivors are always
+    a subset of the original token count."""
+    from json2hbase_spark.plans.corpus_queries import span_dup_stats, span_remove
+
+    rows = [(i, w) for i, w in enumerate(docs)]
+    toks = spark.createDataFrame(rows, "doc_id long, w array<string>")
+    stats = {r.doc_id: r for r in span_dup_stats(toks, w=3).collect()}
+    removed = {r.doc_id: r for r in span_remove(toks, w=3).collect()}
+    for d, w in rows:
+        if len(w) < 3:
+            assert d not in stats  # too short to span: counter drops it
+            if d in removed:
+                assert removed[d].n_removed == 0
+            continue
+        assert (stats[d].n_dup_spans > 0) == (removed[d].n_removed > 0)
+        assert 0 <= removed[d].n_removed <= removed[d].n_tokens
