@@ -1844,3 +1844,88 @@ def j60_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(BM25_TOPK)
     )
+
+
+# ---------------------------------------------------------------- j61
+
+MIX_ALPHA = 0.7      # temperature exponent (UNIMAX/mT5-style)
+MIX_BUDGET = 0.3     # total sample budget as a fraction of the corpus
+
+
+@query(
+    "j61_temperature_mixture",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT SUM(pow(CAST(n AS DOUBLE), {MIX_ALPHA})) AS z,
+             CAST(SUM(n) AS BIGINT) AS n_corpus
+      FROM counts
+    ),
+    quota AS (
+      SELECT c.source, c.n,
+             round(pow(CAST(c.n AS DOUBLE), {MIX_ALPHA}) / t.z, 6) AS w,
+             least(1.0, ({MIX_BUDGET} * t.n_corpus)
+                        * round(pow(CAST(c.n AS DOUBLE), {MIX_ALPHA}) / t.z, 6)
+                        / c.n) AS rate
+      FROM counts c, tot t
+    ),
+    kept AS (
+      SELECT d.source, d.doc_id
+      FROM documents d JOIN quota q ON q.source = d.source
+      WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+            < CAST(floor(q.rate * 4294967296.0) AS BIGINT)
+    )
+    SELECT q.source,
+           CAST(q.n AS BIGINT) AS n_total,
+           q.rate AS quota_rate,
+           CAST(COUNT(k.doc_id) AS BIGINT) AS n_sampled
+    FROM quota q LEFT JOIN kept k ON k.source = q.source
+    GROUP BY q.source, q.n, q.rate
+    """,
+)
+def j61_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture sampling (UNIMAX/mT5 recipe,
+    α=0.7): per-source sampling rates DERIVED from the corpus itself —
+    weight ∝ n^α flattens the source distribution so small sources
+    up-weight without exploding epochs on tiny ones — then a
+    deterministic md5-threshold sample realizes each quota (j19's
+    content-addressed trick, but with COMPUTED rates instead of a
+    fixed table; the keep test is an integer compare against a 32-bit
+    hash, reproducible on any engine and any run). Weights round to 6
+    decimals BEFORE the quota arithmetic so the pow()/division chain
+    is cross-engine stable. Plan: one counts agg, a source-sized
+    broadcast of quotas, one map-side filter — the corpus is touched
+    exactly once, no shuffle of sampled rows."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n"))
+    tot = counts.agg(
+        F.sum(F.pow(F.col("n").cast("double"), MIX_ALPHA)).alias("z"),
+        F.sum("n").cast("bigint").alias("n_corpus"),
+    )
+    w = F.round(F.pow(F.col("n").cast("double"), MIX_ALPHA) / F.col("z"), 6)
+    quota = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        F.least(
+            F.lit(1.0), (MIX_BUDGET * F.col("n_corpus")) * w / F.col("n")
+        ).alias("rate"),
+    )
+    h32 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    kept = (
+        docs.join(F.broadcast(quota), "source")
+        .filter(h32 < F.floor(F.col("rate") * F.lit(4294967296.0)).cast("long"))
+        .select("source", "doc_id")
+    )
+    return (
+        quota.join(kept.groupBy("source").agg(F.count("*").alias("k")), "source", "left")
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_total"),
+            F.col("rate").alias("quota_rate"),
+            F.coalesce(F.col("k"), F.lit(0)).cast("bigint").alias("n_sampled"),
+        )
+    )
