@@ -62,24 +62,23 @@ def _driver_verified() -> set[str]:
 
 
 def _fresh_rank(name: str) -> int:
-    """Within the not-yet-recorded set (100 at round-4 end: the 64
-    never-recorded from rounds 1-3 plus the 36 round-4 additions),
+    """Within the not-yet-recorded set (102 at round-4 end: the 64
+    never-recorded from rounds 1-3 plus the 38 round-4 additions),
     order so the 50-entry window covers the streaming family (largest,
-    hardest to re-verify) and the round-4 HEADLINE corpus operators
-    (j40-j59, m6) in the same round; the 50-entry spill to the next
-    round is then the uniform scalar-function bundles (h*), the
-    relational/source tails (a16-a23, b7-b11, c10-c16, d/e/f/g
-    singles) and m7 — all verified locally every session via
-    tools/oracle_check.py."""
+    hardest to re-verify), the k/m escape hatches, and as many of the
+    round-4 corpus operators (j40+) as fit — the window cuts inside
+    the j5x tail, so the last few j-ops spill together with the
+    scalar-function bundles (h*) and relational/source tails
+    (a16-a23, b7-b11, c10-c16, d/e/f/g singles) into round 5's
+    window (~52 entries, two of which reach round 6). Everything is
+    verified locally every session via tools/oracle_check.py."""
     head = name.split("_", 1)[0]
     if head[0] == "i" or name == "c7_join_asof":
         return 0
-    if head[0] == "k":
+    if head[0] == "k" or name in ("m6_modality_mix", "m7_media_dedup"):
         return 1
     if head[0] == "j" and head[1:].isdigit() and int(head[1:]) >= 40:
         return 2  # round-4 corpus ops: driver-verify in their own round
-    if name in ("m6_modality_mix", "m7_media_dedup"):
-        return 2
     if head[0] == "c":
         return 3
     if head[0] in ("g", "e", "f", "d"):

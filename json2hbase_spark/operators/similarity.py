@@ -49,6 +49,33 @@ def l2_normalize(a: Column) -> Column:
     return F.transform(a, lambda x: x.cast("double") / n)
 
 
+def _broadcast_topk_by_cosine(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    join_cond,
+    q_id: str,
+    q_vec: str,
+    c_id: str,
+    c_vec: str,
+) -> DataFrame:
+    """Shared shape for the broadcast-queries × candidate-scan top-k
+    family: join on ``join_cond`` (evaluated before any vector fold
+    runs), score by cosine, rank row_number over (sim DESC, c_id) —
+    ONE copy of the scoring/tie-break contract so cosine_topk and
+    hard_negatives cannot drift apart."""
+    joined = candidates.join(F.broadcast(queries), join_cond)
+    scored = joined.select(
+        q_id, c_id, cosine(F.col(q_vec), F.col(c_vec)).alias("sim")
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, c_id, "sim", "rank")
+    )
+
+
 def cosine_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -60,15 +87,8 @@ def cosine_topk(
 ) -> DataFrame:
     """Brute-force exact top-k cosine neighbors per query vector.
     Queries are broadcast; the candidate scan never shuffles."""
-    joined = candidates.crossJoin(F.broadcast(queries)).filter(F.col(q_id) != F.col(c_id))
-    scored = joined.select(
-        q_id, c_id, cosine(F.col(q_vec), F.col(c_vec)).alias("sim")
-    )
-    w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(q_id, c_id, "sim", "rank")
+    return _broadcast_topk_by_cosine(
+        queries, candidates, k, F.col(q_id) != F.col(c_id), q_id, q_vec, c_id, c_vec
     )
 
 
@@ -87,15 +107,8 @@ def hard_negatives(
     hard negatives a contrastive trainer batches (DPR/Contriever).
     Same broadcast shape as ``cosine_topk``; the label anti-filter is
     evaluated in the join condition, before any vector fold runs."""
-    joined = candidates.join(F.broadcast(queries), F.col(c_label) != F.col(q_label))
-    scored = joined.select(
-        q_id, c_id, cosine(F.col(q_vec), F.col(c_vec)).alias("sim")
-    )
-    w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(q_id, c_id, "sim", "rank")
+    return _broadcast_topk_by_cosine(
+        queries, candidates, k, F.col(c_label) != F.col(q_label), q_id, q_vec, c_id, c_vec
     )
 
 

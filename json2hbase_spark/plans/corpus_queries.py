@@ -1247,9 +1247,9 @@ PII_NUMRUN_RE = "[0-9][0-9][0-9][0-9][0-9]+"
              len(regexp_extract_all(lower(text), '{PII_URL_RE}')) AS n_urls,
              len(regexp_extract_all(lower(text), '{PII_NUMRUN_RE}')) AS n_numruns,
              regexp_replace(regexp_replace(regexp_replace(lower(text),
-               '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
-               '{PII_URL_RE}', '<URL>', 'g'),
-               '{PII_NUMRUN_RE}', '<NUM>', 'g') AS redacted
+               '{PII_EMAIL_RE}', '<email>', 'g'),
+               '{PII_URL_RE}', '<url>', 'g'),
+               '{PII_NUMRUN_RE}', '<num>', 'g') AS redacted
       FROM pii
     )
     SELECT doc_id,
@@ -1301,16 +1301,19 @@ def j54_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def redact_pii(col) -> "F.Column":
     """Redacted (lowercased) text: email → URL → digit-run, fixed
-    order so overlapping matches resolve deterministically."""
+    order so overlapping matches resolve deterministically. The
+    placeholders are lowercase so redaction is a FIXPOINT — a second
+    pass (which lowercases again) changes nothing; pinned by a
+    hypothesis property test."""
     low = F.lower(col)
     return F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(low, PII_EMAIL_RE, "<EMAIL>"),
+            F.regexp_replace(low, PII_EMAIL_RE, "<email>"),
             PII_URL_RE,
-            "<URL>",
+            "<url>",
         ),
         PII_NUMRUN_RE,
-        "<NUM>",
+        "<num>",
     )
 
 
@@ -1342,8 +1345,8 @@ QLR_W_AVGLEN = 0.08  # on avg token length
     WITH f AS (
       SELECT doc_id,
              len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tok,
-             CAST(list_aggregate(list_transform(list_filter(string_split(text, ' '),
-                    x -> x != ''), t -> len(t)), 'sum') AS DOUBLE)
+             CAST(COALESCE(list_aggregate(list_transform(list_filter(string_split(text, ' '),
+                    x -> x != ''), t -> len(t)), 'sum'), 0) AS DOUBLE)
                / greatest(len(list_filter(string_split(text, ' '), x -> x != '')), 1)
                AS avg_tok_len,
              CAST(len(list_filter(list_filter(string_split(text, ' '), x -> x != ''),
@@ -1389,10 +1392,11 @@ def j55_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def quality_lr_score(text) -> "F.Column":
-    """The frozen linear model's margin score over in-engine features
-    (see j55's docstring for the exact op order — it is part of the
-    cross-engine contract)."""
+def quality_feature_cols(text) -> dict:
+    """The shared quality-feature expressions (ONE Python definition;
+    the DuckDB twins live in the j55/j59/i24 oracle strings): token
+    count, avg token length, stopword ratio, digit ratio — exactly
+    the op order the cross-engine contract pins."""
     toks = whitespace_tokens(text)
     n_tok = F.size(toks)
     n_tok1 = F.greatest(n_tok, F.lit(1))
@@ -1413,12 +1417,25 @@ def quality_lr_score(text) -> "F.Column":
         (ln - F.length(F.regexp_replace(text, "[0-9]", ""))).cast("double")
         / F.greatest(ln, F.lit(1))
     )
+    return {
+        "n_tok": n_tok,
+        "avg_tok_len": avg_tok_len,
+        "stop_ratio": stop_ratio,
+        "digit_ratio": digit_ratio,
+    }
+
+
+def quality_lr_score(text) -> "F.Column":
+    """The frozen linear model's margin score over in-engine features
+    (see j55's docstring for the exact op order — it is part of the
+    cross-engine contract)."""
+    f = quality_feature_cols(text)
     return (
         F.lit(QLR_B)
-        + F.lit(QLR_W_LEN) * (F.least(n_tok, F.lit(100)).cast("double") / F.lit(100.0))
-        + F.lit(QLR_W_STOP) * stop_ratio
-        + F.lit(QLR_W_DIGIT) * digit_ratio
-        + F.lit(QLR_W_AVGLEN) * avg_tok_len
+        + F.lit(QLR_W_LEN) * (F.least(f["n_tok"], F.lit(100)).cast("double") / F.lit(100.0))
+        + F.lit(QLR_W_STOP) * f["stop_ratio"]
+        + F.lit(QLR_W_DIGIT) * f["digit_ratio"]
+        + F.lit(QLR_W_AVGLEN) * f["avg_tok_len"]
     )
 
 
@@ -1661,8 +1678,8 @@ def span_remove(toks: DataFrame, w: int = SPAN_W) -> DataFrame:
                AS stop_ratio,
              CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
                / greatest(len(text), 1) AS digit_ratio,
-             CAST(list_aggregate(list_transform(list_filter(string_split(text, ' '),
-                    x -> x != ''), t -> len(t)), 'sum') AS DOUBLE)
+             CAST(COALESCE(list_aggregate(list_transform(list_filter(string_split(text, ' '),
+                    x -> x != ''), t -> len(t)), 'sum'), 0) AS DOUBLE)
                / greatest(len(list_filter(string_split(text, ' '), x -> x != '')), 1)
                AS avg_tok_len
       FROM documents
@@ -1700,25 +1717,11 @@ def j59_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-sum convention as functions/exact.py. One scan, one hash
     agg; scales as a token count."""
     docs = load(spark, sf_dir, "documents")
-    toks = whitespace_tokens(F.col("text"))
-    n_tok = F.size(toks)
-    n_tok1 = F.greatest(n_tok, F.lit(1))
-    stop_ratio = (
-        F.size(
-            F.filter(
-                toks,
-                lambda t: t.isin("the", "a", "of", "and", "to", "in", "is", "on", "for", "with"),
-            )
-        ).cast("double")
-        / n_tok1
-    )
-    ln_ = F.length("text")
-    digit_ratio = (
-        (ln_ - F.length(F.regexp_replace(F.col("text"), "[0-9]", ""))).cast("double")
-        / F.greatest(ln_, F.lit(1))
-    )
+    f = quality_feature_cols(F.col("text"))
     score = quality_lr_score(F.col("text"))
-    heuristic = F.round(F.log(1 + n_tok) * (1.0 - digit_ratio) * (0.5 + stop_ratio), 4)
+    heuristic = F.round(
+        F.log(1 + f["n_tok"]) * (1.0 - f["digit_ratio"]) * (0.5 + f["stop_ratio"]), 4
+    )
     scored = docs.select(
         score.alias("score"),
         heuristic.alias("heuristic"),

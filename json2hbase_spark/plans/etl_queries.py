@@ -918,7 +918,10 @@ def a23_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     tag = sf_dir.strip("/").replace("/", "_")
-    stage = os.path.join(tempfile.gettempdir(), f"j2h_a23_assets_{tag}")
+    # literal /tmp, NOT tempfile.gettempdir(): the oracle's read_blob
+    # glob is a pinned literal path, and a TMPDIR-honoring staging dir
+    # would silently diverge from it on hosts that set TMPDIR
+    stage = f"/tmp/j2h_a23_assets_{tag}"
     marker = os.path.join(stage, "_staged")
     if not os.path.exists(marker):
         os.makedirs(stage, exist_ok=True)

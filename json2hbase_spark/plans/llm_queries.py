@@ -446,8 +446,8 @@ def j11_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              len(text) AS n_chars,
              len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tokens,
-             CAST(list_aggregate(list_transform(list_filter(string_split(text, ' '), x -> x != ''),
-                  t -> len(t)), 'sum') AS DOUBLE)
+             CAST(COALESCE(list_aggregate(list_transform(list_filter(string_split(text, ' '), x -> x != ''),
+                  t -> len(t)), 'sum'), 0) AS DOUBLE)
                / greatest(len(list_filter(string_split(text, ' '), x -> x != '')), 1) AS avg_token_len,
              CAST(len(list_filter(list_filter(string_split(text, ' '), x -> x != ''),
                   t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t)))

@@ -20,6 +20,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from json2hbase_spark.io import load, load_events_stream
+from json2hbase_spark.plans.corpus_queries import (
+    QLR_B,
+    QLR_W_AVGLEN,
+    QLR_W_DIGIT,
+    QLR_W_LEN,
+    QLR_W_STOP,
+)
 from json2hbase_spark.operators.asof import asof_join
 from json2hbase_spark.operators.sessionize import sessionize
 from json2hbase_spark.registry import query
@@ -1245,7 +1252,7 @@ def i23_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "i24_stream_model_filter",
-    oracle="""
+    oracle=f"""
     WITH f AS (
       SELECT doc_id, lang,
              len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tok,
@@ -1256,18 +1263,18 @@ def i23_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS stop_ratio,
              CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
                / greatest(len(text), 1) AS digit_ratio,
-             CAST(list_aggregate(list_transform(list_filter(string_split(text, ' '),
-                    x -> x != ''), t -> len(t)), 'sum') AS DOUBLE)
+             CAST(COALESCE(list_aggregate(list_transform(list_filter(string_split(text, ' '),
+                    x -> x != ''), t -> len(t)), 'sum'), 0) AS DOUBLE)
                / greatest(len(list_filter(string_split(text, ' '), x -> x != '')), 1)
                AS avg_tok_len
       FROM documents
     ),
     scored AS (
       SELECT doc_id, lang,
-             -0.6 + 1.1 * (CAST(least(n_tok, 100) AS DOUBLE) / 100.0)
-                  + 2.0 * stop_ratio
-                  + -3.0 * digit_ratio
-                  + 0.08 * avg_tok_len AS score
+             {QLR_B} + {QLR_W_LEN} * (CAST(least(n_tok, 100) AS DOUBLE) / 100.0)
+                  + {QLR_W_STOP} * stop_ratio
+                  + {QLR_W_DIGIT} * digit_ratio
+                  + {QLR_W_AVGLEN} * avg_tok_len AS score
       FROM f
     )
     SELECT lang,

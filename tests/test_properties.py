@@ -191,10 +191,14 @@ pii_text = st.text(
 @SETTLE
 @given(texts=st.lists(pii_text, min_size=1, max_size=4))
 def test_redact_pii_is_idempotent(spark, texts):
-    """Redaction is a fixpoint: placeholders contain no matchable
-    pattern, so redacting twice equals redacting once."""
+    """Redaction is a fixpoint: placeholders are lowercase and contain
+    no matchable pattern, so redacting twice equals redacting once.
+    One guaranteed-redactable row is planted so the property is
+    exercised on every run, not only when hypothesis happens to draw
+    a match."""
     from json2hbase_spark.plans.corpus_queries import redact_pii
 
+    texts = [*texts, "mail a@b.cd or https://x.yz ref 1234567"]
     df = spark.createDataFrame([(t,) for t in texts], "text string")
     once = df.select(redact_pii(F.col("text")).alias("r"))
     twice = once.select(redact_pii(F.col("r")).alias("r"))
