@@ -1,0 +1,304 @@
+"""Training-run preparation operators (round 4c): deterministic global
+shuffle/sharding, character-entropy quality filtering, and DSIR-style
+hashed-n-gram importance resampling.
+
+These close the gap between "a cleaned corpus" (the j1–j61 family) and
+"data a trainer can actually consume": the corpus must be globally
+shuffled into reproducible shards, low-entropy junk must be cut, and
+the mixture must be tilted toward a target distribution without an
+expensive model in the loop (DSIR, Xie et al. 2023 — importance
+weights from hashed n-gram bucket frequencies).
+
+Float conventions follow corpus_queries.py: ratios are built from
+exact BIGINT numerators/denominators and divided once (a single IEEE
+op, bit-identical cross-engine); ln/avg chains round to 4 like j31.
+Every sampling / sharding decision is content-addressed (md5 of the
+row key), never RNG-seeded — a rerun on any engine produces the
+identical corpus, which tools/determinism_check.py enforces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from json2hbase_spark.io import load, widen
+from json2hbase_spark.materialize import materialize
+from json2hbase_spark.operators.text import whitespace_tokens
+from json2hbase_spark.registry import query
+
+# ---------------------------------------------------------------- j62
+
+SHUFFLE_SEED = "epoch0"  # content-address tag: new epoch => new permutation
+N_SHARDS = 8
+
+
+@query(
+    "j62_global_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || ':{SHUFFLE_SEED}') AS hkey
+      FROM documents
+    ),
+    sharded AS (
+      SELECT doc_id, hkey,
+             CAST(('0x' || substr(hkey, 1, 8))::BIGINT % {N_SHARDS} AS INTEGER)
+               AS shard
+      FROM keyed
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hkey, doc_id)
+                AS BIGINT) AS pos
+    FROM sharded
+    """,
+)
+def j62_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards: every doc
+    gets a content-addressed key md5(doc_id || epoch-tag), the top 32
+    bits pick one of N_SHARDS shards, and the in-shard position is the
+    rank of the full 128-bit key — a reproducible random permutation
+    with NO RNG state, so any engine (and any rerun, and any subset of
+    workers) derives the identical epoch order. New epoch = new seed
+    tag, nothing to re-persist. Plan: one narrow map to key+shard,
+    then exactly one hash exchange on shard feeding both the sort and
+    the row_number — at 100 TB this is `repartition(shard) +
+    sortWithinPartitions(hkey)` writing one shard per directory, and
+    the shard count scales to thousands with the same two-stage plan.
+    The window never sees more than one shard's rows per partition
+    (contrast a global ORDER BY, which would funnel the corpus through
+    a single range sort)."""
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{SHUFFLE_SEED}"))).alias(
+            "hkey"
+        ),
+    )
+    sharded = keyed.withColumn(
+        "shard",
+        (F.conv(F.substring("hkey", 1, 8), 16, 10).cast("long") % N_SHARDS).cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy("hkey", "doc_id")
+    return sharded.select(
+        "doc_id", "shard", F.row_number().over(w).cast("bigint").alias("pos")
+    )
+
+
+# ---------------------------------------------------------------- j63
+
+ENTROPY_MIN = 3.5  # bits/char below which text is repetitive junk
+LEN_MIN = 100
+
+
+@query(
+    "j63_entropy_filter",
+    oracle=f"""
+    WITH chars AS (
+      SELECT d.doc_id, ascii(substr(d.text, i.i + 1, 1)) AS c
+      FROM documents d,
+           LATERAL (SELECT unnest(range(len(d.text))) AS i) i
+      WHERE len(d.text) > 0
+    ),
+    freq AS (
+      SELECT doc_id, c, COUNT(*) AS cnt FROM chars GROUP BY doc_id, c
+    ),
+    ent AS (
+      SELECT f.doc_id,
+             CAST(SUM(f.cnt) AS BIGINT) AS n_chars,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+             round(-SUM((CAST(f.cnt AS DOUBLE) / d.n_chars)
+                        * log2(CAST(f.cnt AS DOUBLE) / d.n_chars)), 4) + 0.0
+               AS entropy
+      FROM freq f JOIN documents d ON f.doc_id = d.doc_id
+      GROUP BY f.doc_id, d.n_chars
+    )
+    SELECT doc_id, n_chars, n_distinct_chars, entropy,
+           (entropy >= {ENTROPY_MIN} AND n_chars >= {LEN_MIN}) AS keep
+    FROM ent
+    """,
+)
+def j63_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality gate: per-doc Shannon entropy over
+    the byte stream — the cheapest detector for the failure modes a
+    unigram LM (j31) misses: repeated-character runs, template spam,
+    base64/hex blobs (high char entropy but caught by the companion
+    length gate), single-char padding. FineWeb/Gopher-class pipelines
+    run exactly this signal before any model-based scoring. The
+    per-char explode is a narrow map-side fan-out (widen() first so
+    one parquet file doesn't serialize it); two hash aggregations
+    ((doc,char) counts, then per-doc entropy) both partially aggregate
+    map-side, so the shuffled payload is ≤ |alphabet| rows per doc,
+    not |text|. Entropy divides exact BIGINT counts by the stored
+    n_chars once per term and rounds to 4 after the sum (the j31
+    convention). At 100 TB this is the same two-stage plan; nothing
+    holds a whole document's chars in one state."""
+    docs = load(spark, sf_dir, "documents")
+    chars = (
+        widen(docs)
+        .filter(F.length("text") > 0)
+        .select("doc_id", "n_chars", "text")
+        .select(
+            "doc_id",
+            "n_chars",
+            # split on the zero-width between-chars pattern; limit -1
+            # keeps a trailing "" (the end-of-input match) — drop it
+            F.explode(F.filter(F.split(F.col("text"), "(?!^)"), lambda c: c != "")).alias(
+                "ch"
+            ),
+        )
+        .select("doc_id", "n_chars", F.ascii("ch").alias("c"))
+    )
+    freq = chars.groupBy("doc_id", "n_chars", "c").agg(F.count("*").alias("cnt"))
+    p = F.col("cnt").cast("double") / F.col("n_chars")
+    ent = freq.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_chars"),
+        F.count("*").cast("bigint").alias("n_distinct_chars"),
+        # + 0.0 normalizes IEEE -0.0 (a one-distinct-char doc rounds
+        # to -0.0 in Spark, 0.0 in DuckDB's repr — strict hash differs)
+        (F.round(-F.sum(p * F.log2(p)), 4) + F.lit(0.0)).alias("entropy"),
+    )
+    return ent.select(
+        "doc_id",
+        "n_chars",
+        "n_distinct_chars",
+        "entropy",
+        ((F.col("entropy") >= ENTROPY_MIN) & (F.col("n_chars") >= LEN_MIN)).alias(
+            "keep"
+        ),
+    )
+
+
+# ---------------------------------------------------------------- j64
+
+DSIR_BUCKETS = 64
+DSIR_TARGET_LANG = "en"
+DSIR_KEEP = 100
+
+
+@query(
+    "j64_dsir_importance",
+    oracle=f"""
+    WITH toks AS (
+      SELECT d.doc_id, t.tok
+      FROM documents d,
+           LATERAL (SELECT unnest(list_filter(string_split(d.text, ' '),
+                                              x -> x != '')) AS tok) t
+    ),
+    bucketed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 4))::BIGINT % {DSIR_BUCKETS}
+                  AS INTEGER) AS b
+      FROM toks
+    ),
+    doc_hist AS (
+      SELECT bk.doc_id, d.lang, bk.b, COUNT(*) AS c
+      FROM bucketed bk JOIN documents d ON bk.doc_id = d.doc_id
+      GROUP BY bk.doc_id, d.lang, bk.b
+    ),
+    hist AS (
+      SELECT b,
+             CAST(SUM(c) AS BIGINT) AS raw_cnt,
+             CAST(SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN c ELSE 0 END)
+                  AS BIGINT) AS tgt_cnt
+      FROM doc_hist GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(SUM(raw_cnt) AS BIGINT) AS raw_n,
+             CAST(SUM(tgt_cnt) AS BIGINT) AS tgt_n
+      FROM hist
+    ),
+    ratios AS (
+      SELECT h.b,
+             ln(CAST((h.tgt_cnt + 1) * (t.raw_n + {DSIR_BUCKETS}) AS DOUBLE)
+                / CAST((h.raw_cnt + 1) * (t.tgt_n + {DSIR_BUCKETS}) AS DOUBLE))
+               AS logr
+      FROM hist h, tot t
+    ),
+    scored AS (
+      SELECT dh.doc_id,
+             CAST(SUM(dh.c) AS BIGINT) AS n_toks,
+             round(SUM(dh.c * ra.logr) / SUM(dh.c), 4) + 0.0 AS importance
+      FROM doc_hist dh JOIN ratios ra ON dh.b = ra.b
+      GROUP BY dh.doc_id
+    )
+    SELECT doc_id, n_toks, importance,
+           (ROW_NUMBER() OVER (ORDER BY importance DESC, doc_id)
+              <= {DSIR_KEEP}) AS selected
+    FROM scored
+    """,
+)
+def j64_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): tilt the raw
+    corpus toward a target distribution using only hashed-unigram
+    bucket frequencies — no model in the loop. Each token hashes into
+    one of {DSIR_BUCKETS} buckets; the per-bucket log-likelihood ratio
+    ln(p_target/p_raw) (Laplace-smoothed) comes from two corpus-level
+    aggregations, and a document's importance is its tokens' average
+    log-ratio. Docs that look like the target (here: lang='en') score
+    high; the top-K flag realizes the resample. Ratio floats are built
+    as exact BIGINT cross-products divided once, so Spark and DuckDB
+    agree bit-for-bit before the ln; per-doc scores are the
+    count-weighted avg over the doc's ≤{DSIR_BUCKETS} bucket rows
+    (identical value to a token-stream avg, but the sum has a bounded
+    operand count on every engine). Plan: the corpus is exploded
+    EXACTLY ONCE into a materialized per-(doc,bucket) count table
+    (docs × ≤{DSIR_BUCKETS} rows — without the cut, every derived
+    total re-runs the explode: 5 corpus passes); the 64-row histogram,
+    its totals, and the log-ratios all reduce from that table, the
+    ratio table broadcasts back onto it, and the only corpus-sized
+    exchanges are the doc_hist agg and the per-doc score agg. The
+    final top-K rank is a single-partition window over DOC-level rows
+    (one row per doc, not per token) — at 100 TB swap it for the
+    j3-style per-partition-top-K + global merge; the flag semantics
+    are identical."""
+    docs = load(spark, sf_dir, "documents")
+    toks = widen(docs).select(
+        "doc_id", "lang", F.explode(whitespace_tokens(F.col("text"))).alias("tok")
+    )
+    bucketed = toks.select(
+        "doc_id",
+        "lang",
+        (F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long") % DSIR_BUCKETS)
+        .cast("int")
+        .alias("b"),
+    )
+    doc_hist = materialize(
+        bucketed.groupBy("doc_id", "lang", "b").agg(F.count("*").alias("c"))
+    )
+    hist = doc_hist.groupBy("b").agg(
+        F.sum("c").cast("bigint").alias("raw_cnt"),
+        F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("tgt_cnt"),
+    )
+    tot = hist.agg(
+        F.sum("raw_cnt").cast("bigint").alias("raw_n"),
+        F.sum("tgt_cnt").cast("bigint").alias("tgt_n"),
+    )
+    ratios = hist.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.log(
+            ((F.col("tgt_cnt") + 1) * (F.col("raw_n") + DSIR_BUCKETS)).cast("double")
+            / ((F.col("raw_cnt") + 1) * (F.col("tgt_n") + DSIR_BUCKETS)).cast("double")
+        ).alias("logr"),
+    )
+    scored = (
+        doc_hist.join(F.broadcast(ratios), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_toks"),
+            # + 0.0 normalizes IEEE -0.0 (observed: an all-neutral-
+            # bucket doc averages to a tiny negative, rounds to -0.0
+            # in Spark but 0.0 in DuckDB — strict repr-hash differs)
+            (F.round(F.sum(F.col("c") * F.col("logr")) / F.sum("c"), 4) + F.lit(0.0))
+            .alias("importance"),
+        )
+    )
+    w = Window.orderBy(F.desc("importance"), "doc_id")
+    return scored.select(
+        "doc_id",
+        "n_toks",
+        "importance",
+        (F.row_number().over(w) <= DSIR_KEEP).alias("selected"),
+    )

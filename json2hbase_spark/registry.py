@@ -48,4 +48,5 @@ def load_all_query_modules() -> None:
         udf_queries,
         advanced_queries,
         corpus_queries,
+        pipeline_queries,
     )

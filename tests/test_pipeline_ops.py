@@ -1,0 +1,139 @@
+"""Round-4c training-prep operator tests: global-shuffle permutation
+properties, known-entropy fixtures, DSIR importance direction, and
+plan pins for all three (shard exchange count, partial combines,
+broadcast ratio join)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from json2hbase_spark import registry
+from json2hbase_spark.plans import pipeline_queries  # noqa: F401 (registers)
+from json2hbase_spark.plans.pipeline_queries import N_SHARDS
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _docs_fixture(spark, rows):
+    """rows: (doc_id, text, lang, source) — writes a documents.parquet
+    with the derived n_chars column, returns the dir."""
+    df = spark.createDataFrame(
+        [(i, t, la, s, len(t)) for i, t, la, s in rows],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    d = tempfile.mkdtemp(prefix="pipeline_fixture_")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+# ---------------------------------------------------------------- j62
+
+
+def test_j62_is_permutation(spark, sf_dir):
+    """Every doc appears exactly once; shards are in [0, N_SHARDS);
+    in-shard positions are contiguous 1..count(shard)."""
+    out = registry.QUERIES["j62_global_shuffle"](spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    assert out.count() == n
+    assert out.select("doc_id").distinct().count() == n
+    bad_shard = out.filter((F.col("shard") < 0) | (F.col("shard") >= N_SHARDS))
+    assert bad_shard.count() == 0
+    per_shard = out.groupBy("shard").agg(
+        F.count("*").alias("n"), F.min("pos").alias("lo"), F.max("pos").alias("hi")
+    )
+    broken = per_shard.filter((F.col("lo") != 1) | (F.col("hi") != F.col("n")))
+    assert broken.count() == 0
+
+
+def test_j62_single_shard_exchange(spark, sf_dir):
+    """The whole shuffle is ONE hash exchange on shard feeding the
+    in-shard sort+rank — never a global ORDER BY (range exchange /
+    single partition funnel)."""
+    plan = _physical_plan(registry.QUERIES["j62_global_shuffle"](spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert "Exchange hashpartitioning(shard" in plan, plan
+    assert "rangepartitioning" not in plan and "SinglePartition" not in plan, plan
+
+
+# ---------------------------------------------------------------- j63
+
+
+def test_j63_known_entropies(spark):
+    """Hand-checkable Shannon entropies: a one-char run is 0 bits, a
+    two-char alternation is exactly 1 bit, four equiprobable chars are
+    exactly 2 bits; keep only when both entropy and length clear the
+    gates."""
+    d = _docs_fixture(
+        spark,
+        [
+            (1, "a" * 120, "en", "s"),          # 0 bits, long enough
+            (2, "ab" * 60, "en", "s"),          # 1 bit
+            (3, "abcd" * 30, "en", "s"),        # 2 bits
+            (4, "abcdefghijklmnop" * 8, "en", "s"),  # 4 bits -> keep
+            (5, "abcdefghijklmnop", "en", "s"),  # 4 bits but too short
+        ],
+    )
+    rows = {
+        r.doc_id: r
+        for r in registry.QUERIES["j63_entropy_filter"](spark, d).collect()
+    }
+    assert rows[1].entropy == 0.0 and not rows[1].keep
+    assert rows[2].entropy == 1.0 and not rows[2].keep
+    assert rows[3].entropy == 2.0 and not rows[3].keep
+    assert rows[4].entropy == 4.0 and rows[4].keep
+    assert rows[5].entropy == 4.0 and not rows[5].keep  # length gate
+    assert rows[4].n_distinct_chars == 16 and rows[4].n_chars == 128
+
+
+def test_j63_aggs_partially_combine(spark, sf_dir):
+    """Both aggregations ((doc,char) counts, per-doc entropy) must
+    partially aggregate map-side so the shuffled payload is bounded by
+    the alphabet, not the text length; no join anywhere."""
+    plan = _physical_plan(registry.QUERIES["j63_entropy_filter"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") == 4, plan  # 2 aggs x partial+final
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+# ---------------------------------------------------------------- j64
+
+
+def test_j64_target_lookalikes_score_higher(spark):
+    """Docs sharing the target language's token distribution must
+    outscore docs that don't, regardless of their own lang label."""
+    d = _docs_fixture(
+        spark,
+        [(i, "alpha beta gamma", "en", "s") for i in range(4)]
+        + [(10 + i, "omega psi chi", "de", "s") for i in range(4)]
+        # a de-labeled doc written in target-like tokens: must score
+        # with the en group (DSIR keys on content, not labels)
+        + [(99, "alpha beta gamma", "de", "s")],
+    )
+    rows = registry.QUERIES["j64_dsir_importance"](spark, d).collect()
+    score = {r.doc_id: r.importance for r in rows}
+    en_like = [score[i] for i in range(4)] + [score[99]]
+    de_like = [score[10 + i] for i in range(4)]
+    assert min(en_like) > max(de_like)
+    assert len(set(en_like)) == 1  # identical content -> identical score
+
+
+def test_j64_ratio_join_is_broadcast(spark, sf_dir):
+    """Everything downstream reduces from the materialized
+    per-(doc,bucket) table: the ratio join is a broadcast (never a
+    sort-merge of tokens vs ratios) and the only wide exchanges are
+    the per-doc score agg and the 64-row-bounded histogram agg on b —
+    in particular the corpus explode must NOT reappear (one corpus
+    pass, not five)."""
+    plan = _physical_plan(registry.QUERIES["j64_dsir_importance"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Exchange hashpartitioning(doc_id" in plan, plan
+    # doc-score agg + the b-keyed hist reductions (re-derived for the
+    # totals, but from the materialized docs×64 table, not the corpus)
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "Generate explode" not in plan, plan  # explode happened pre-cut
