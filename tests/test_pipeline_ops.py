@@ -137,3 +137,70 @@ def test_j64_ratio_join_is_broadcast(spark, sf_dir):
     # totals, but from the materialized docs×64 table, not the corpus)
     assert plan.count("Exchange hashpartitioning") <= 3, plan
     assert "Generate explode" not in plan, plan  # explode happened pre-cut
+
+
+# ---------------------------------------------------------------- j65
+
+
+def test_j65_no_false_negatives_and_exact_confirm(spark, sf_dir):
+    """A Bloom filter may over-approximate but NEVER under-approximate:
+    per lang, candidates >= confirmed, false_pos = candidates -
+    confirmed, and confirmed must equal an independently computed
+    exact incoming-vs-corpus block join."""
+    out = {
+        r.lang: r
+        for r in registry.QUERIES["j65_bloom_dedup"](spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    block = F.substring(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), 1, 40
+    ).alias("block")
+    normed = docs.select("doc_id", "lang", block)
+    inc = normed.filter(F.col("doc_id") % 5 == 0)
+    cor = normed.filter(F.col("doc_id") % 5 != 0).select("block").distinct()
+    exact = {
+        r.lang: r.n
+        for r in inc.join(cor, "block", "left_semi")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert out, "no output rows"
+    for lang, r in out.items():
+        assert r.n_candidates >= r.n_confirmed >= 0
+        assert r.n_false_pos == r.n_candidates - r.n_confirmed
+        assert r.n_confirmed == exact.get(lang, 0)
+
+
+def test_j65_planted_dup_is_found(spark):
+    """Planted: incoming doc 0 duplicates corpus doc 1; incoming doc 5
+    is unique. The dup must be confirmed; the unique doc may only ever
+    appear as a (counted) false positive, never confirmed."""
+    text_dup = "the quick brown fox jumps over the lazy dog " * 3
+    d = _docs_fixture(
+        spark,
+        [
+            (0, text_dup, "en", "s"),          # incoming (0 % 5 == 0)
+            (5, "completely novel content never seen before x", "en", "s"),
+            (1, text_dup, "en", "s"),          # corpus twin
+            (2, "some other corpus doc entirely", "en", "s"),
+        ],
+    )
+    r = {x.lang: x for x in registry.QUERIES["j65_bloom_dedup"](spark, d).collect()}
+    en = r["en"]
+    assert en.n_incoming == 2
+    assert en.n_confirmed == 1
+    assert en.n_candidates >= 1
+
+
+def test_j65_bitmap_probe_stays_broadcast(spark, sf_dir):
+    """The corpus must never shuffle: the bitmap is built by an
+    idempotent bit_or agg (no corpus distinct), the probe and the
+    confirm are broadcast joins — a SortMergeJoin anywhere means the
+    big side got exchanged."""
+    plan = _physical_plan(registry.QUERIES["j65_bloom_dedup"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    # the bitmap-probe join sits behind the eager materialize cut; the
+    # confirm + summary joins must still both be broadcast
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "Exchange hashpartitioning(block" not in plan, plan  # no corpus distinct
