@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from json2hbase_spark.io import load, widen
 from json2hbase_spark.materialize import materialize
 from json2hbase_spark.operators.text import whitespace_tokens
+from json2hbase_spark.plans.corpus_queries import _duck_ngrams, word_ngrams
 from json2hbase_spark.registry import query
 
 # ---------------------------------------------------------------- j62
@@ -468,4 +469,210 @@ def j65_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("is_candidate").cast("int")) - F.count("is_dup")
             ).cast("bigint").alias("n_false_pos"),
         )
+    )
+
+
+# ---------------------------------------------------------------- j66
+
+CMS_DEPTH = 4  # d: independent hash rows
+CMS_WIDTH = 512  # w: counters per row
+CMS_TOPK = 10  # report the exact top-K tokens' estimates
+
+
+_DUCK_BIGRAMS = f"""
+    WITH words AS (
+      SELECT lang, list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM documents
+    ),
+    toks AS (
+      SELECT lang, unnest({_duck_ngrams('w', 2)}) AS tok
+      FROM words WHERE len(w) >= 2
+    )"""
+
+
+@query(
+    "j66_cms_heavy_hitters",
+    oracle=_DUCK_BIGRAMS
+    + f""",
+    sketch AS (
+      SELECT k.i,
+             ('0x' || substr(md5(tok || '#' || k.i), 1, 8))::BIGINT
+               % {CMS_WIDTH} AS col,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks, (SELECT unnest(range({CMS_DEPTH})) AS i) k
+      GROUP BY 1, 2
+    ),
+    exact_top AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM toks GROUP BY tok
+      ORDER BY exact_cnt DESC, tok
+      LIMIT {CMS_TOPK}
+    ),
+    est AS (
+      SELECT e.tok, e.exact_cnt, MIN(s.cnt) AS est_cnt
+      FROM exact_top e,
+           (SELECT unnest(range({CMS_DEPTH})) AS i) k,
+           sketch s
+      WHERE s.i = k.i
+        AND s.col = ('0x' || substr(md5(e.tok || '#' || k.i), 1, 8))::BIGINT
+                    % {CMS_WIDTH}
+      GROUP BY e.tok, e.exact_cnt
+    )
+    SELECT tok, exact_cnt, est_cnt,
+           CAST(est_cnt - exact_cnt AS BIGINT) AS overestimate
+    FROM est
+    """,
+)
+def j66_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch as a DataFrame aggregation — the
+    mergeable counter twin of j65's Bloom membership sketch: every
+    token increments one counter per hash row (d={CMS_DEPTH},
+    w={CMS_WIDTH}), a point estimate is the MIN across rows, and the
+    sketch's one-sided error (est >= exact, always) is REPORTED per
+    heavy hitter next to the exact count, so the accuracy/size
+    trade-off is a measured, hash-checked artifact. Counter addition
+    is associative/commutative, so map-side partial aggregation IS
+    the sketch merge — the shuffle carries at most d·w counter rows
+    per partition regardless of corpus size, and the same property
+    makes per-shard sketches union-able at 100 TB (sum the bitmaps'
+    counters, estimates stay valid). md5-derived columns keep the
+    sketch bit-identical in any engine; DuckDB rebuilds it, not just
+    the answers. The exact top-K (the thing a production pipeline
+    would NOT have) exists purely to measure the sketch against.
+    Sketched items are word BIGRAMS: the fixture's unigram vocab is
+    ~31 tokens, which w={CMS_WIDTH} would represent exactly — bigrams
+    (~1k+ distinct) put the sketch in a real collision regime where
+    the overestimate column is non-trivially exercised."""
+    docs = load(spark, sf_dir, "documents")
+    w = whitespace_tokens(F.col("text"))
+    toks = (
+        widen(docs)
+        .select(w.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(F.explode(word_ngrams(F.col("w"), 2)).alias("tok"))
+    )
+    toks = materialize(toks.groupBy("tok").agg(F.count("*").alias("n")))
+    rows = F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("i")
+    col = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("tok"), F.lit("#"), F.col("i"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % CMS_WIDTH
+    )
+    sketch = (
+        toks.select("tok", "n", rows)
+        .select("n", F.col("i"), col.alias("col"))
+        .groupBy("i", "col")
+        .agg(F.sum("n").cast("bigint").alias("cnt"))
+    )
+    exact_top = (
+        toks.orderBy(F.desc("n"), "tok")
+        .limit(CMS_TOPK)
+        .select("tok", F.col("n").cast("bigint").alias("exact_cnt"))
+    )
+    probe = exact_top.select("tok", "exact_cnt", rows).select(
+        "tok", "exact_cnt", "i", col.alias("col")
+    )
+    est = (
+        probe.join(F.broadcast(sketch), ["i", "col"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    return est.select(
+        "tok",
+        "exact_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("exact_cnt")).cast("bigint").alias("overestimate"),
+    )
+
+
+# ---------------------------------------------------------------- j67
+
+KMV_K = 256  # bottom-k sketch size
+
+
+@query(
+    "j67_kmv_distinct",
+    oracle=_DUCK_BIGRAMS
+    + f""",
+    hashed AS (
+      SELECT DISTINCT lang,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+      FROM toks
+    ),
+    ranked AS (
+      SELECT lang, h,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rk
+      FROM hashed
+    ),
+    kmv AS (
+      SELECT lang,
+             MAX(CASE WHEN rk = {KMV_K} THEN h END) AS h_k,
+             CAST(COUNT(*) AS BIGINT) AS n_seen
+      FROM ranked WHERE rk <= {KMV_K}
+      GROUP BY lang
+    ),
+    exact AS (
+      SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_distinct
+      FROM toks GROUP BY lang
+    )
+    SELECT e.lang, e.exact_distinct,
+           CAST(CASE WHEN k.n_seen < {KMV_K} THEN k.n_seen
+                ELSE floor(({KMV_K} - 1) * 4294967296 / k.h_k) END AS BIGINT)
+             AS est_distinct
+    FROM exact e JOIN kmv k ON e.lang = k.lang
+    """,
+)
+def j67_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch per language — the
+    engine-reproducible alternative to HLL (h13): keep the {KMV_K}
+    smallest 32-bit hashes of the values seen; the k-th smallest
+    estimates the distinct count as (k-1)·2³² / h_k (Bar-Yossef et
+    al. 2002). Where HLL's register layout is implementation-private
+    (DuckDB cannot replay Spark's sketch — h13 needs a tolerance
+    band), KMV over md5 is pure integer arithmetic: BOTH engines
+    build the identical sketch and the estimate hash-matches exactly,
+    while the exact distinct count sits beside it so the error is a
+    measured artifact. Bottom-k is a per-group window over the
+    deduped hash set (vocab-bounded, never corpus-bounded); at 100 TB
+    the sketch merges by unioning bottom-k sets and re-taking the
+    bottom k — associative like j66's counters. Small-cardinality
+    groups (n_seen < k) report the exact count, the standard KMV
+    degenerate case. Counted items are word BIGRAMS (~900 distinct
+    per lang, comfortably past k={KMV_K}) — the fixture's 31-token
+    unigram vocab would hit the degenerate path everywhere."""
+    docs = load(spark, sf_dir, "documents")
+    w = whitespace_tokens(F.col("text"))
+    toks = (
+        widen(docs)
+        .select("lang", w.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select("lang", F.explode(word_ngrams(F.col("w"), 2)).alias("tok"))
+    )
+    hashed = toks.select(
+        "lang",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h"),
+    ).distinct()
+    w = Window.partitionBy("lang").orderBy("h")
+    ranked = hashed.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= KMV_K
+    )
+    kmv = ranked.groupBy("lang").agg(
+        F.max(F.when(F.col("rk") == KMV_K, F.col("h"))).alias("h_k"),
+        F.count("*").cast("bigint").alias("n_seen"),
+    )
+    exact = toks.groupBy("lang").agg(
+        F.countDistinct("tok").cast("bigint").alias("exact_distinct")
+    )
+    return exact.join(F.broadcast(kmv), "lang").select(
+        "lang",
+        "exact_distinct",
+        # floor on BOTH engines: DuckDB's double->BIGINT cast rounds,
+        # Spark's truncates — floor first makes them agree
+        F.when(F.col("n_seen") < KMV_K, F.col("n_seen"))
+        .otherwise(F.floor((F.lit(KMV_K - 1) * F.lit(4294967296)) / F.col("h_k")))
+        .cast("bigint")
+        .alias("est_distinct"),
     )

@@ -193,6 +193,55 @@ def test_j65_planted_dup_is_found(spark):
     assert en.n_candidates >= 1
 
 
+def test_j66_cms_error_is_one_sided(spark, sf_dir):
+    """Count-Min can only overestimate: est >= exact on every row,
+    overestimate is their difference, and exactly TOPK rows emerge."""
+    from json2hbase_spark.plans.pipeline_queries import CMS_TOPK
+
+    rows = registry.QUERIES["j66_cms_heavy_hitters"](spark, sf_dir).collect()
+    assert len(rows) == CMS_TOPK
+    for r in rows:
+        assert r.est_cnt >= r.exact_cnt, r
+        assert r.overestimate == r.est_cnt - r.exact_cnt, r
+
+
+def test_j66_exact_top_is_takeordered(spark, sf_dir):
+    """The exact top-K must come from TakeOrderedAndProject (partial
+    per-partition top-K), never a global sort; the sketch probe join
+    must be broadcast."""
+    plan = _physical_plan(registry.QUERIES["j66_cms_heavy_hitters"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_j67_kmv_bounds(spark, sf_dir):
+    """Per-lang KMV estimate lands within the ~1/sqrt(k) error regime
+    (assert a loose 4-sigma band) and never degenerates silently."""
+    from json2hbase_spark.plans.pipeline_queries import KMV_K
+
+    rows = registry.QUERIES["j67_kmv_distinct"](spark, sf_dir).collect()
+    assert rows
+    tol = 4.0 / (KMV_K ** 0.5)
+    for r in rows:
+        assert abs(r.est_distinct - r.exact_distinct) <= max(
+            5, tol * r.exact_distinct
+        ), r
+
+
+def test_j67_degenerate_small_group_is_exact(spark):
+    """A group with fewer than k distinct values must report the exact
+    distinct count (the KMV degenerate path)."""
+    d = _docs_fixture(
+        spark,
+        [(i, "alpha beta gamma delta", "en", "s") for i in range(3)],
+    )
+    rows = registry.QUERIES["j67_kmv_distinct"](spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.exact_distinct == 3  # 3 distinct bigrams
+    assert r.est_distinct == r.exact_distinct
+
+
 def test_j65_bitmap_probe_stays_broadcast(spark, sf_dir):
     """The corpus must never shuffle: the bitmap is built by an
     idempotent bit_or agg (no corpus distinct), the probe and the

@@ -48,6 +48,16 @@ PROBES = [
     "j53_span_dedup",
     "j54_pii_redact",
     "j57_oov_rate",
+    # round-4c training-prep family: all designed linear — j62 one
+    # shard exchange, j63/j64 map-side explodes into bounded aggs,
+    # j65 corpus-side bit_or + broadcast probe (NB at ×10 corpus the
+    # fixed m=2048 bloom saturates: every incoming doc becomes a
+    # candidate, so j65's time includes the worst-case confirm join —
+    # still linear, the FP *rate* is what degrades until m scales)
+    "j62_global_shuffle",
+    "j63_entropy_filter",
+    "j64_dsir_importance",
+    "j65_bloom_dedup",
 ]
 
 
