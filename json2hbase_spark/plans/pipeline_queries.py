@@ -676,3 +676,70 @@ def j67_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("est_distinct"),
     )
+
+
+# ---------------------------------------------------------------- j68
+
+DIGEST_MOD = 1 << 60  # digest space: sums of 60-bit hashes mod 2^60
+
+
+@query(
+    "j68_corpus_digest",
+    oracle=f"""
+    WITH h AS (
+      SELECT source, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                 || COALESCE(text, '')), 1, 15))::BIGINT AS hv
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(CAST(hv AS DECIMAL(38, 0))) % {DIGEST_MOD} AS BIGINT)
+             AS content_digest
+    FROM h
+    GROUP BY source
+    """,
+)
+def j68_corpus_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verifiable corpus-snapshot fingerprint: per source, an
+    ORDER-FREE content digest = Σ md5₆₀(doc_id‖text) mod 2⁶⁰ next to
+    doc and char counts. Sum is commutative and associative, so the
+    digest is partition-order independent (a Merkle-style
+    concat-then-hash would need a global sort), partial aggregation
+    merges it map-side, and per-shard digests ADD at 100 TB — the
+    cheapest possible 'did this rerun/migration/engine produce the
+    identical corpus?' check, the artifact the determinism gate
+    (tools/determinism_check.py) verifies behaviorally and this
+    operator makes queryable. 60-bit hash values keep every operand
+    exact; the running sum lives in DECIMAL(38,0) (exact in Spark and
+    DuckDB alike — a BIGINT sum would overflow engine-dependently)
+    and reduces mod 2⁶⁰ once at the end. Hash-matches DuckDB because
+    md5 + integer arithmetic is the whole computation."""
+    docs = load(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.coalesce(F.col("text"), F.lit("")),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.select("source", "n_chars", hv.alias("hv"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            (F.sum(F.col("hv").cast("decimal(38,0)")) % DIGEST_MOD)
+            .cast("bigint")
+            .alias("content_digest"),
+        )
+    )

@@ -242,6 +242,50 @@ def test_j67_degenerate_small_group_is_exact(spark):
     assert r.est_distinct == r.exact_distinct
 
 
+def test_j68_digest_is_order_and_partition_free(spark, sf_dir):
+    """The content digest must be identical regardless of partitioning
+    (sum is commutative): recompute at 1 and 16 partitions and
+    compare; and a single changed character must change the digest."""
+    out = {
+        r.source: r.content_digest
+        for r in registry.QUERIES["j68_corpus_digest"](spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="j68_repart_")
+    docs.repartition(16).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out16 = {
+        r.source: r.content_digest
+        for r in registry.QUERIES["j68_corpus_digest"](spark, d).collect()
+    }
+    assert out == out16
+
+    d2 = tempfile.mkdtemp(prefix="j68_mut_")
+    mutated = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == docs.limit(1).collect()[0].doc_id,
+               F.concat(F.col("text"), F.lit("X"))).otherwise(F.col("text")),
+    )
+    mutated.write.mode("overwrite").parquet(f"{d2}/documents.parquet")
+    out_mut = {
+        r.source: r.content_digest
+        for r in registry.QUERIES["j68_corpus_digest"](spark, d2).collect()
+    }
+    assert out != out_mut
+    # exactly one source's digest moved; counts unchanged
+    assert sum(1 for s in out if out[s] != out_mut[s]) == 1
+
+
+def test_j68_digest_agg_partially_combines(spark, sf_dir):
+    """The digest is a plain partial+final hash agg — mergeable by
+    construction; no join, no window, one exchange."""
+    plan = _physical_plan(registry.QUERIES["j68_corpus_digest"](spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert plan.count("HashAggregate") == 2, plan
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_j65_bitmap_probe_stays_broadcast(spark, sf_dir):
     """The corpus must never shuffle: the bitmap is built by an
     idempotent bit_or agg (no corpus distinct), the probe and the
