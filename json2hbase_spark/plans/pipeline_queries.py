@@ -682,10 +682,8 @@ def j67_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DIGEST_MOD = 1 << 60  # digest space: sums of 60-bit hashes mod 2^60
 
-
-@query(
-    "j68_corpus_digest",
-    oracle=f"""
+# shared by j68 (batch) and i25 (streaming twin in streaming_queries)
+DUCK_DIGEST_ORACLE = f"""
     WITH h AS (
       SELECT source, n_chars,
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
@@ -699,24 +697,13 @@ DIGEST_MOD = 1 << 60  # digest space: sums of 60-bit hashes mod 2^60
              AS content_digest
     FROM h
     GROUP BY source
-    """,
-)
-def j68_corpus_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Verifiable corpus-snapshot fingerprint: per source, an
-    ORDER-FREE content digest = Σ md5₆₀(doc_id‖text) mod 2⁶⁰ next to
-    doc and char counts. Sum is commutative and associative, so the
-    digest is partition-order independent (a Merkle-style
-    concat-then-hash would need a global sort), partial aggregation
-    merges it map-side, and per-shard digests ADD at 100 TB — the
-    cheapest possible 'did this rerun/migration/engine produce the
-    identical corpus?' check, the artifact the determinism gate
-    (tools/determinism_check.py) verifies behaviorally and this
-    operator makes queryable. 60-bit hash values keep every operand
-    exact; the running sum lives in DECIMAL(38,0) (exact in Spark and
-    DuckDB alike — a BIGINT sum would overflow engine-dependently)
-    and reduces mod 2⁶⁰ once at the end. Hash-matches DuckDB because
-    md5 + integer arithmetic is the whole computation."""
-    docs = load(spark, sf_dir, "documents")
+    """
+
+
+def corpus_digest_agg(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, n_chars, content_digest) from a documents
+    DataFrame — batch or streaming; the digest sum is associative so
+    the same expression serves both (micro-batches ADD into state)."""
     hv = F.conv(
         F.substring(
             F.md5(
@@ -743,3 +730,24 @@ def j68_corpus_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("content_digest"),
         )
     )
+
+
+@query("j68_corpus_digest", oracle=DUCK_DIGEST_ORACLE)
+def j68_corpus_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verifiable corpus-snapshot fingerprint: per source, an
+    ORDER-FREE content digest = Σ md5₆₀(doc_id‖text) mod 2⁶⁰ next to
+    doc and char counts. Sum is commutative and associative, so the
+    digest is partition-order independent (a Merkle-style
+    concat-then-hash would need a global sort), partial aggregation
+    merges it map-side, and per-shard digests ADD at 100 TB — the
+    cheapest possible 'did this rerun/migration/engine produce the
+    identical corpus?' check, the artifact the determinism gate
+    (tools/determinism_check.py) verifies behaviorally and this
+    operator makes queryable. 60-bit hash values keep every operand
+    exact; the running sum lives in DECIMAL(38,0) (exact in Spark and
+    DuckDB alike — a BIGINT sum would overflow engine-dependently)
+    and reduces mod 2⁶⁰ once at the end. Hash-matches DuckDB because
+    md5 + integer arithmetic is the whole computation. i25 runs the
+    SAME aggregation over the document STREAM (micro-batches add into
+    |sources| rows of state) against the same oracle."""
+    return corpus_digest_agg(load(spark, sf_dir, "documents"))

@@ -1312,3 +1312,35 @@ def i24_stream_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     with scoped_stream_confs(spark):
         _run_to_memory(tally, "i24_mem", "complete")
     return spark.table("i24_mem")
+
+
+# ---------------------------------------------------------------- i25
+
+
+def _i25_oracle() -> str:
+    from json2hbase_spark.plans.pipeline_queries import DUCK_DIGEST_ORACLE
+
+    return DUCK_DIGEST_ORACLE
+
+
+@query("i25_stream_corpus_digest", oracle=_i25_oracle())
+def i25_stream_corpus_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING corpus content digest — j68's additive fingerprint
+    maintained AS DOCUMENTS LAND: because the digest is a commutative
+    sum mod 2⁶⁰, each micro-batch's partial sums simply add into
+    |sources| rows of complete-mode state, so an ingest pipeline gets
+    a continuously-current 'what exactly have I ingested' fingerprint
+    for free — no end-of-day rescan, and the final state provably
+    equals the batch digest over the same corpus (the oracle IS j68's
+    SQL). This is the property a Merkle-style ordered digest cannot
+    give a stream: arrival order is nondeterministic, and the sum
+    does not care. State is watermark-free and bounded by the source
+    count at any corpus size."""
+    from json2hbase_spark.io import load_table_stream
+    from json2hbase_spark.plans.pipeline_queries import corpus_digest_agg
+
+    docs = load_table_stream(spark, sf_dir, "documents")
+    digest = corpus_digest_agg(docs)
+    with scoped_stream_confs(spark):
+        _run_to_memory(digest, "i25_mem", "complete")
+    return spark.table("i25_mem")

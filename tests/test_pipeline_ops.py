@@ -286,6 +286,23 @@ def test_j68_digest_agg_partially_combines(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan
 
 
+def test_i25_stream_digest_equals_batch(spark, sf_dir):
+    """The streaming digest's final complete-mode state must equal the
+    batch digest row-for-row — the additive-sum property doing real
+    work: micro-batch arrival order cannot matter."""
+    from json2hbase_spark.plans import streaming_queries  # noqa: F401
+
+    batch = {
+        r.source: (r.n_docs, r.n_chars, r.content_digest)
+        for r in registry.QUERIES["j68_corpus_digest"](spark, sf_dir).collect()
+    }
+    stream = {
+        r.source: (r.n_docs, r.n_chars, r.content_digest)
+        for r in registry.QUERIES["i25_stream_corpus_digest"](spark, sf_dir).collect()
+    }
+    assert batch == stream
+
+
 def test_j65_bitmap_probe_stays_broadcast(spark, sf_dir):
     """The corpus must never shuffle: the bitmap is built by an
     idempotent bit_or agg (no corpus distinct), the probe and the
