@@ -481,11 +481,12 @@ CMS_TOPK = 10  # report the exact top-K tokens' estimates
 
 _DUCK_BIGRAMS = f"""
     WITH words AS (
-      SELECT lang, list_filter(string_split(text, ' '), x -> x != '') AS w
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x != '') AS w
       FROM documents
     ),
     toks AS (
-      SELECT lang, unnest({_duck_ngrams('w', 2)}) AS tok
+      SELECT doc_id, lang, unnest({_duck_ngrams('w', 2)}) AS tok
       FROM words WHERE len(w) >= 2
     )"""
 
@@ -675,6 +676,81 @@ def j67_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.floor((F.lit(KMV_K - 1) * F.lit(4294967296)) / F.col("h_k")))
         .cast("bigint")
         .alias("est_distinct"),
+    )
+
+
+# ---------------------------------------------------------------- j69
+
+
+@query(
+    "j69_ngram_novelty",
+    oracle=_DUCK_BIGRAMS
+    + f""",
+    first_seen AS (
+      SELECT tok, MIN(doc_id) AS first_doc
+      FROM toks GROUP BY tok
+    ),
+    per_doc AS (
+      SELECT t.doc_id, t.lang,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM toks t JOIN first_seen f ON t.tok = f.tok
+      GROUP BY t.doc_id, t.lang
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+           CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+           round(CAST(SUM(n_novel) AS DOUBLE) / SUM(n_grams), 4) AS novelty_rate
+    FROM per_doc
+    GROUP BY lang
+    """,
+)
+def j69_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-novelty curve (the WIMBD-class 'what does each extra
+    document actually add' redundancy measure): a bigram is NOVEL in
+    the first doc (min doc_id — the canonical ingestion order) that
+    contains it; per lang, the fraction of gram occurrences that were
+    novel when they arrived. A redundant corpus trends toward 0 and
+    is a dedup/upsampling smell BEFORE any pairwise dedup runs —
+    this is the one-pass screening metric that decides whether j2's
+    LSH is even worth the shuffle. Plan: one gram explode feeds a
+    min-agg keyed on gram (vocab-bounded, map-side combined) and the
+    occurrence stream; they re-join ON THE GRAM KEY (equi, both sides
+    already gram-partitioned from the agg — AQE reuses the exchange),
+    then two bounded aggs. No pairwise stage anywhere; at 100 TB
+    first_seen is a persisted vocabulary artifact updated
+    incrementally, and the join stays gram-co-located."""
+    docs = load(spark, sf_dir, "documents")
+    w = whitespace_tokens(F.col("text"))
+    toks = (
+        widen(docs)
+        .select("doc_id", "lang", w.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id", "lang", F.explode(word_ngrams(F.col("w"), 2)).alias("tok")
+        )
+    )
+    toks = materialize(toks)  # one explode serves both the agg and the join
+    first_seen = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        toks.join(first_seen, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_grams").cast("bigint").alias("n_grams"),
+        F.sum("n_novel").cast("bigint").alias("n_novel"),
+        F.round(
+            F.sum("n_novel").cast("double") / F.sum("n_grams"), 4
+        ).alias("novelty_rate"),
     )
 
 

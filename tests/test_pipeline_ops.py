@@ -286,6 +286,34 @@ def test_j68_digest_agg_partially_combines(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan
 
 
+def test_j69_planted_novelty(spark):
+    """Doc 1 introduces both bigrams (novel); doc 2 repeats them
+    (zero novel): per-lang novelty_rate = 2 novel / 4 occurrences."""
+    d = _docs_fixture(
+        spark,
+        [(1, "a b c", "en", "s"), (2, "a b c", "en", "s")],
+    )
+    rows = registry.QUERIES["j69_ngram_novelty"](spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_docs, r.n_grams, r.n_novel) == (2, 4, 2)
+    assert r.novelty_rate == 0.5
+
+
+def test_j69_no_pairwise_stage(spark, sf_dir):
+    """Novelty is gram-keyed aggregation + equi join only — a
+    cartesian/BNLJ means someone reintroduced doc-pair comparison;
+    novelty_rate must lie in (0, 1]."""
+    df = registry.QUERIES["j69_ngram_novelty"](spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    bad = df.filter(
+        (F.col("novelty_rate") <= 0) | (F.col("novelty_rate") > 1)
+    ).count()
+    assert bad == 0
+
+
 def test_i25_stream_digest_equals_batch(spark, sf_dir):
     """The streaming digest's final complete-mode state must equal the
     batch digest row-for-row — the additive-sum property doing real
