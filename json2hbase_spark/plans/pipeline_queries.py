@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from json2hbase_spark.io import load, widen
 from json2hbase_spark.materialize import materialize
 from json2hbase_spark.operators.text import whitespace_tokens
-from json2hbase_spark.plans.corpus_queries import _duck_ngrams, word_ngrams
+from json2hbase_spark.plans.corpus_queries import _DUCK_TOKS, _duck_ngrams, word_ngrams
 from json2hbase_spark.registry import query
 
 # ---------------------------------------------------------------- j62
@@ -479,12 +479,10 @@ CMS_WIDTH = 512  # w: counters per row
 CMS_TOPK = 10  # report the exact top-K tokens' estimates
 
 
+# words CTE delegates to corpus_queries' canonical tokenization so the
+# two cannot silently diverge
 _DUCK_BIGRAMS = f"""
-    WITH words AS (
-      SELECT doc_id, lang,
-             list_filter(string_split(text, ' '), x -> x != '') AS w
-      FROM documents
-    ),
+    WITH words AS ({_DUCK_TOKS}),
     toks AS (
       SELECT doc_id, lang, unnest({_duck_ngrams('w', 2)}) AS tok
       FROM words WHERE len(w) >= 2
@@ -732,14 +730,22 @@ def j69_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "lang", F.explode(word_ngrams(F.col("w"), 2)).alias("tok")
         )
     )
-    toks = materialize(toks)  # one explode serves both the agg and the join
-    first_seen = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    # compact to per-(doc, gram) counts BEFORE the cut (the j64
+    # pattern): the materialized artifact and the join input shrink
+    # from one row per occurrence to one per distinct (doc, gram),
+    # and the totals reconstruct exactly via weighted sums
+    counts = materialize(
+        toks.groupBy("doc_id", "lang", "tok").agg(F.count("*").alias("c"))
+    )
+    first_seen = counts.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (
-        toks.join(first_seen, "tok")
+        counts.join(first_seen, "tok")
         .groupBy("doc_id", "lang")
         .agg(
-            F.count("*").cast("bigint").alias("n_grams"),
-            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+            F.sum("c").cast("bigint").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), F.col("c")).otherwise(0)
+            )
             .cast("bigint")
             .alias("n_novel"),
         )
