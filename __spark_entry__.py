@@ -62,16 +62,17 @@ def _driver_verified() -> set[str]:
 
 
 def _fresh_rank(name: str) -> int:
-    """Within the not-yet-recorded set (102 at round-4 end: the 64
-    never-recorded from rounds 1-3 plus the 38 round-4 additions),
-    order so the 50-entry window covers the streaming family (largest,
-    hardest to re-verify), the k/m escape hatches, and as many of the
-    round-4 corpus operators (j40+) as fit — the window cuts inside
-    the j5x tail, so the last few j-ops spill together with the
+    """Within the not-yet-recorded set (~111 at round-4 end: the 64
+    never-recorded from rounds 1-3 plus the 47 round-4 additions
+    through j69/i25), order so the 50-entry window covers the
+    streaming family (largest, hardest to re-verify), the k/m escape
+    hatches, and as many of the round-4 corpus operators (j40+) as
+    fit — the window cuts inside the j5x tail, so the remaining j-ops
+    (including the round-4c j62–j69) spill together with the
     scalar-function bundles (h*) and relational/source tails
-    (a16-a23, b7-b11, c10-c16, d/e/f/g singles) into round 5's
-    window (~52 entries, two of which reach round 6). Everything is
-    verified locally every session via tools/oracle_check.py."""
+    (a16-a23, b7-b11, c10-c16, d/e/f/g singles) into rounds 5-6.
+    Everything is verified locally every session via
+    tools/oracle_check.py AND tools/determinism_check.py."""
     head = name.split("_", 1)[0]
     if head[0] == "i" or name == "c7_join_asof":
         return 0
