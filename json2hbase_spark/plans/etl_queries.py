@@ -945,3 +945,94 @@ def a23_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("bigint").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+# ---------------------------------------------------------------- a24
+
+
+@query(
+    "a24_manifest_write",
+    oracle="""
+    WITH h AS (
+      SELECT lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                 || COALESCE(text, '')), 1, 15))::BIGINT AS hv
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(hv AS DECIMAL(38, 0)))
+                % 1152921504606846976 AS BIGINT) AS content_digest,
+           TRUE AS verified
+    FROM h
+    GROUP BY lang
+    """,
+)
+def a24_manifest_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified write — the lakehouse commit-protocol pattern without
+    a table format: write the corpus partitioned by lang, then build a
+    per-partition MANIFEST from the files actually on disk (row count
+    + j68's additive content digest, via the shared digest_hash64) and
+    prove it equals the same manifest computed from the source
+    DataFrame. `verified` is the equality of the two — a reader can
+    trust the directory because the manifest says what it must
+    contain, and the writer knows the write lost/duplicated nothing
+    (speculative task duplicates, partial overwrites, and dropped
+    partitions all flip it to FALSE). At 100 TB the expected side is
+    the upstream stage's already-computed digest (one 20-row
+    artifact), so verification costs one read-back aggregation —
+    cheap insurance against the class of silent data loss no schema
+    check catches. The tiny result is eagerly materialized so the
+    scratch directory can be reclaimed before returning (a16's
+    lifecycle pattern)."""
+    import os
+    import shutil
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents")
+    path = os.path.join(tempfile.gettempdir(), f"j2h_a24_{os.getpid()}")
+    try:
+        docs.write.partitionBy("lang").mode("overwrite").parquet(path)
+        out = verify_manifest(spark.read.parquet(path), docs)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def partition_manifest(df: DataFrame) -> DataFrame:
+    """(lang, n_rows, content_digest) — the per-partition manifest a24
+    computes on both sides of a write."""
+    from json2hbase_spark.plans.pipeline_queries import DIGEST_MOD, digest_hash64
+
+    hv = digest_hash64(F.col("doc_id"), F.col("text"))
+    return (
+        df.select("lang", hv.alias("hv"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            (F.sum(F.col("hv").cast("decimal(38,0)")) % DIGEST_MOD)
+            .cast("bigint")
+            .alias("content_digest"),
+        )
+    )
+
+
+def verify_manifest(actual_df: DataFrame, expected_df: DataFrame) -> DataFrame:
+    """Join the two manifests; `verified` = rows AND digest agree.
+    A partition present in only one side disappears from the inner
+    join — callers comparing possibly-divergent partition SETS should
+    also compare row counts of the two manifests (a24's write cannot
+    drop a partition without also flipping a surviving lang's digest,
+    since partitionBy moves rows, not removes them)."""
+    expected = partition_manifest(expected_df).withColumnsRenamed(
+        {"n_rows": "exp_rows", "content_digest": "exp_digest"}
+    )
+    return partition_manifest(actual_df).join(F.broadcast(expected), "lang").select(
+        "lang",
+        "n_rows",
+        "content_digest",
+        (
+            (F.col("n_rows") == F.col("exp_rows"))
+            & (F.col("content_digest") == F.col("exp_digest"))
+        ).alias("verified"),
+    )

@@ -782,17 +782,17 @@ DUCK_DIGEST_ORACLE = f"""
     """
 
 
-def corpus_digest_agg(docs: DataFrame) -> DataFrame:
-    """(source, n_docs, n_chars, content_digest) from a documents
-    DataFrame — batch or streaming; the digest sum is associative so
-    the same expression serves both (micro-batches ADD into state)."""
-    hv = F.conv(
+def digest_hash64(doc_id_col, text_col):
+    """The canonical 60-bit per-document hash every digest operator
+    (j68, i25, a24) shares — one definition so their digests stay
+    comparable."""
+    return F.conv(
         F.substring(
             F.md5(
                 F.concat(
-                    F.col("doc_id").cast("string"),
+                    doc_id_col.cast("string"),
                     F.lit(":"),
-                    F.coalesce(F.col("text"), F.lit("")),
+                    F.coalesce(text_col, F.lit("")),
                 )
             ),
             1,
@@ -801,6 +801,13 @@ def corpus_digest_agg(docs: DataFrame) -> DataFrame:
         16,
         10,
     ).cast("long")
+
+
+def corpus_digest_agg(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, n_chars, content_digest) from a documents
+    DataFrame — batch or streaming; the digest sum is associative so
+    the same expression serves both (micro-batches ADD into state)."""
+    hv = digest_hash64(F.col("doc_id"), F.col("text"))
     return (
         docs.select("source", "n_chars", hv.alias("hv"))
         .groupBy("source")

@@ -316,6 +316,30 @@ def test_j69_no_pairwise_stage(spark, sf_dir):
     assert bad == 0
 
 
+def test_a24_write_verifies_and_tamper_detected(spark, sf_dir):
+    """The clean write verifies every partition; a tampered read-back
+    (one doc dropped, one doc's text mutated) flips exactly those
+    partitions' `verified` to False."""
+    from json2hbase_spark.plans import etl_queries
+    from json2hbase_spark.plans.etl_queries import verify_manifest
+
+    out = registry.QUERIES["a24_manifest_write"](spark, sf_dir).collect()
+    assert out and all(r.verified for r in out)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    victim = docs.orderBy("doc_id").limit(2).collect()
+    dropped, mutated = victim[0], victim[1]
+    tampered = docs.filter(F.col("doc_id") != dropped.doc_id).withColumn(
+        "text",
+        F.when(F.col("doc_id") == mutated.doc_id, F.concat("text", F.lit("!")))
+        .otherwise(F.col("text")),
+    )
+    rows = {r.lang: r.verified for r in verify_manifest(tampered, docs).collect()}
+    bad_langs = {dropped.lang, mutated.lang}
+    for lang, ok in rows.items():
+        assert ok == (lang not in bad_langs), (lang, ok, bad_langs)
+
+
 def test_i25_stream_digest_equals_batch(spark, sf_dir):
     """The streaming digest's final complete-mode state must equal the
     batch digest row-for-row — the additive-sum property doing real
