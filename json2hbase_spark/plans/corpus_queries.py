@@ -1924,7 +1924,14 @@ def j61_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id")
     )
     return (
-        quota.join(kept.groupBy("source").agg(F.count("*").alias("k")), "source", "left")
+        # broadcast the |sources|-row tally: the left-join then needs
+        # no exchange on the quota side (a default SMJ would sort two
+        # 20-row sides through three exchanges)
+        quota.join(
+            F.broadcast(kept.groupBy("source").agg(F.count("*").alias("k"))),
+            "source",
+            "left",
+        )
         .select(
             "source",
             F.col("n").cast("bigint").alias("n_total"),

@@ -826,3 +826,30 @@ def test_m7_digest_agg_has_partial_combine(spark, sf_dir):
     plan = _physical_plan(registry.QUERIES["m7_media_dedup"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_j60_topk_is_takeordered_and_idf_broadcast(spark, sf_dir):
+    """BM25's ranking must be TakeOrderedAndProject (per-partition
+    top-k, no global sort) and the |terms|-row idf table must
+    broadcast onto the contribution stream — a SortMergeJoin there
+    shuffles the corpus against a 3-row table."""
+    plan = _physical_plan(registry.QUERIES["j60_bm25_search"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_j61_sample_filter_is_map_side(spark, sf_dir):
+    """Temperature-mixture sampling: quotas broadcast onto the corpus
+    scan and the md5-threshold keep is a map-side Filter — sampled
+    rows must never shuffle (the only exchanges aggregate source-level
+    counts, never document rows)."""
+    plan = _physical_plan(registry.QUERIES["j61_temperature_mixture"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    # every hash exchange is keyed on source (counts), none on doc_id
+    import re
+
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "source" in line and "doc_id" not in line, line
