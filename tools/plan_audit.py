@@ -83,6 +83,67 @@ def summarize(plan: str) -> str:
     return ", ".join(f"{k}×{v}" for k, v in counts.items())
 
 
+# Queries where a SortMergeJoin is the RIGHT plan (big-big joins that
+# must not broadcast). Any query outside this set acquiring an SMJ —
+# or anything acquiring a CartesianProduct — is a plan regression the
+# global audit below surfaces.
+SMJ_JUSTIFIED = {
+    "b5_merge_upsert": "MERGE: target and updates both corpus-sized at scale",
+    "b11_incremental_view": "state vs delta merge, both grow with the table",
+    "c2_join_smj": "the deliberate sort-merge demonstration",
+    "c13_exists_chain": "decorrelated semi/anti joins of two fact tables",
+    "c15_join_bloom_pruned": "broadcast disabled on purpose to force the bloom path",
+    "j20_dup_components": "iterative label propagation: edges vs labels, both corpus-sized",
+    "j26_canonical_pick": "joins j20's components back to the corpus",
+    "j43_semdedup": "cell-blocked pair join, both sides corpus-sized",
+    "j49_dedup_recall": "candidate set vs ground-truth pairs, both grow with corpus",
+    "j51_dataset_diff": "full-outer snapshot diff, both snapshots corpus-sized",
+}
+
+
+def global_join_audit(spark, sf: str) -> list[str]:
+    """Every batch query's plan swept for SMJ / CartesianProduct; the
+    j61 tally-join finding showed a default SMJ can hide between two
+    20-row aggregates — this keeps the whole registry honest."""
+    from json2hbase_spark.materialize import cleanup_materialized
+
+    rows, regressions = [], []
+    for name in sorted(registry.QUERIES):
+        if name.startswith("i") and name != "i22_hypertable_rollup":
+            continue  # streaming queries execute on construction
+        try:
+            plan = registry.QUERIES[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001
+            regressions.append(f"| {name} | PLAN ERROR: {exc} |".replace("\n", " ")[:200])
+            continue
+        finally:
+            cleanup_materialized()
+        smj, cart = plan.count("SortMergeJoin"), plan.count("CartesianProduct")
+        if cart:
+            regressions.append(f"| {name} | CartesianProduct×{cart} — NEVER justified |")
+        elif smj and name not in SMJ_JUSTIFIED:
+            regressions.append(f"| {name} | SortMergeJoin×{smj} — not in the justified set |")
+        elif smj:
+            rows.append(f"| {name} | ×{smj} | {SMJ_JUSTIFIED[name]} |")
+    out = [
+        "## Global join audit (every batch query)",
+        "",
+        "SortMergeJoin is reserved for genuine big-big joins; everything",
+        "else must broadcast or stay join-free. CartesianProduct is never",
+        "acceptable. Queries using SMJ, with why it is the right plan:",
+        "",
+        "| query | SMJs | why big-big |",
+        "| --- | --- | --- |",
+        *rows,
+        "",
+    ]
+    if regressions:
+        out += ["**REGRESSIONS (fix these):**", "", *regressions, ""]
+    else:
+        out += ["No unjustified SMJ and no CartesianProduct anywhere.", ""]
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -99,6 +160,7 @@ def main() -> None:
         "`tests/test_plans_scale.py`; regenerate after plan-affecting",
         "changes.",
         "",
+        *global_join_audit(spark, args.sf),
     ]
     for name, why in AUDIT.items():
         df = registry.QUERIES[name](spark, args.sf)
