@@ -101,9 +101,28 @@ SMJ_JUSTIFIED = {
 }
 
 
-def global_join_audit(spark, sf: str) -> list[str]:
-    """Every batch query's plan swept for SMJ / CartesianProduct; the
-    j61 tally-join finding showed a default SMJ can hide between two
+# Row-at-a-time Python in the plan (BatchEvalPython / UDTF eval) is
+# allowed ONLY in the declared k-family escape hatches.
+PY_EVAL_JUSTIFIED = {
+    "k1_udf_py": "the documented slow-path reference (k2/k5 are the fast paths)",
+    "k4_udtf": "Python UDTF surface — Python by definition",
+    "k7_udtf_analyze": "UDTF with analyze() — Python by definition",
+    "k9_udtf_table_arg": "UDTF TABLE argument surface — Python by definition",
+}
+
+# rangepartitioning (global sort) is allowed ONLY where ordering IS the
+# operator's semantics.
+RANGE_JUSTIFIED = {
+    "f1_sort_multi": "the multi-key global sort operator itself",
+    "b7_pipe_syntax": "pipe query ends in ORDER BY — the declared semantics",
+}
+
+
+def global_plan_audit(spark, sf: str) -> list[str]:
+    """Every batch query's plan swept in one pass for (a) SMJ /
+    CartesianProduct, (b) row-at-a-time Python eval, (c) global-sort
+    range exchanges; each against its justified set. The j61
+    tally-join finding showed a default SMJ can hide between two
     20-row aggregates — this keeps the whole registry honest."""
     from json2hbase_spark.materialize import cleanup_materialized
 
@@ -119,20 +138,31 @@ def global_join_audit(spark, sf: str) -> list[str]:
         finally:
             cleanup_materialized()
         smj, cart = plan.count("SortMergeJoin"), plan.count("CartesianProduct")
+        pyeval = plan.count("BatchEvalPython") + plan.count("PythonUDTF")
+        rng = plan.count("rangepartitioning")
         if cart:
             regressions.append(f"| {name} | CartesianProduct×{cart} — NEVER justified |")
-        elif smj and name not in SMJ_JUSTIFIED:
+        if smj and name not in SMJ_JUSTIFIED:
             regressions.append(f"| {name} | SortMergeJoin×{smj} — not in the justified set |")
         elif smj:
-            rows.append(f"| {name} | ×{smj} | {SMJ_JUSTIFIED[name]} |")
+            rows.append(f"| {name} | SMJ×{smj} | {SMJ_JUSTIFIED[name]} |")
+        if pyeval and name not in PY_EVAL_JUSTIFIED:
+            regressions.append(f"| {name} | row-Python eval×{pyeval} — not a declared escape hatch |")
+        elif pyeval:
+            rows.append(f"| {name} | pyEval×{pyeval} | {PY_EVAL_JUSTIFIED[name]} |")
+        if rng and name not in RANGE_JUSTIFIED:
+            regressions.append(f"| {name} | rangepartitioning×{rng} — global sort outside the sort ops |")
+        elif rng:
+            rows.append(f"| {name} | range×{rng} | {RANGE_JUSTIFIED[name]} |")
     out = [
-        "## Global join audit (every batch query)",
+        "## Global plan audit (every batch query, one pass)",
         "",
-        "SortMergeJoin is reserved for genuine big-big joins; everything",
-        "else must broadcast or stay join-free. CartesianProduct is never",
-        "acceptable. Queries using SMJ, with why it is the right plan:",
+        "SortMergeJoin only for genuine big-big joins; row-at-a-time",
+        "Python only in the declared k-family escape hatches; global-sort",
+        "range exchanges only where ordering IS the semantics;",
+        "CartesianProduct never. Occurrences and why each is right:",
         "",
-        "| query | SMJs | why big-big |",
+        "| query | marker | why it is the right plan |",
         "| --- | --- | --- |",
         *rows,
         "",
@@ -140,7 +170,11 @@ def global_join_audit(spark, sf: str) -> list[str]:
     if regressions:
         out += ["**REGRESSIONS (fix these):**", "", *regressions, ""]
     else:
-        out += ["No unjustified SMJ and no CartesianProduct anywhere.", ""]
+        out += [
+            "No unjustified SMJ, no CartesianProduct, no row-Python outside",
+            "the k-family, no global sort outside the sort operators.",
+            "",
+        ]
     return out
 
 
@@ -160,7 +194,7 @@ def main() -> None:
         "`tests/test_plans_scale.py`; regenerate after plan-affecting",
         "changes.",
         "",
-        *global_join_audit(spark, args.sf),
+        *global_plan_audit(spark, args.sf),
     ]
     for name, why in AUDIT.items():
         df = registry.QUERIES[name](spark, args.sf)
