@@ -677,6 +677,84 @@ def j67_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- j70
+
+QSK_K = 128  # priority-sample size per group
+
+
+@query(
+    "j70_quantile_sketch",
+    oracle=f"""
+    WITH pri AS (
+      SELECT lang, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS pr
+      FROM documents
+    ),
+    ranked AS (
+      SELECT lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY pr) AS rk
+      FROM pri
+    ),
+    est AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_sample,
+             round(quantile_cont(n_chars, 0.5), 2) AS est_p50,
+             round(quantile_cont(n_chars, 0.9), 2) AS est_p90
+      FROM ranked WHERE rk <= {QSK_K}
+      GROUP BY lang
+    ),
+    exact AS (
+      SELECT lang,
+             round(quantile_cont(n_chars, 0.5), 2) AS exact_p50,
+             round(quantile_cont(n_chars, 0.9), 2) AS exact_p90
+      FROM documents GROUP BY lang
+    )
+    SELECT e.lang, e.exact_p50, s.est_p50, e.exact_p90, s.est_p90, s.n_sample
+    FROM exact e JOIN est s ON e.lang = s.lang
+    """,
+)
+def j70_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a deterministic priority sample — the
+    QUANTILE member of the engine-reproducible sketch quartet (j65
+    membership, j66 frequency, j67 distinct): the {QSK_K} docs with
+    the smallest md5(doc_id) priorities ARE a uniform sample (the
+    md5 is a fixed random permutation of doc ids), so quantiles of
+    the sample estimate population quantiles — and unlike
+    percentile_approx's private KLL-style sketch (h9, tolerance
+    band), both engines materialize the IDENTICAL sample and the
+    identical interpolated percentile, so estimate AND error are
+    hash-checked. Exact percentiles sit beside the estimates. The
+    sample is mergeable exactly like j67: union bottom-k sets,
+    re-take bottom k — at 100 TB each shard contributes k rows and
+    the merge is a {QSK_K}·shards TakeOrdered, never a corpus
+    shuffle; the exact side (a full per-group sort today) is the
+    thing you DROP at scale, which is the point of the sketch."""
+    docs = load(spark, sf_dir, "documents")
+    pri = docs.select(
+        "lang",
+        "n_chars",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("pr"),
+    )
+    w = Window.partitionBy("lang").orderBy("pr")
+    sample = pri.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= QSK_K
+    )
+    est = sample.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_sample"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 2).alias("est_p50"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 2).alias("est_p90"),
+    )
+    exact = docs.groupBy("lang").agg(
+        F.round(F.expr("percentile(n_chars, 0.5)"), 2).alias("exact_p50"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 2).alias("exact_p90"),
+    )
+    return exact.join(F.broadcast(est), "lang").select(
+        "lang", "exact_p50", "est_p50", "exact_p90", "est_p90", "n_sample"
+    )
+
+
 # ---------------------------------------------------------------- j69
 
 

@@ -316,6 +316,25 @@ def test_j69_no_pairwise_stage(spark, sf_dir):
     assert bad == 0
 
 
+def test_j70_small_groups_exact_and_bands(spark, sf_dir):
+    """A group whose population fits inside the sample (n_sample ==
+    population) must estimate EXACTLY; sampled groups stay within a
+    generous relative band (k=128 ⇒ ~9% standard error at p50)."""
+    from json2hbase_spark.plans.pipeline_queries import QSK_K
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pop = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    rows = registry.QUERIES["j70_quantile_sketch"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_sample == min(pop[r.lang], QSK_K)
+        if pop[r.lang] <= QSK_K:
+            assert (r.est_p50, r.est_p90) == (r.exact_p50, r.exact_p90), r
+        else:
+            assert abs(r.est_p50 - r.exact_p50) <= 0.5 * r.exact_p50 + 5, r
+            assert abs(r.est_p90 - r.exact_p90) <= 0.5 * r.exact_p90 + 5, r
+
+
 def test_a24_write_verifies_and_tamper_detected(spark, sf_dir):
     """The clean write verifies every partition; a tampered read-back
     (one doc dropped, one doc's text mutated) flips exactly those
