@@ -56,6 +56,13 @@ def main() -> None:
         "a19_python_datasource",
         "a22_python_datasource_writer",
         "i18_python_stream_source",
+        # round-4c families: bloom bit-ops (j65), bigram+sketch (j66,
+        # warms j67/j69 too), DSIR histogram (j64), char-explode+log2
+        # (j63) — first-touch codegen is 1-3 s per family otherwise
+        "j65_bloom_dedup",
+        "j66_cms_heavy_hitters",
+        "j64_dsir_importance",
+        "j63_entropy_filter",
     ):
         registry.QUERIES[warm](spark, warm_dir).write.format("noop").mode("overwrite").save()
 

@@ -1,13 +1,21 @@
 """Training-run preparation operators (round 4c): deterministic global
-shuffle/sharding, character-entropy quality filtering, and DSIR-style
-hashed-n-gram importance resampling.
+shuffle/sharding (j62), character-entropy quality filtering (j63),
+DSIR importance resampling (j64), the engine-reproducible sketch
+quartet — Bloom membership (j65), Count-Min frequency (j66), KMV
+distinct (j67), priority-sample quantiles (j70) — plus the additive
+corpus content digest (j68, streamed as i25, write-verified as a24)
+and the n-gram novelty screen (j69).
 
 These close the gap between "a cleaned corpus" (the j1–j61 family) and
 "data a trainer can actually consume": the corpus must be globally
-shuffled into reproducible shards, low-entropy junk must be cut, and
-the mixture must be tilted toward a target distribution without an
-expensive model in the loop (DSIR, Xie et al. 2023 — importance
-weights from hashed n-gram bucket frequencies).
+shuffled into reproducible shards, junk cut, the mixture tilted toward
+a target without a model in the loop (DSIR, Xie et al. 2023), and
+every artifact cheap to re-verify. The sketch quartet's common trick:
+derive all randomness from md5, so DuckDB rebuilds the identical
+sketch and the oracle checks the data structure itself — estimates
+AND their measured errors are hash-gated, where the engine-private
+equivalents (HLL h13, percentile_approx h9) can only get tolerance
+bands.
 
 Float conventions follow corpus_queries.py: ratios are built from
 exact BIGINT numerators/denominators and divided once (a single IEEE

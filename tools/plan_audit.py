@@ -53,6 +53,9 @@ AUDIT = {
     "j65_bloom_dedup": "bitmap built by idempotent bit_or agg (no corpus distinct/shuffle); probe and confirm joins broadcast",
     "j66_cms_heavy_hitters": "d×w counter agg partially combines (sketch merge = partial agg); exact top-K via TakeOrderedAndProject; probe broadcast",
     "j67_kmv_distinct": "distinct + bottom-k window bounded by vocab, never corpus; kmv side broadcast onto exact counts",
+    "j69_ngram_novelty": "gram-keyed min-agg + equi re-join from the compacted (doc,gram) table; no pairwise stage",
+    "j70_quantile_sketch": "per-group bottom-k window + bounded percentile aggs; est side broadcast",
+    "a24_manifest_write": "write + read-back manifest agg + broadcast compare; verify is one aggregation",
 }
 
 MARKERS = (
