@@ -685,6 +685,130 @@ def j67_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- j71
+
+SPLIT_VAL = 0.1  # val fraction; test gets the same, train the rest
+
+
+@query(
+    "j71_leakage_safe_split",
+    oracle=f"""
+    WITH normed AS (
+      SELECT doc_id, lang,
+             substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 40)
+               AS block
+      FROM documents
+    ),
+    assigned AS (
+      SELECT doc_id, lang, block,
+             ('0x' || substr(md5(block), 1, 8))::BIGINT / 4294967296.0 AS u_grp,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0 AS u_doc
+      FROM normed
+    ),
+    labeled AS (
+      SELECT doc_id, lang, block,
+             CASE WHEN u_grp < {SPLIT_VAL} THEN 'val'
+                  WHEN u_grp < {2 * SPLIT_VAL} THEN 'test'
+                  ELSE 'train' END AS split,
+             CASE WHEN u_doc < {SPLIT_VAL} THEN 'val'
+                  WHEN u_doc < {2 * SPLIT_VAL} THEN 'test'
+                  ELSE 'train' END AS naive_split
+      FROM assigned
+    ),
+    leak AS (
+      SELECT CAST(COUNT(*) FILTER (n_splits > 1) AS BIGINT) AS grouped,
+             CAST(COUNT(*) FILTER (n_naive > 1) AS BIGINT) AS naive
+      FROM (
+        SELECT block,
+               COUNT(DISTINCT split) AS n_splits,
+               COUNT(DISTINCT naive_split) AS n_naive
+        FROM labeled GROUP BY block
+        HAVING COUNT(*) > 1
+      )
+    )
+    SELECT l.split, l.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           k.grouped AS leaky_blocks_grouped,
+           k.naive AS leaky_blocks_naive
+    FROM labeled l, leak k
+    GROUP BY l.split, l.lang, k.grouped, k.naive
+    """,
+)
+def j71_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the classic eval bug is a
+    near-duplicate pair straddling the train/val boundary — the model
+    'generalizes' to text it memorized. Splitting on md5 of the
+    DEDUP-GROUP key (j24's 40-char blocking prefix) instead of the
+    doc id puts every near-dup group wholly inside one split BY
+    CONSTRUCTION, and the output carries the receipts: the number of
+    multi-doc groups straddling splits under the group-keyed
+    assignment (provably 0) NEXT TO the same count under the naive
+    doc-keyed split (measurably >0 on this corpus) — the leak you
+    didn't pay for, quantified and hash-checked. Content-addressed
+    thresholds (u = h32/2³²) make the split reproducible on any
+    engine with no RNG state, and fractions hold per-group in
+    expectation. One narrow map assigns both splits; the leak audit
+    is a block-keyed agg (map-side combined) whose 2-number result
+    broadcasts onto the per-(split,lang) tally — the corpus shuffles
+    once, on the block key, at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    normed = docs.select(
+        "doc_id",
+        "lang",
+        F.substring(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), 1, 40
+        ).alias("block"),
+    )
+
+    def u(col):
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") / F.lit(
+            4294967296.0
+        )
+
+    def tag(ucol):
+        return (
+            F.when(ucol < SPLIT_VAL, F.lit("val"))
+            .when(ucol < 2 * SPLIT_VAL, F.lit("test"))
+            .otherwise(F.lit("train"))
+        )
+
+    labeled = materialize(
+        normed.select(
+            "doc_id",
+            "lang",
+            "block",
+            tag(u(F.col("block"))).alias("split"),
+            tag(u(F.col("doc_id").cast("string"))).alias("naive_split"),
+        )
+    )
+    leak = (
+        labeled.groupBy("block")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("split").alias("n_splits"),
+            F.countDistinct("naive_split").alias("n_naive"),
+        )
+        .filter(F.col("n") > 1)
+        .agg(
+            F.sum((F.col("n_splits") > 1).cast("int"))
+            .cast("bigint")
+            .alias("leaky_blocks_grouped"),
+            F.sum((F.col("n_naive") > 1).cast("int"))
+            .cast("bigint")
+            .alias("leaky_blocks_naive"),
+        )
+    )
+    return (
+        labeled.groupBy("split", "lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .crossJoin(F.broadcast(leak))
+        .select(
+            "split", "lang", "n_docs", "leaky_blocks_grouped", "leaky_blocks_naive"
+        )
+    )
+
+
 # ---------------------------------------------------------------- j70
 
 QSK_K = 128  # priority-sample size per group

@@ -335,6 +335,37 @@ def test_j70_small_groups_exact_and_bands(spark, sf_dir):
             assert abs(r.est_p90 - r.exact_p90) <= 0.5 * r.exact_p90 + 5, r
 
 
+def test_j71_group_split_never_leaks(spark, sf_dir):
+    """Group-keyed assignment must report zero straddling groups on
+    any corpus; the naive doc-keyed comparison column is >= it; split
+    totals partition the corpus."""
+    rows = registry.QUERIES["j71_leakage_safe_split"](spark, sf_dir).collect()
+    assert rows
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    for r in rows:
+        assert r.leaky_blocks_grouped == 0
+        assert r.leaky_blocks_naive >= r.leaky_blocks_grouped
+
+
+def test_j71_planted_dups_travel_together(spark):
+    """Two near-identical docs (same 40-char prefix) must land in the
+    same split regardless of their doc_ids; with enough planted pairs
+    the naive doc-keyed split must demonstrably leak at least one."""
+    shared = "this shared forty character prefix padding out "  # > 40 chars
+    rows = []
+    for i in range(40):  # 40 dup pairs, ids far apart
+        rows.append((i, shared + f"variant a {i}", "en", "s"))
+        rows.append((1000 + i, shared + f"variant b {i}", "en", "s"))
+    d = _docs_fixture(spark, rows)
+    out = registry.QUERIES["j71_leakage_safe_split"](spark, d).collect()
+    assert all(r.leaky_blocks_grouped == 0 for r in out)
+    # all 40 pairs share ONE block (same prefix) -> one group; the
+    # naive split leaks it unless all 80 u_doc draws agree (2/3^79..)
+    assert out[0].leaky_blocks_naive >= 1
+
+
 def test_a24_write_verifies_and_tamper_detected(spark, sf_dir):
     """The clean write verifies every partition; a tampered read-back
     (one doc dropped, one doc's text mutated) flips exactly those
