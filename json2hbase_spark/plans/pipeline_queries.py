@@ -791,10 +791,14 @@ def j71_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n") > 1)
         .agg(
-            F.sum((F.col("n_splits") > 1).cast("int"))
+            # coalesce: a corpus with NO multi-doc blocks aggregates
+            # over empty input — Spark's sum yields NULL where the
+            # oracle's COUNT FILTER yields 0 (fixtures regenerate
+            # between rounds; don't depend on dups existing)
+            F.coalesce(F.sum((F.col("n_splits") > 1).cast("int")), F.lit(0))
             .cast("bigint")
             .alias("leaky_blocks_grouped"),
-            F.sum((F.col("n_naive") > 1).cast("int"))
+            F.coalesce(F.sum((F.col("n_naive") > 1).cast("int")), F.lit(0))
             .cast("bigint")
             .alias("leaky_blocks_naive"),
         )

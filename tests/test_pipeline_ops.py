@@ -366,6 +366,22 @@ def test_j71_planted_dups_travel_together(spark):
     assert out[0].leaky_blocks_naive >= 1
 
 
+def test_j71_dupless_corpus_reports_zero_not_null(spark):
+    """With no multi-doc blocks at all, both leak counters must be 0
+    (Spark's sum over the empty filtered set yields NULL without the
+    coalesce — fixtures regenerate between rounds, so never depend on
+    dups existing)."""
+    d = _docs_fixture(
+        spark,
+        [(i, f"completely unique document number {i} with its own text", "en", "s")
+         for i in range(6)],
+    )
+    out = registry.QUERIES["j71_leakage_safe_split"](spark, d).collect()
+    assert out
+    for r in out:
+        assert r.leaky_blocks_grouped == 0 and r.leaky_blocks_naive == 0
+
+
 def test_a24_write_verifies_and_tamper_detected(spark, sf_dir):
     """The clean write verifies every partition; a tampered read-back
     (one doc dropped, one doc's text mutated) flips exactly those

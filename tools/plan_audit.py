@@ -56,6 +56,7 @@ AUDIT = {
     "j69_ngram_novelty": "gram-keyed min-agg + equi re-join from the compacted (doc,gram) table; no pairwise stage",
     "j70_quantile_sketch": "per-group bottom-k window + bounded percentile aggs; est side broadcast",
     "a24_manifest_write": "write + read-back manifest agg + broadcast compare; verify is one aggregation",
+    "j71_leakage_safe_split": "narrow split map; block-keyed leak agg map-side combined; 2-number audit broadcast",
 }
 
 MARKERS = (
