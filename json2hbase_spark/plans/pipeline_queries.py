@@ -685,6 +685,101 @@ def j67_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- j72
+
+OVERLAP_TOPK = 10
+
+
+@query(
+    "j72_source_overlap",
+    oracle=f"""
+    WITH words AS (
+      SELECT source, list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT source, unnest({_duck_ngrams('w', 2)}) AS g
+      FROM words WHERE len(w) >= 2
+    ),
+    sizes AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY source
+    ),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+      GROUP BY a.source, b.source
+    ),
+    scored AS (
+      SELECT p.src_a, p.src_b, sa.n AS n_a, sb.n AS n_b, p.n_inter,
+             round(CAST(p.n_inter AS DOUBLE)
+                   / (sa.n + sb.n - p.n_inter), 4) AS jacc
+      FROM pairs p
+      JOIN sizes sa ON p.src_a = sa.source
+      JOIN sizes sb ON p.src_b = sb.source
+    )
+    SELECT src_a, src_b, n_a, n_b, n_inter, jacc
+    FROM scored
+    ORDER BY jacc DESC, src_a, src_b
+    LIMIT {OVERLAP_TOPK}
+    """,
+)
+def j72_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source redundancy matrix: bigram-profile Jaccard between
+    every pair of sources, top-{OVERLAP_TOPK} most-overlapping pairs —
+    the corpus-composition question ('which feeds are re-crawls /
+    mirrors of each other?') answered BEFORE doc-level dedup, steering
+    which source pairs are worth a full j2 pass and which sources to
+    drop wholesale. The pair join is GRAM-KEYED (equi on the gram,
+    a.source < b.source kills self/mirror pairs) so candidate work is
+    Σ_g |sources(g)|² — bounded by sources-per-gram, never a source
+    cartesian, and at 100 TB the distinct (source, gram) profile
+    table is the only corpus-sized intermediate; it is materialized
+    once and reused by the sizes agg and both join sides. TakeOrdered
+    produces the top-K without a global sort."""
+    docs = load(spark, sf_dir, "documents")
+    w = whitespace_tokens(F.col("text"))
+    grams = materialize(
+        widen(docs)
+        .select("source", w.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select("source", F.explode(word_ngrams(F.col("w"), 2)).alias("g"))
+        .distinct()
+    )
+    sizes = grams.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    a = grams.select(F.col("source").alias("src_a"), "g")
+    b = grams.select(F.col("source").alias("src_b"), "g")
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(sizes.withColumnsRenamed({"source": "src_a", "n": "n_a"})),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnsRenamed({"source": "src_b", "n": "n_b"})),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                4,
+            ).alias("jacc"),
+        )
+    )
+    return scored.orderBy(F.desc("jacc"), "src_a", "src_b").limit(OVERLAP_TOPK)
+
+
 # ---------------------------------------------------------------- j71
 
 SPLIT_VAL = 0.1  # val fraction; test gets the same, train the rest

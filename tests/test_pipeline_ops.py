@@ -366,6 +366,33 @@ def test_j71_planted_dups_travel_together(spark):
     assert out[0].leaky_blocks_naive >= 1
 
 
+def test_j72_planted_mirror_sources_rank_first(spark):
+    """Two sources with identical content must score jacc == 1.0 and
+    rank first; a disjoint source pairs at 0 or below the mirror."""
+    text = "alpha beta gamma delta epsilon zeta"
+    d = _docs_fixture(
+        spark,
+        [(1, text, "en", "mirror_a"), (2, text, "en", "mirror_b"),
+         (3, "totally different words entirely here now", "en", "other")],
+    )
+    rows = registry.QUERIES["j72_source_overlap"](spark, d).collect()
+    top = rows[0]
+    assert (top.src_a, top.src_b, top.jacc) == ("mirror_a", "mirror_b", 1.0)
+    for r in rows:
+        assert 0.0 <= r.jacc <= 1.0
+        assert r.n_inter <= min(r.n_a, r.n_b)
+
+
+def test_j72_pair_join_is_gram_keyed(spark, sf_dir):
+    """The pair stage must be an equi join on the gram — a cartesian/
+    BNLJ means source-pair enumeration went quadratic-unblocked; the
+    top-K must come from TakeOrderedAndProject, not a global sort."""
+    plan = _physical_plan(registry.QUERIES["j72_source_overlap"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_j71_dupless_corpus_reports_zero_not_null(spark):
     """With no multi-doc blocks at all, both leak counters must be 0
     (Spark's sum over the empty filtered set yields NULL without the
