@@ -85,6 +85,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _stream_schema_cache: dict[tuple, object] = {}
 
 
+def _stage_symlink(link: str, src: str) -> None:
+    """Idempotent, race-safe symlink staging: lexists (not exists)
+    catches dangling links left by a removed/renamed sf_dir, a stale
+    or wrong-target link is replaced, and the create is wrapped for
+    the window where a concurrent session links first."""
+    import os
+
+    if os.path.lexists(link):
+        try:
+            if os.readlink(link) == src and os.path.exists(link):
+                return
+        except OSError:
+            pass
+        os.unlink(link)
+    try:
+        os.symlink(src, link)
+    except FileExistsError:
+        pass  # concurrent session created it between unlink and here
+
+
 def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """a8_stream_source: the events table as an unbounded streaming
     source (file source requires an explicit schema); same ns→µs
@@ -108,8 +128,7 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = os.path.join(tempfile.gettempdir(), f"json2hbase_stream_{tag}")
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    _stage_symlink(link, src)
     stream = spark.readStream.schema(raw_schema).parquet(stage)
     return _normalize_events_ts(stream)
 
@@ -134,8 +153,7 @@ def load_table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame
     stage = os.path.join(tempfile.gettempdir(), f"json2hbase_stream_{table}_{tag}")
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, f"{table}.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    _stage_symlink(link, src)
     return spark.readStream.schema(raw_schema).parquet(stage)
 
 

@@ -99,6 +99,7 @@ def resize_image(data: bytes, w: int, h: int) -> bytes:
 
 def _resize_batches(target_w: int, target_h: int):
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
 
         stride = 7  # deterministic stand-in for the decode+resample step
@@ -106,9 +107,10 @@ def _resize_batches(target_w: int, target_h: int):
         def thumb_stats(b: bytes) -> tuple[int, int]:
             # stand-in "thumbnail": every stride-th byte, exactly what a
             # row-major nearest-neighbor downsample does to a pixel
-            # buffer; checksum = sum of sampled byte values
-            sampled = b[::stride]
-            return len(sampled), sum(sampled)
+            # buffer; checksum = sum of sampled byte values (numpy
+            # strided view + vectorized sum — no per-byte Python loop)
+            sampled = np.frombuffer(b, dtype=np.uint8)[::stride]
+            return len(sampled), int(sampled.sum(dtype=np.int64))
 
         for pdf in batches:
             stats = pdf["data"].map(thumb_stats)

@@ -1189,13 +1189,16 @@ def j53_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document duplicated-span ratio — the signal used to drop or
     trim boilerplate-heavy documents, finer-grained than whole-doc
     near-dup (j2) because it catches shared paragraphs inside
-    otherwise-unique documents. Plan: one explode (O(total tokens)
-    rows), one doc-frequency hash agg with map-side combine, one
-    shuffle join back on the span key, one per-doc agg — no pairwise
-    stage at all, so it scales exactly like a token count. At 100 TB
-    the span string key is replaced by xxhash64(span) to cut shuffle
-    payload ~6x (the md5/string key here keeps the oracle
-    engine-exact; collisions at 64 bits are ~0 at any corpus size)."""
+    otherwise-unique documents. Plan (single pass, no checkpoint, no
+    join): explode → project the span down to its xxhash64 key while
+    still map-side (the string never reaches a shuffle — ~6x payload
+    cut; collisions at 64 bits are ~0 at any corpus size) →
+    per-(span,doc) pre-agg with map-side combine → doc-frequency as a
+    count-over-window on the span key (rows are already distinct
+    (span,doc) pairs, so plain count IS countDistinct) → per-doc agg.
+    Everything downstream of the explode carries 8-byte keys and the
+    explode is computed exactly once, so no materialize() barrier is
+    needed — it scales exactly like a token count."""
     docs = load(spark, sf_dir, "documents")
     toks = widen(docs).select("doc_id", whitespace_tokens(F.col("text")).alias("w"))
     return span_dup_stats(toks)
@@ -1205,21 +1208,18 @@ def span_dup_stats(toks: DataFrame, w: int = SPAN_W) -> DataFrame:
     """Per-doc duplicated-span stats over (doc_id, w token-array) rows
     — see j53's docstring. A span occurrence counts as duplicated when
     its text occurs in ≥2 distinct documents."""
-    spans = materialize(
-        toks.filter(F.size("w") >= w).select(
-            "doc_id", F.explode(word_ngrams(F.col("w"), w)).alias("g")
-        )
+    spans = (
+        toks.filter(F.size("w") >= w)
+        .select("doc_id", F.explode(word_ngrams(F.col("w"), w)).alias("g"))
+        .select("doc_id", F.xxhash64("g").alias("gk"))
     )
-    docfreq = spans.groupBy("g").agg(F.countDistinct("doc_id").alias("df"))
-    dup = F.when(F.col("df") >= 2, 1).otherwise(0)
-    return (
-        spans.join(docfreq, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_spans"),
-            F.sum(dup).cast("bigint").alias("n_dup_spans"),
-            (F.sum(dup).cast("double") / F.count("*")).alias("dup_ratio"),
-        )
+    per_doc = spans.groupBy("gk", "doc_id").agg(F.count("*").alias("n_occ"))
+    with_df = per_doc.withColumn("df", F.count("*").over(Window.partitionBy("gk")))
+    dup = F.when(F.col("df") >= 2, F.col("n_occ")).otherwise(F.lit(0))
+    return with_df.groupBy("doc_id").agg(
+        F.sum("n_occ").cast("bigint").alias("n_spans"),
+        F.sum(dup).cast("bigint").alias("n_dup_spans"),
+        (F.sum(dup).cast("double") / F.sum("n_occ")).alias("dup_ratio"),
     )
 
 
@@ -1611,15 +1611,19 @@ def j58_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-span REMOVAL (the transform j53 only measures — what
     Lee et al. 2022 actually do to the corpus): every token covered by
     any 6-token span that also occurs in another document is dropped;
-    the remaining tokens keep their original order. Plan: positional
-    span explode → shared-span semi join → per-doc covered-index set
-    (collect_set, order-free because it is only probed by
-    array_contains) → one ORDER-PRESERVING higher-order filter over
-    the original token array. No pairwise stage anywhere — identical
-    scale shape to j53 plus one map-side HOF. The cleaned CONTENT is
-    md5-verified cross-engine (j54's trick): the oracle rebuilds the
-    exact surviving token sequence, so a single out-of-order or
-    off-by-one token fails the gate."""
+    the remaining tokens keep their original order. Plan (single pass
+    over the positional explode — j53's shape): span hashed to its
+    xxhash64 key map-side (string never shuffled), per-(span,doc)
+    pre-agg keeping the position list, doc frequency as a
+    count-over-window on the span key (pre-agg rows are distinct
+    (span,doc) pairs), df≥2 filter replaces the semi join, positions
+    re-exploded into the per-doc covered-index set (collect_set,
+    order-free because it is only probed by array_contains) → one
+    ORDER-PRESERVING higher-order filter over the original token
+    array. No pairwise stage, no materialize() barrier. The cleaned
+    CONTENT is md5-verified cross-engine (j54's trick): the oracle
+    rebuilds the exact surviving token sequence, so a single
+    out-of-order or off-by-one token fails the gate."""
     docs = load(spark, sf_dir, "documents")
     toks = widen(docs).select("doc_id", whitespace_tokens(F.col("text")).alias("w"))
     return span_remove(toks)
@@ -1628,19 +1632,19 @@ def j58_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
 def span_remove(toks: DataFrame, w: int = SPAN_W) -> DataFrame:
     """Order-preserving removal of every token covered by a shared
     w-token span — see j58's docstring."""
-    grams = toks.filter(F.size("w") >= w).select(
-        "doc_id",
-        F.posexplode(word_ngrams(F.col("w"), w)).alias("pos0", "g"),
+    grams = (
+        toks.filter(F.size("w") >= w)
+        .select(
+            "doc_id",
+            F.posexplode(word_ngrams(F.col("w"), w)).alias("pos0", "g"),
+        )
+        .select("doc_id", "pos0", F.xxhash64("g").alias("gk"))
     )
-    grams = materialize(grams)
-    shared = (
-        grams.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") >= 2)
-        .select("g")
-    )
+    occ = grams.groupBy("gk", "doc_id").agg(F.collect_list("pos0").alias("ps"))
+    with_df = occ.withColumn("df", F.count("*").over(Window.partitionBy("gk")))
     covered = (
-        grams.join(shared, "g", "left_semi")
+        with_df.filter(F.col("df") >= 2)
+        .select("doc_id", F.explode("ps").alias("pos0"))
         .select(
             "doc_id",
             F.explode(F.sequence(F.col("pos0") + 1, F.col("pos0") + w)).alias("idx"),

@@ -923,7 +923,27 @@ def a23_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would silently diverge from it on hosts that set TMPDIR
     stage = f"/tmp/j2h_a23_assets_{tag}"
     marker = os.path.join(stage, "_staged")
-    if not os.path.exists(marker):
+    # marker carries the source fixture's fingerprint (mtime_ns:size,
+    # io.py's _stream_schema_cache pattern): a regenerated
+    # documents.parquet invalidates the staging instead of silently
+    # serving blobs from the previous corpus generation
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        fingerprint = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        fingerprint = "unknown"
+    staged = None
+    try:
+        with open(marker) as f:
+            staged = f.read().strip()
+    except OSError:
+        pass
+    if staged != fingerprint:
+        if os.path.isdir(stage):
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
         os.makedirs(stage, exist_ok=True)
         rows = (
             docs.filter(F.col("doc_id") < 40)
@@ -934,7 +954,7 @@ def a23_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             with open(os.path.join(stage, f"asset_{r.doc_id:05d}.bin"), "wb") as f:
                 f.write(r.text.encode("utf-8"))
         with open(marker, "w") as f:
-            f.write("ok")
+            f.write(fingerprint)
     bf = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.bin")

@@ -215,13 +215,19 @@ def test_redact_pii_strips_all_patterns(spark):
     ).collect()
     for r in out:
         assert r.n >= r.expected  # URL row has both a URL and a digit run
-        # nothing matchable survives redaction
-        assert "@" not in r.red or "<EMAIL>" in r.red
         import re
 
+        # nothing matchable survives redaction (redact_pii lowercases,
+        # so the emitted placeholders are '<email>'/'<url>'/'<num>')
+        assert "@" not in r.red or "<email>" in r.red
         assert not re.search(r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+", r.red)
-        assert not re.search(r"https?://[^ ]+", r.red.replace("<URL>", ""))
+        assert not re.search(r"https?://[^ ]+", r.red.replace("<url>", ""))
         assert not re.search(r"[0-9]{5,}", r.red)
+    # the PII rows really got placeholders, not just lucky non-matches
+    by_expected = {r.expected: r.red for r in out}
+    assert "<email>" in by_expected[1]
+    assert "<url>" in by_expected[2] and "<num>" in by_expected[2]
+    assert "<" not in by_expected[0]
 
 
 def test_quality_lr_digit_penalty_and_stopword_reward(spark):

@@ -1,0 +1,88 @@
+"""Quadratic-blowup tripwire for the dedup family's blocking
+structure (SCALE.md promoted into CI, round-4 verdict item).
+
+SCALE.md's ×10 volume probe showed the whole dedup/text family
+sub-linear-to-linear (worst ratios: j40 ×3.3, j53 ×3.1, j48 ×2.9 at
+×10 data). Those numbers only protect the 100 TB story if a
+regression to the BLOCKING structure (losing the band join, a span
+key turning into a doc-pair comparison, an accidental cartesian)
+fails CI rather than quietly re-appearing as a markdown delta. This
+test re-runs the probe's construction at a CI-sized base (sf0.01,
+×10 disjoint alphabet-rotated shards — duplicate density constant,
+volume ×10) for the three worst-ratio operators and asserts the
+wall-clock ratio stays far below quadratic: a linear operator shows
+≈×10 minus amortized fixed costs (measured ×2–4 here), a quadratic
+pair stage shows ≈×100. The ×12 tripwire leaves headroom for timing
+noise while still catching any O(n²) regression by an order of
+magnitude.
+"""
+
+from __future__ import annotations
+
+import string
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+TRIPWIRE_QUERIES = ["j40_ngram_jaccard", "j53_span_dedup", "j48_dedup_near_md5"]
+MULT = 10
+MAX_RATIO = 12.0
+
+
+@pytest.fixture(scope="module")
+def scaled_docs_dir(spark, tmp_path_factory):
+    """×MULT disjoint shards of the sf0.01 documents table, each with a
+    distinct alphabet rotation so cross-shard text shares no shingles
+    (tools/scale_probe.py's construction)."""
+    from json2hbase_spark.io import load
+
+    base = "/root/testdata/sf0.01"
+    out = str(tmp_path_factory.mktemp("scale10"))
+    docs = load(spark, base, "documents")
+    lower = string.ascii_lowercase
+    big = None
+    for k in range(MULT):
+        rot = lower[k:] + lower[:k]
+        shard = docs.select(
+            (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
+            F.translate("text", lower, rot).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        big = shard if big is None else big.unionByName(shard)
+    big.repartition(8).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    return out
+
+
+def _best_of_two(spark, name: str, sf_dir: str) -> float:
+    """Min of two runs — the tripwire compares ALGORITHMIC scaling, so
+    first-touch costs (codegen, parquet footers) must not masquerade
+    as data-size terms (scale_probe.py's convention)."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.materialize import cleanup_materialized
+
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        registry.QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        cleanup_materialized()
+        el = time.perf_counter() - t0
+        best = el if best is None else min(best, el)
+    return best
+
+
+@pytest.mark.parametrize("name", TRIPWIRE_QUERIES)
+def test_dedup_blocking_stays_linear(spark, scaled_docs_dir, name):
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    base = _best_of_two(spark, name, "/root/testdata/sf0.01")
+    scaled = _best_of_two(spark, name, scaled_docs_dir)
+    ratio = scaled / max(base, 1e-6)
+    assert ratio < MAX_RATIO, (
+        f"{name}: ×{MULT} volume took ×{ratio:.1f} wall-clock "
+        f"({base:.2f}s → {scaled:.2f}s) — blocking structure may have "
+        f"regressed toward a pairwise stage (linear ≈ ×{MULT}, quadratic ≈ ×{MULT**2})"
+    )

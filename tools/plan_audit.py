@@ -42,8 +42,8 @@ AUDIT = {
     "f3_topk_global": "TakeOrderedAndProject: global top-k without a full sort",
     "c16_join_dpp": "fact scan carries a partition filter (static or dynamicpruning) on o_year",
     "j52_sequence_mining": "lead() windows stay inside the user partition; support agg map-side combines",
-    "j53_span_dedup": "span dedup: equi joins on the span key only, no pairwise stage",
-    "j58_span_remove": "span removal: semi join + covered-set agg + order-preserving HOF filter, no pairwise stage",
+    "j53_span_dedup": "span dedup: single pass — hashed span key, pre-agg + count-over-window docfreq, no join, no pairwise stage",
+    "j58_span_remove": "span removal: hashed span key, windowed docfreq filter + covered-set agg + order-preserving HOF filter, no join before the per-doc probe, no pairwise stage",
     "j56_hard_negatives": "queries broadcast over the candidate scan; single top-k window exchange pre-reduced by partial WindowGroupLimit",
     "j57_oov_rate": "TakeOrdered vocab cut + broadcast tagging join; corpus side is scan + agg only",
     "m7_media_dedup": "digest projection + partial/final hash agg: blobs never shuffle, digests do",
