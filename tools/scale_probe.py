@@ -46,6 +46,7 @@ PROBES = [
     "j41_boilerplate",
     "j6_text_tokens",
     "j53_span_dedup",
+    "j58_span_remove",
     "j54_pii_redact",
     "j57_oov_rate",
     # round-4c training-prep family: all designed linear — j62 one
