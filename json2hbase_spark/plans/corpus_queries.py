@@ -1809,6 +1809,18 @@ def j60_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = widen(docs).select(
         "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("t")
     )
+    return (
+        bm25_scores(toks)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+def bm25_scores(toks: DataFrame) -> DataFrame:
+    """Full BM25 score table (doc_id, score) for the fixed BM25_TERMS
+    query over (doc_id, token) rows — see j60's docstring for the
+    scale shape. Shared by j60 (top-k search) and j73 (hybrid RRF
+    fusion), so both rank from the identical score computation."""
     toks = materialize(toks)
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("len"))
     stats = dl.agg(
@@ -1845,11 +1857,213 @@ def j60_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c"),
         )
     )
-    return (
-        contrib.groupBy("doc_id")
-        .agg(F.sum(F.col("c").cast("decimal(18,6)")).cast("double").alias("score"))
+    return contrib.groupBy("doc_id").agg(
+        F.sum(F.col("c").cast("decimal(18,6)")).cast("double").alias("score")
+    )
+
+
+# ---------------------------------------------------------------- j73
+
+RRF_K = 60        # Cormack et al. 2009's smoothing constant
+RRF_CAND = 50     # candidates taken from each ranking before fusion
+
+
+def _duck_bm25_ctes() -> str:
+    """The j60 oracle's CTE chain without the final SELECT, reusable
+    inside larger oracle queries (j73)."""
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+    toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS t
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, t, COUNT(*) AS tf FROM toks
+      WHERE t IN ({terms}) GROUP BY doc_id, t
+    ),
+    idf AS (
+      SELECT t, ln(1.0 + (s.n_docs - df + 0.5) / (df + 0.5)) AS idf
+      FROM (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY t), stats s
+    ),
+    contrib AS (
+      SELECT tf.doc_id,
+             round(idf.idf * (tf.tf * ({BM25_K1} + 1.0))
+                   / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                      + {BM25_B} * (CAST(dl.len AS DOUBLE) / s.avgdl))), 6)
+               AS c
+      FROM tf
+      JOIN dl ON dl.doc_id = tf.doc_id
+      JOIN idf ON idf.t = tf.t, stats s
+    ),
+    sparse AS (
+      SELECT doc_id, CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) AS score
+      FROM contrib GROUP BY doc_id
+    )"""
+
+
+@query(
+    "j73_hybrid_rrf",
+    oracle=f"""
+    WITH {_duck_bm25_ctes()},
+    sr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_sparse
+      FROM (SELECT * FROM sparse ORDER BY score DESC, doc_id LIMIT {RRF_CAND})
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    ds AS (
+      SELECT vec_id,
+             {_duck_pair_dot("e.embedding", "q.qe")}
+               / (sqrt({_duck_pair_dot("e.embedding", "e.embedding")})
+                  * sqrt({_duck_pair_dot("q.qe", "q.qe")})) AS sim
+      FROM embeddings e, q WHERE vec_id != 0
+    ),
+    dr AS (
+      SELECT vec_id AS doc_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS r_dense
+      FROM (SELECT * FROM ds ORDER BY sim DESC, vec_id LIMIT {RRF_CAND})
+    ),
+    fused AS (
+      SELECT COALESCE(sr.doc_id, dr.doc_id) AS doc_id,
+             sr.r_sparse, dr.r_dense,
+             COALESCE(CAST(round(1.0 / ({RRF_K} + sr.r_sparse), 6) AS DECIMAL(18,6)),
+                      CAST(0 AS DECIMAL(18,6)))
+             + COALESCE(CAST(round(1.0 / ({RRF_K} + dr.r_dense), 6) AS DECIMAL(18,6)),
+                        CAST(0 AS DECIMAL(18,6))) AS rrf
+      FROM sr FULL OUTER JOIN dr ON sr.doc_id = dr.doc_id
+    )
+    SELECT doc_id, r_sparse, r_dense, CAST(rrf AS DOUBLE) AS rrf_score
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def j73_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval fusion via Reciprocal Rank Fusion (Cormack et
+    al. 2009, the de-facto standard for combining sparse and dense
+    retrievers in RAG stacks): the BM25 ranking for the fixed term
+    query (j60's exact score table, shared helper) is fused with a
+    dense cosine ranking against a fixed query embedding (vec_id 0,
+    j3's bit-exact sequential-fold cosine) by summing 1/(K + rank)
+    over the two lists; items missing from one list contribute 0 from
+    it. Scale shape: each side reduces to its top-{RRF_CAND} via
+    TakeOrderedAndProject (never a global sort of the corpus), the
+    rank window then runs on a {RRF_CAND}-row frame, and the fusion
+    join is {RRF_CAND}×{RRF_CAND} — the expensive parts are exactly
+    the two retrievers, both already scan-shaped. RRF contributions
+    round to 6 and sum as DECIMAL (j60's convention) so the fused
+    score hash-matches cross-engine; ranks cast to bigint to match
+    the oracle's row_number type."""
+    docs = load(spark, sf_dir, "documents")
+    toks = widen(docs).select(
+        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("t")
+    )
+    w_sparse = Window.orderBy(F.desc("score"), "doc_id")
+    sr = (
+        bm25_scores(toks)
         .orderBy(F.desc("score"), "doc_id")
-        .limit(BM25_TOPK)
+        .limit(RRF_CAND)
+        .select("doc_id", F.row_number().over(w_sparse).cast("bigint").alias("r_sparse"))
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    ds = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (
+                vdot(F.col("embedding"), F.col("qe"))
+                / (l2_norm(F.col("embedding")) * l2_norm(F.col("qe")))
+            ).alias("sim"),
+        )
+    )
+    w_dense = Window.orderBy(F.desc("sim"), "vec_id")
+    dr = (
+        ds.orderBy(F.desc("sim"), "vec_id")
+        .limit(RRF_CAND)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number().over(w_dense).cast("bigint").alias("r_dense"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        F.round(F.lit(1.0) / (F.lit(RRF_K) + r), 6).cast("decimal(18,6)"), zero
+    )
+    fused = sr.join(dr, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_sparse",
+        "r_dense",
+        (contrib(F.col("r_sparse")) + contrib(F.col("r_dense"))).alias("rrf"),
+    )
+    return (
+        fused.select("doc_id", "r_sparse", "r_dense", F.col("rrf").cast("double").alias("rrf_score"), "rrf")
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(10)
+        .drop("rrf")
+    )
+
+
+# ---------------------------------------------------------------- j74
+
+DP_EPS = 1.0  # per-release privacy budget for the Laplace mechanism
+
+
+@query(
+    "j74_dp_counts",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source
+    ),
+    u AS (
+      SELECT lang, source, n,
+             (('0x' || substr(md5('dp:' || lang || ':' || source), 1, 15))::BIGINT + 0.5)
+               / 1152921504606846976.0 AS uni
+      FROM g
+    )
+    SELECT lang, source,
+           round(n + (-1.0 / {DP_EPS}) * sign(uni - 0.5)
+                     * ln(1.0 - 2.0 * abs(uni - 0.5)), 4) AS noisy_count
+    FROM u
+    """,
+)
+def j74_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (Dwork et al. 2006 Laplace
+    mechanism) over the corpus (lang, source) histogram: each count
+    gets Laplace(1/ε) noise, calibrated to the count query's
+    sensitivity of 1, and the TRUE counts are dropped from the output
+    — the release a pipeline can publish about a private corpus.
+    The noise is CONTENT-ADDRESSED, not RNG: uniform u ∈ (0,1) comes
+    from the group key's md5 (the engine-wide reproducibility
+    contract — a rerun releases the identical table, and the DuckDB
+    twin derives the same u), then the inverse-CDF transform
+    −(1/ε)·sign(u−½)·ln(1−2|u−½|) maps it to Laplace. The +0.5
+    numerator offset keeps u strictly inside (0,1) so ln never sees 0.
+    In deployment the md5 seed would be a secret salt; the mechanism,
+    sensitivity and calibration are unchanged. Plan: one hash agg +
+    pure expressions — map-side combinable, no shuffle beyond the
+    groupBy, scales like any histogram. round(4) absorbs libm ln
+    last-bit drift (j31's convention)."""
+    docs = load(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("dp:"), F.col("lang"), F.lit(":"), F.col("source"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("decimal(20,0)").cast("double")
+    uni = (v + F.lit(0.5)) / F.lit(float(16**15))
+    s = uni - F.lit(0.5)
+    noise = (F.lit(-1.0 / DP_EPS)) * F.signum(s) * F.log(F.lit(1.0) - 2.0 * F.abs(s))
+    return g.select(
+        "lang",
+        "source",
+        F.round(F.col("n") + noise, 4).alias("noisy_count"),
     )
 
 

@@ -363,3 +363,60 @@ def test_span_remove_fully_covered_doc_empties(spark):
     for d in (1, 2):
         assert rows[d].n_removed == rows[d].n_tokens == 6
         assert rows[d].cleaned_md5 == hashlib.md5(b"").hexdigest()
+
+
+def test_dp_counts_noise_is_content_addressed(spark):
+    """j74's Laplace noise must be exactly reproducible from the group
+    key's md5 — the whole point of content-addressed noise. Recompute
+    the inverse-CDF transform in Python and match to 4 decimals."""
+    import hashlib
+    import math
+
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    rows = registry.QUERIES["j74_dp_counts"](spark, "/root/testdata/sf0.001").collect()
+    assert rows, "empty release"
+    import duckdb
+
+    con = duckdb.connect()
+    true_counts = dict(
+        con.execute(
+            "SELECT lang || ':' || source, COUNT(*) FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    for r in rows:
+        key = f"{r.lang}:{r.source}"
+        v = int(hashlib.md5(f"dp:{key}".encode()).hexdigest()[:15], 16)
+        u = (v + 0.5) / 16**15
+        s = u - 0.5
+        noise = -1.0 * math.copysign(1.0, s) * math.log(1.0 - 2.0 * abs(s))
+        assert abs(r.noisy_count - round(true_counts[key] + noise, 4)) < 1e-9
+        # true count is NOT derivable from the output row alone
+        assert r.noisy_count != true_counts[key]
+
+
+def test_hybrid_rrf_fuses_both_rankings(spark):
+    """j73's fused score must equal the sum of the two per-list RRF
+    contributions implied by its own rank columns, and the output must
+    be sorted by fused score."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    rows = registry.QUERIES["j73_hybrid_rrf"](spark, "/root/testdata/sf0.001").collect()
+    assert 0 < len(rows) <= 10
+    scores = [r.rrf_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        expect = 0.0
+        if r.r_sparse is not None:
+            expect += round(1.0 / (60 + r.r_sparse), 6)
+        if r.r_dense is not None:
+            expect += round(1.0 / (60 + r.r_dense), 6)
+        assert r.r_sparse is not None or r.r_dense is not None
+        assert abs(r.rrf_score - expect) < 1e-9
+    # fusion actually mixes: at least one doc must carry a sparse rank
+    # and at least one a dense rank (otherwise one retriever is dead)
+    assert any(r.r_sparse is not None for r in rows)
+    assert any(r.r_dense is not None for r in rows)
