@@ -2067,6 +2067,178 @@ def j74_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- j75
+
+PHRASE_DELTA = 5   # discount: suppresses phrases built from rare pairs
+PHRASE_MIN = 5     # minimum bigram count to be considered at all
+PHRASE_TOPK = 20
+
+
+@query(
+    "j75_phrase_mining",
+    oracle=f"""
+    WITH toks AS ({_DUCK_TOKS}),
+    uni AS (
+      SELECT t, COUNT(*) AS c1 FROM (
+        SELECT unnest(w) AS t FROM toks
+      ) GROUP BY t
+    ),
+    tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n FROM uni),
+    bg AS (
+      SELECT g, COUNT(*) AS c2 FROM (
+        SELECT unnest({_duck_ngrams("w", 2)}) AS g FROM toks WHERE len(w) >= 2
+      ) GROUP BY g HAVING COUNT(*) >= {PHRASE_MIN}
+    ),
+    scored AS (
+      SELECT bg.g AS phrase, bg.c2,
+             CAST((bg.c2 - {PHRASE_DELTA}) * tot.n AS DOUBLE)
+               / (ua.c1 * ub.c1) AS score
+      FROM bg
+      JOIN uni ua ON ua.t = split_part(bg.g, ' ', 1)
+      JOIN uni ub ON ub.t = split_part(bg.g, ' ', 2), tot
+    )
+    SELECT phrase, c2 AS n_pair, score
+    FROM scored ORDER BY score DESC, phrase LIMIT {PHRASE_TOPK}
+    """,
+)
+def j75_phrase_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation/phrase detection (Mikolov et al. 2013's phrase
+    score, the word2vec preprocessing pass): score(a b) =
+    (c(ab) − δ)·N / (c(a)·c(b)) — bigrams whose joint count beats
+    chance get merged into single tokens before embedding training.
+    Top-{PHRASE_TOPK} phrases with count ≥ {PHRASE_MIN}. Plan: the
+    unigram and bigram count tables are the only shuffles (hash aggs
+    with map-side combine); the HAVING cuts the bigram table to the
+    frequent tail BEFORE the two vocab-keyed equi joins, N attaches
+    as a 1-row broadcast, and the ranking is TakeOrdered — at 100 TB
+    this is three bounded-payload aggs over a token stream, the same
+    shape as j44's LM counts. Score is integer arithmetic in both
+    numerator and denominator with ONE final division (single IEEE
+    op, bit-identical cross-engine — exact.py's int-ratio rule)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = widen(docs).select("doc_id", whitespace_tokens(F.col("text")).alias("w"))
+    uni = (
+        toks.select(F.explode("w").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c1"))
+    )
+    tot = uni.agg(F.sum("c1").cast("bigint").alias("n"))
+    bg = (
+        toks.filter(F.size("w") >= 2)
+        .select(F.explode(word_ngrams(F.col("w"), 2)).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("c2"))
+        .filter(F.col("c2") >= PHRASE_MIN)
+    )
+    ua = uni.select(F.col("t").alias("wa"), F.col("c1").alias("ca"))
+    ub = uni.select(F.col("t").alias("wb"), F.col("c1").alias("cb"))
+    scored = (
+        bg.withColumn("wa", F.expr("split_part(g, ' ', 1)"))
+        .withColumn("wb", F.expr("split_part(g, ' ', 2)"))
+        .join(ua, "wa")
+        .join(ub, "wb")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("g").alias("phrase"),
+            F.col("c2").alias("n_pair"),
+            (
+                ((F.col("c2") - F.lit(PHRASE_DELTA)) * F.col("n")).cast("double")
+                / (F.col("ca") * F.col("cb"))
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), "phrase").limit(PHRASE_TOPK)
+
+
+# ---------------------------------------------------------------- j76
+
+LM_LAMBDA = 0.5  # Jelinek-Mercer interpolation weight on the bigram term
+
+
+@query(
+    "j76_lm_interp",
+    oracle=f"""
+    WITH toks AS ({_DUCK_TOKS}),
+    uni AS (
+      SELECT t, COUNT(*) AS cu FROM (
+        SELECT unnest(w) AS t FROM toks
+      ) GROUP BY t
+    ),
+    tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS n FROM uni),
+    bgs AS (
+      SELECT doc_id, lang, unnest({_duck_ngrams("w", 2)}) AS g
+      FROM toks WHERE len(w) >= 2
+    ),
+    b2 AS (SELECT g, COUNT(*) AS c2 FROM bgs GROUP BY g),
+    b1 AS (SELECT split_part(g, ' ', 1) AS w1, COUNT(*) AS c1 FROM bgs GROUP BY 1)
+    SELECT bgs.doc_id, bgs.lang,
+           COUNT(*) AS n_bigrams,
+           round(avg(ln({LM_LAMBDA} * CAST(b2.c2 AS DOUBLE) / b1.c1
+                        + {1.0 - LM_LAMBDA} * CAST(uni.cu AS DOUBLE) / tot.n)), 4)
+             AS interp_score
+    FROM bgs
+    JOIN b2 ON b2.g = bgs.g
+    JOIN b1 ON b1.w1 = split_part(bgs.g, ' ', 1)
+    JOIN uni ON uni.t = split_part(bgs.g, ' ', 2), tot
+    GROUP BY bgs.doc_id, bgs.lang
+    """,
+)
+def j76_lm_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer interpolated LM quality scoring (the classic
+    smoothing j44's add-one sidesteps): per-occurrence probability
+    λ·p(w2|w1) + (1−λ)·p(w2) with MLE estimates — the bigram term
+    captures fluency, the unigram backoff keeps unseen-context
+    penalties finite (every scored bigram was observed, so no zeros).
+    Per-doc average log-probability, the perplexity proxy used for
+    CCNet-style quality bucketing. Plan: j44's occurrence-stream
+    shape plus one more vocab-keyed equi join (unigram backoff
+    table); counts aggregate map-side, N is a 1-row broadcast, and
+    the stream materializes once to serve the count tables and the
+    scoring joins. ln+avg rounds to 4 (exact.py convention, same as
+    j44/j31)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        widen(docs)
+        .select("doc_id", "lang", whitespace_tokens(F.col("text")).alias("w"))
+    )
+    uni = (
+        toks.select(F.explode("w").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("cu"))
+    )
+    tot = uni.agg(F.sum("cu").cast("bigint").alias("n"))
+    bgs = materialize(
+        toks.filter(F.size("w") >= 2).select(
+            "doc_id", "lang", F.explode(word_ngrams(F.col("w"), 2)).alias("g")
+        )
+    )
+    b2 = bgs.groupBy("g").agg(F.count("*").alias("c2"))
+    b1 = (
+        bgs.select(F.expr("split_part(g, ' ', 1)").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    scored = (
+        bgs.join(b2, "g")
+        .withColumn("w1", F.expr("split_part(g, ' ', 1)"))
+        .withColumn("w2", F.expr("split_part(g, ' ', 2)"))
+        .join(b1, "w1")
+        .join(uni.select(F.col("t").alias("w2"), "cu"), "w2")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "logp",
+            F.log(
+                F.lit(LM_LAMBDA) * F.col("c2").cast("double") / F.col("c1")
+                + F.lit(1.0 - LM_LAMBDA) * F.col("cu").cast("double") / F.col("n")
+            ),
+        )
+    )
+    return scored.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("logp"), 4).alias("interp_score"),
+    )
+
+
 # ---------------------------------------------------------------- j61
 
 MIX_ALPHA = 0.7      # temperature exponent (UNIMAX/mT5-style)

@@ -420,3 +420,69 @@ def test_hybrid_rrf_fuses_both_rankings(spark):
     # and at least one a dense rank (otherwise one retriever is dead)
     assert any(r.r_sparse is not None for r in rows)
     assert any(r.r_dense is not None for r in rows)
+
+
+def test_phrase_mining_score_arithmetic(spark, monkeypatch):
+    """Mikolov phrase score on a constructed corpus: 'new york' occurs
+    6x out of N=24 tokens with c(new)=c(york)=6 -> score
+    (6-5)*24/(6*6) = 0.666..; 'of the' occurs 6x but from frequent
+    unigrams -> lower score despite equal count."""
+    import json2hbase_spark.plans.corpus_queries as cq
+    from json2hbase_spark.operators.text import whitespace_tokens
+
+    doc = ("new york " * 6 + "of the " * 6).strip()
+    toks = spark.createDataFrame([(1, doc)], "doc_id long, text string").select(
+        "doc_id", whitespace_tokens(F.col("text")).alias("w")
+    )
+    # reuse the query's internals by rebuilding its pipeline on the toy frame
+    uni = toks.select(F.explode("w").alias("t")).groupBy("t").agg(F.count("*").alias("c1"))
+    tot = uni.agg(F.sum("c1").cast("bigint").alias("n"))
+    bg = (
+        toks.select(F.explode(cq.word_ngrams(F.col("w"), 2)).alias("g"))
+        .groupBy("g").agg(F.count("*").alias("c2"))
+        .filter(F.col("c2") >= cq.PHRASE_MIN)
+    )
+    ua = uni.select(F.col("t").alias("wa"), F.col("c1").alias("ca"))
+    ub = uni.select(F.col("t").alias("wb"), F.col("c1").alias("cb"))
+    rows = {
+        r.g: r.score
+        for r in bg.withColumn("wa", F.expr("split_part(g, ' ', 1)"))
+        .withColumn("wb", F.expr("split_part(g, ' ', 2)"))
+        .join(ua, "wa").join(ub, "wb").crossJoin(F.broadcast(tot))
+        .select(
+            "g",
+            (((F.col("c2") - F.lit(cq.PHRASE_DELTA)) * F.col("n")).cast("double")
+             / (F.col("ca") * F.col("cb"))).alias("score"),
+        ).collect()
+    }
+    assert abs(rows["new york"] - (6 - 5) * 24 / 36) < 1e-12
+    # the crossing bigrams ('york new', 'the of', boundary pairs) have
+    # count 5 -> (5-5)=0 numerator -> score exactly 0 when they pass
+    # PHRASE_MIN, and 'new york' must outrank everything
+    assert all(v <= rows["new york"] + 1e-12 for v in rows.values())
+
+
+def test_lm_interp_single_path_prob(spark):
+    """On 'a b' repeated: the only bigram is a->b plus the crossing
+    b->a, each with predictable MLE probabilities. For doc '<a b> x3':
+    stream = [a b, b a, a b, b a, a b]; p(b|a)=1, p(a|b)=1,
+    p_uni(b)=p_uni(a)=0.5 -> every occurrence scores
+    ln(0.5*1 + 0.5*0.5) = ln(0.75)."""
+    import math
+
+    from json2hbase_spark.operators.text import whitespace_tokens
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    # run the registered query against a staged one-doc corpus
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="j76_toy_")
+    spark.createDataFrame(
+        [(1, "a b a b a b", "en", "s", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    rows = registry.QUERIES["j76_lm_interp"](spark, d).collect()
+    assert len(rows) == 1 and rows[0].n_bigrams == 5
+    assert abs(rows[0].interp_score - round(math.log(0.75), 4)) < 1e-9
