@@ -853,3 +853,35 @@ def test_j61_sample_filter_is_map_side(spark, sf_dir):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "source" in line and "doc_id" not in line, line
+
+
+def test_j73_retrievers_reduce_before_fusion(spark, sf_dir):
+    """RRF fusion must never globally sort the corpus: each retriever
+    reduces to its top-50 via TakeOrderedAndProject, the dense query
+    vector broadcasts, and no CartesianProduct appears anywhere."""
+    plan = _physical_plan(registry.QUERIES["j73_hybrid_rrf"](spark, sf_dir))
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_j75_having_cut_precedes_vocab_joins(spark, sf_dir):
+    """Phrase mining filters the bigram table to count >= PHRASE_MIN
+    BEFORE joining the unigram vocab — the filter must sit on the agg
+    side, not after the joins, and the ranking is TakeOrdered."""
+    plan = _physical_plan(registry.QUERIES["j75_phrase_mining"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # count filter applied to the aggregated c2, before join output cols exist
+    import re
+
+    agg_filter = re.search(r"Filter.*\(c2#\d+L? >= 5\)", plan)
+    assert agg_filter, plan
+
+
+def test_j74_dp_counts_is_single_agg(spark, sf_dir):
+    """The DP release is one hash aggregate + noise expressions: no
+    join, exactly one grouping exchange."""
+    plan = _physical_plan(registry.QUERIES["j74_dp_counts"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -57,6 +57,10 @@ AUDIT = {
     "j70_quantile_sketch": "per-group bottom-k window + bounded percentile aggs; est side broadcast",
     "a24_manifest_write": "write + read-back manifest agg + broadcast compare; verify is one aggregation",
     "j71_leakage_safe_split": "narrow split map; block-keyed leak agg map-side combined; 2-number audit broadcast",
+    "j73_hybrid_rrf": "each retriever reduces via TakeOrdered before ranking; fusion join is 50x50; corpus never globally sorted",
+    "j75_phrase_mining": "HAVING cuts bigrams before the vocab-keyed joins; N broadcast; TakeOrdered top-k",
+    "j76_lm_interp": "occurrence stream materialized once; three vocab-keyed equi joins; 1-row N broadcast",
+    "j74_dp_counts": "one map-side-combinable hash agg + pure noise expressions, no join",
 }
 
 MARKERS = (
@@ -102,6 +106,7 @@ SMJ_JUSTIFIED = {
     "j43_semdedup": "cell-blocked pair join, both sides corpus-sized",
     "j49_dedup_recall": "candidate set vs ground-truth pairs, both grow with corpus",
     "j51_dataset_diff": "full-outer snapshot diff, both snapshots corpus-sized",
+    "j73_hybrid_rrf": "full-outer fusion of two top-k lists — FULL OUTER has no broadcast form, and both sides are bounded at RRF_CAND=50 rows",
 }
 
 
