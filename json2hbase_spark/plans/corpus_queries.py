@@ -2155,10 +2155,11 @@ def j75_phrase_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 LM_LAMBDA = 0.5  # Jelinek-Mercer interpolation weight on the bigram term
 
 
-@query(
-    "j76_lm_interp",
-    oracle=f"""
-    WITH toks AS ({_DUCK_TOKS}),
+def _duck_lm_interp_ctes() -> str:
+    """The j76 oracle's CTE chain + final per-doc SELECT as a CTE named
+    `lm`, reusable inside larger oracle queries (j77)."""
+    return f"""
+    toks AS ({_DUCK_TOKS}),
     uni AS (
       SELECT t, COUNT(*) AS cu FROM (
         SELECT unnest(w) AS t FROM toks
@@ -2170,17 +2171,26 @@ LM_LAMBDA = 0.5  # Jelinek-Mercer interpolation weight on the bigram term
       FROM toks WHERE len(w) >= 2
     ),
     b2 AS (SELECT g, COUNT(*) AS c2 FROM bgs GROUP BY g),
-    b1 AS (SELECT split_part(g, ' ', 1) AS w1, COUNT(*) AS c1 FROM bgs GROUP BY 1)
-    SELECT bgs.doc_id, bgs.lang,
-           COUNT(*) AS n_bigrams,
-           round(avg(ln({LM_LAMBDA} * CAST(b2.c2 AS DOUBLE) / b1.c1
-                        + {1.0 - LM_LAMBDA} * CAST(uni.cu AS DOUBLE) / tot.n)), 4)
-             AS interp_score
-    FROM bgs
-    JOIN b2 ON b2.g = bgs.g
-    JOIN b1 ON b1.w1 = split_part(bgs.g, ' ', 1)
-    JOIN uni ON uni.t = split_part(bgs.g, ' ', 2), tot
-    GROUP BY bgs.doc_id, bgs.lang
+    b1 AS (SELECT split_part(g, ' ', 1) AS w1, COUNT(*) AS c1 FROM bgs GROUP BY 1),
+    lm AS (
+      SELECT bgs.doc_id, bgs.lang,
+             COUNT(*) AS n_bigrams,
+             round(avg(ln({LM_LAMBDA} * CAST(b2.c2 AS DOUBLE) / b1.c1
+                          + {1.0 - LM_LAMBDA} * CAST(uni.cu AS DOUBLE) / tot.n)), 4)
+               AS interp_score
+      FROM bgs
+      JOIN b2 ON b2.g = bgs.g
+      JOIN b1 ON b1.w1 = split_part(bgs.g, ' ', 1)
+      JOIN uni ON uni.t = split_part(bgs.g, ' ', 2), tot
+      GROUP BY bgs.doc_id, bgs.lang
+    )"""
+
+
+@query(
+    "j76_lm_interp",
+    oracle=f"""
+    WITH {_duck_lm_interp_ctes()}
+    SELECT doc_id, lang, n_bigrams, interp_score FROM lm
     """,
 )
 def j76_lm_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2201,6 +2211,13 @@ def j76_lm_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         widen(docs)
         .select("doc_id", "lang", whitespace_tokens(F.col("text")).alias("w"))
     )
+    return lm_interp_scores(toks)
+
+
+def lm_interp_scores(toks: DataFrame) -> DataFrame:
+    """Per-(doc_id, lang) interpolated LM score table — see j76's
+    docstring. Shared by j76 (the score release) and j77 (CCNet-style
+    quality bucketing), so both consume the identical scoring."""
     uni = (
         toks.select(F.explode("w").alias("t"))
         .groupBy("t")
@@ -2236,6 +2253,72 @@ def j76_lm_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id", "lang").agg(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("logp"), 4).alias("interp_score"),
+    )
+
+
+# ---------------------------------------------------------------- j77
+
+QB_BUCKETS = ("head", "middle", "tail")
+
+
+@query(
+    "j77_quality_buckets",
+    oracle=f"""
+    WITH {_duck_lm_interp_ctes()},
+    ranked AS (
+      SELECT doc_id, n_bigrams, interp_score,
+             ntile(3) OVER (ORDER BY interp_score DESC, doc_id) AS tile
+      FROM lm
+    )
+    SELECT CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+           round(avg(interp_score), 4) AS avg_score,
+           round(min(interp_score), 4) AS min_score,
+           round(max(interp_score), 4) AS max_score
+    FROM ranked GROUP BY 1
+    """,
+)
+def j77_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): the corpus
+    splits into equal-sized head/middle/tail thirds by LM score (j76's
+    interpolated log-prob, shared helper) — head feeds training
+    as-is, middle gets a second look, tail is dropped or heavily
+    downsampled. Buckets are assigned by RANK (ntile over
+    score desc, doc_id), not by score thresholds: equal thirds is the
+    CCNet semantics, and rank assignment is immune to the float
+    threshold-boundary drift a `score >= cutoff` rule risks
+    cross-engine. The global ntile is a range exchange where ordering
+    IS the semantics (f6's category); at 100 TB the split uses
+    sampled split points (repartitionByRange's own mechanism) or h9's
+    sketch percentiles — the per-bucket aggregate shape is
+    unchanged. Output: per-bucket doc count, bigram volume and score
+    envelope (the dataset-card row for each quality tier)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        widen(docs)
+        .select("doc_id", "lang", whitespace_tokens(F.col("text")).alias("w"))
+    )
+    lm = lm_interp_scores(toks)
+    ranked = lm.select(
+        "doc_id",
+        "n_bigrams",
+        "interp_score",
+        F.ntile(3)
+        .over(Window.orderBy(F.desc("interp_score"), "doc_id"))
+        .alias("tile"),
+    )
+    bucket = (
+        F.when(F.col("tile") == 1, "head")
+        .when(F.col("tile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return ranked.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.round(F.avg("interp_score"), 4).alias("avg_score"),
+        F.round(F.min("interp_score"), 4).alias("min_score"),
+        F.round(F.max("interp_score"), 4).alias("max_score"),
     )
 
 

@@ -486,3 +486,19 @@ def test_lm_interp_single_path_prob(spark):
     rows = registry.QUERIES["j76_lm_interp"](spark, d).collect()
     assert len(rows) == 1 and rows[0].n_bigrams == 5
     assert abs(rows[0].interp_score - round(math.log(0.75), 4)) < 1e-9
+
+
+def test_quality_buckets_equal_thirds(spark, sf_dir):
+    """j77's ntile split must produce three buckets whose sizes differ
+    by at most 1, cover every scored doc exactly once, and order
+    head > middle > tail by score envelope."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    rows = {r.bucket: r for r in registry.QUERIES["j77_quality_buckets"](spark, sf_dir).collect()}
+    assert set(rows) == {"head", "middle", "tail"}
+    sizes = [rows[b].n_docs for b in ("head", "middle", "tail")]
+    assert max(sizes) - min(sizes) <= 1
+    # score envelopes must be disjoint and ordered (ties can touch)
+    assert rows["head"].min_score >= rows["middle"].max_score
+    assert rows["middle"].min_score >= rows["tail"].max_score
