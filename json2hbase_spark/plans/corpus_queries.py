@@ -2322,6 +2322,98 @@ def j77_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- j78
+
+CDC_W = 8    # boundary-test window (chars)
+CDC_M = 64   # boundary modulus -> expected chunk length ~M chars
+
+
+@query(
+    "j78_cdc_chunks",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, text,
+             list_filter(range(1, greatest(len(text) - {CDC_W} + 1, 1) + 1),
+               p -> p > 1 AND
+                    ('0x' || substr(md5(substr(text, p, {CDC_W})), 1, 15))::BIGINT
+                      % {CDC_M} = 0) AS cuts
+      FROM documents
+    ),
+    bounds AS (
+      SELECT doc_id, text,
+             list_concat(list_concat([1], cuts), [len(text) + 1]) AS b
+      FROM pos
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(b)),
+               i -> md5(substr(text, b[i], b[i + 1] - b[i])))) AS ch,
+             unnest(list_transform(range(1, len(b)), i -> b[i + 1] - b[i])) AS clen
+      FROM bounds
+    )
+    SELECT COUNT(*) AS n_chunks,
+           COUNT(DISTINCT ch) AS n_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT ch) AS DOUBLE) / COUNT(*) AS dup_ratio,
+           CAST(SUM(clen) AS DOUBLE) / COUNT(*) AS avg_len
+    FROM chunks
+    """,
+)
+def j78_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the LBFS/FastCDC storage-dedup
+    primitive): a chunk boundary falls wherever the hash of the
+    {CDC_W}-char window at that position ≡ 0 mod {CDC_M}, so chunk
+    boundaries are a function of CONTENT, not offsets — an insertion
+    shifts only the chunks it touches, and identical passages in
+    different documents produce identical chunks. Corpus-level
+    output: chunk count, distinct chunks, dup ratio (the storage
+    saving a chunk store would realize) and mean chunk length
+    (~{CDC_M} by construction). Plan: everything up to the chunk
+    hashes is per-row higher-order expressions (no shuffle at all —
+    boundary scan, cut-point split and chunk digests all map-side);
+    the only exchange is the final count-distinct agg, whose payload
+    is 16-byte digests. In production the boundary test is a rolling
+    Rabin/Gear hash (O(1) per position); the md5-window stand-in here
+    is O(W) per position but keeps the oracle engine-exact — same
+    boundaries, same chunks, same ratio. Int-ratio divisions are
+    single IEEE ops (exact.py's rule)."""
+    docs = load(spark, sf_dir, "documents")
+    text = F.col("text")
+    win_hash = lambda p: F.conv(  # noqa: E731
+        F.substring(F.md5(text.substr(p, F.lit(CDC_W))), 1, 15), 16, 10
+    ).cast("decimal(20,0)")
+    cuts = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.length(text) - (CDC_W - 1), F.lit(1))),
+        lambda p: (p > 1) & (win_hash(p) % CDC_M == 0),
+    )
+    bounds = F.concat(F.array(F.lit(1)), cuts, F.array(F.length(text) + 1))
+    with_b = widen(docs).select("doc_id", "text", bounds.alias("b"))
+    idx = F.sequence(F.lit(1), F.size("b") - 1)
+    chunks = with_b.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.md5(
+                        F.col("text").substr(
+                            F.element_at("b", i), F.element_at("b", i + 1) - F.element_at("b", i)
+                        )
+                    ).alias("ch"),
+                    (F.element_at("b", i + 1) - F.element_at("b", i)).alias("clen"),
+                ),
+            )
+        ).alias("c"),
+    ).select(F.col("c.ch").alias("ch"), F.col("c.clen").alias("clen"))
+    return chunks.agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("ch").alias("n_distinct"),
+        (
+            (F.count("*") - F.countDistinct("ch")).cast("double") / F.count("*")
+        ).alias("dup_ratio"),
+        (F.sum("clen").cast("double") / F.count("*")).alias("avg_len"),
+    )
+
+
 # ---------------------------------------------------------------- j61
 
 MIX_ALPHA = 0.7      # temperature exponent (UNIMAX/mT5-style)

@@ -502,3 +502,31 @@ def test_quality_buckets_equal_thirds(spark, sf_dir):
     # score envelopes must be disjoint and ordered (ties can touch)
     assert rows["head"].min_score >= rows["middle"].max_score
     assert rows["middle"].min_score >= rows["tail"].max_score
+
+
+def test_cdc_chunks_dedup_and_locality(spark):
+    """Content-defined chunking on a staged corpus: two identical docs
+    chunk identically (dup_ratio reflects the clone), and every chunk
+    length sums back to the text length (the split is a partition of
+    the document)."""
+    import os
+    import tempfile
+
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    d = tempfile.mkdtemp(prefix="j78_toy_")
+    spark.createDataFrame(
+        [(1, base, "en", "s", len(base)),
+         (2, base, "en", "s", len(base)),
+         (3, "completely different content here " * 25, "en", "s", 850)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    row = registry.QUERIES["j78_cdc_chunks"](spark, d).collect()[0]
+    # doc 2 is a byte-clone of doc 1 -> all its chunks are duplicates
+    assert row.n_distinct < row.n_chunks
+    assert row.dup_ratio >= 0.3, row
+    # mean length x count == total chars (chunking partitions the text)
+    total_chars = 2 * len(base) + len("completely different content here " * 25)
+    assert abs(row.avg_len * row.n_chunks - total_chars) < 1e-6
