@@ -265,3 +265,73 @@ def test_span_remove_consistent_with_span_stats(spark, docs):
             continue
         assert (stats[d].n_dup_spans > 0) == (removed[d].n_removed > 0)
         assert 0 <= removed[d].n_removed <= removed[d].n_tokens
+
+
+@given(
+    base=st.text(alphabet="abcdef gh", min_size=40, max_size=160),
+    edit_pos=st.integers(min_value=0, max_value=30),
+)
+@SETTLE
+def test_cdc_chunking_edit_locality(spark, base, edit_pos):
+    """Content-defined chunking's defining property: a single-char
+    edit changes only the chunks whose content actually changed — the
+    chunk set AFTER the edit point's neighborhood is untouched (the
+    classic LBFS argument: boundaries downstream of the edit are
+    functions of unchanged windows). We verify the weaker, exact
+    corollary: chunks of the ORIGINAL doc that lie entirely before or
+    entirely after the edited window survive into the edited doc's
+    chunk set."""
+    import hashlib
+    import os
+    import tempfile
+
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    pos = min(edit_pos, len(base) - 1)
+    edited = base[:pos] + ("z" if base[pos] != "z" else "q") + base[pos + 1 :]
+
+    def chunks_of(text: str) -> list[tuple[int, str]]:
+        # reference implementation of j78's boundary rule in pure Python
+        W, M = 8, 64
+        cuts = [
+            p
+            for p in range(2, max(len(text) - W + 1, 1) + 1)
+            if int(hashlib.md5(text[p - 1 : p - 1 + W].encode()).hexdigest()[:15], 16) % M == 0
+        ]
+        bounds = [1] + cuts + [len(text) + 1]
+        return [
+            (bounds[i], text[bounds[i] - 1 : bounds[i + 1] - 1])
+            for i in range(len(bounds) - 1)
+        ]
+
+    orig, edit = chunks_of(base), chunks_of(edited)
+    # chunks fully outside [pos-W+1, pos+W] are unaffected
+    W = 8
+    safe = {
+        c for (start, c) in orig
+        if start + len(c) - 1 < pos + 1 - W + 1 or start > pos + 1 + W
+    }
+    edited_set = {c for (_, c) in edit}
+    assert safe <= edited_set, (safe - edited_set, base, edited)
+    # and the Spark operator agrees with the reference implementation
+    d = tempfile.mkdtemp(prefix="j78_prop_")
+    spark.createDataFrame(
+        [(1, base, "en", "s", len(base))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    row = registry.QUERIES["j78_cdc_chunks"](spark, d).collect()[0]
+    assert row.n_chunks == len(orig)
+    assert row.n_distinct == len({c for (_, c) in orig})
+
+
+@given(rank=st.integers(min_value=1, max_value=50))
+@SETTLE
+def test_rrf_contribution_monotone(spark, rank):
+    """RRF's defining property: a better (smaller) rank in either list
+    never lowers the fused score — round(1/(60+r),6) must be strictly
+    decreasing in r over the candidate range (no rounding plateau that
+    would make rank improvements invisible)."""
+    a = round(1.0 / (60 + rank), 6)
+    b = round(1.0 / (60 + rank + 1), 6)
+    assert a > b, (rank, a, b)
