@@ -2414,6 +2414,153 @@ def j78_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- j79
+
+SQ_LEVELS = 255  # int8-style scalar quantization levels
+SQ_QUERIES = 10  # j3's query set
+SQ_K = 5
+
+
+@query(
+    "j79_embed_quantize",
+    oracle=f"""
+    WITH dims AS (
+      SELECT u.i AS pos, CAST(e.embedding[u.i] AS DOUBLE) AS x
+      FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) u
+    ),
+    rng AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY pos),
+    err AS (
+      SELECT e.vec_id, u.i AS pos,
+             CAST(e.embedding[u.i] AS DOUBLE) AS x,
+             rng.mn + round((CAST(e.embedding[u.i] AS DOUBLE) - rng.mn)
+                            * {SQ_LEVELS}.0 / (rng.mx - rng.mn), 0)
+                    * (rng.mx - rng.mn) / {SQ_LEVELS}.0 AS dq
+      FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) u
+      JOIN rng ON rng.pos = u.i
+    ),
+    qv AS (SELECT vec_id, list(dq ORDER BY pos) AS dqv FROM err GROUP BY vec_id),
+    dist AS (
+      SELECT CAST(COUNT(*) / 64 AS BIGINT) AS n_vecs,
+             CAST(SUM(CAST(round((x - dq) * (x - dq), 12) AS DECIMAL(28,12)))
+                  AS DOUBLE) / COUNT(*) AS mse,
+             MAX(abs(x - dq)) AS max_abs_err
+      FROM err
+    ),
+    exact AS (
+      SELECT qid, cid FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_duck_pair_dot("q.embedding", "c.embedding")}
+                          / (sqrt({_duck_pair_dot("q.embedding", "q.embedding")})
+                             * sqrt({_duck_pair_dot("c.embedding", "c.embedding")})) DESC,
+                          c.vec_id
+               ) AS r
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < {SQ_QUERIES} AND q.vec_id != c.vec_id
+      ) WHERE r <= {SQ_K}
+    ),
+    quant AS (
+      SELECT qid, cid FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_duck_pair_dot("qq.dqv", "cc.dqv")}
+                          / (sqrt({_duck_pair_dot("qq.dqv", "qq.dqv")})
+                             * sqrt({_duck_pair_dot("cc.dqv", "cc.dqv")})) DESC,
+                          c.vec_id
+               ) AS r
+        FROM embeddings q
+        JOIN qv qq ON qq.vec_id = q.vec_id,
+             embeddings c
+        JOIN qv cc ON cc.vec_id = c.vec_id
+        WHERE q.vec_id < {SQ_QUERIES} AND q.vec_id != c.vec_id
+      ) WHERE r <= {SQ_K}
+    ),
+    ov AS (
+      SELECT COUNT(*) AS n_ov FROM exact JOIN quant USING (qid, cid)
+    )
+    SELECT dist.n_vecs, dist.mse, dist.max_abs_err,
+           CAST(ov.n_ov AS DOUBLE) / {SQ_QUERIES * SQ_K} AS recall{SQ_K}
+    FROM dist, ov
+    """,
+)
+def j79_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (int8-style) embedding quantization with its quality
+    audit — the 4× memory compression every large vector store applies
+    before ANN serving: per-dimension [min,max] ranges quantize each
+    coordinate to {SQ_LEVELS}+1 levels, and the release decision
+    hinges on two measurements this op computes on-engine: the
+    reconstruction distortion (MSE + worst coordinate error) and the
+    retrieval damage (recall@{SQ_K} of quantized cosine top-k against
+    exact top-k for j3's query set). Plan: the per-dim range table is
+    a 64-row agg broadcast back as a sorted struct array; quantize/
+    dequantize run inside one zip_with projection (map-side, no
+    shuffle of the corpus); distortion aggregates over the exploded
+    error stream; both top-k sides are j3's broadcast-queries ×
+    candidate-scan shape. Exactness: all arithmetic in doubles with a
+    fixed op order (identical in DuckDB), squared errors round(12)
+    and sum as DECIMAL (order-free), counts and the recall ratio are
+    int arithmetic + one division. At 100 TB the range table comes
+    from a sample or sketch (h9) instead of an exact min/max pass —
+    the quantize/eval shape is unchanged."""
+    from json2hbase_spark.operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select(F.posexplode("embedding").alias("pos", "xf"))
+    rng = dims.groupBy("pos").agg(
+        F.min("xf").cast("double").alias("mn"), F.max("xf").cast("double").alias("mx")
+    )
+    stats = rng.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))).alias("st")
+    )
+    deq = lambda x, s: (  # noqa: E731
+        s["mn"]
+        + F.round((x.cast("double") - s["mn"]) * float(SQ_LEVELS) / (s["mx"] - s["mn"]), 0)
+        * (s["mx"] - s["mn"])
+        / float(SQ_LEVELS)
+    )
+    qv = materialize(
+        emb.crossJoin(F.broadcast(stats)).select(
+            "vec_id",
+            "embedding",
+            F.zip_with("embedding", "st", deq).alias("dqv"),
+        )
+    )
+    errs = qv.select(
+        F.explode(
+            F.zip_with("embedding", "dqv", lambda x, d: x.cast("double") - d)
+        ).alias("err")
+    )
+    dist = errs.agg(
+        (F.count("*") / 64).cast("bigint").alias("n_vecs"),
+        (
+            F.sum(F.round(F.col("err") * F.col("err"), 12).cast("decimal(28,12)")).cast(
+                "double"
+            )
+            / F.count("*")
+        ).alias("mse"),
+        F.max(F.abs("err")).alias("max_abs_err"),
+    )
+    q_orig = emb.filter(F.col("vec_id") < SQ_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    c_orig = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    exact = cosine_topk(q_orig, c_orig, SQ_K).select("qid", "cid")
+    q_q = qv.filter(F.col("vec_id") < SQ_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("dqv").alias("qvec")
+    )
+    c_q = qv.select(F.col("vec_id").alias("cid"), F.col("dqv").alias("cvec"))
+    quant = cosine_topk(q_q, c_q, SQ_K).select("qid", "cid")
+    ov = exact.join(quant, ["qid", "cid"]).agg(F.count("*").alias("n_ov"))
+    return dist.crossJoin(F.broadcast(ov)).select(
+        "n_vecs",
+        "mse",
+        "max_abs_err",
+        (F.col("n_ov").cast("double") / float(SQ_QUERIES * SQ_K)).alias(f"recall{SQ_K}"),
+    )
+
+
 # ---------------------------------------------------------------- j61
 
 MIX_ALPHA = 0.7      # temperature exponent (UNIMAX/mT5-style)

@@ -530,3 +530,24 @@ def test_cdc_chunks_dedup_and_locality(spark):
     # mean length x count == total chars (chunking partitions the text)
     total_chars = 2 * len(base) + len("completely different content here " * 25)
     assert abs(row.avg_len * row.n_chunks - total_chars) < 1e-6
+
+
+def test_embed_quantize_error_bound_and_recall_range(spark, sf_dir):
+    """int8 scalar quantization invariants: the worst coordinate error
+    is bounded by half a quantization step of the widest dimension,
+    MSE is positive but far below that bound squared, and recall@5 is
+    a sane fraction (high: 255 levels barely moves 64-dim cosines)."""
+    import pyarrow.parquet as pq
+
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    row = registry.QUERIES["j79_embed_quantize"](spark, sf_dir).collect()[0]
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()["embedding"]
+    dims = list(zip(*emb))
+    worst_step = max((max(d) - min(d)) / 255.0 for d in dims)
+    assert 0 < row.max_abs_err <= worst_step / 2 + 1e-12
+    assert 0 < row.mse < (worst_step / 2) ** 2
+    assert 0.0 <= row.recall5 <= 1.0
+    assert row.recall5 >= 0.8, row  # 255-level SQ should barely dent top-5
+    assert row.n_vecs == len(emb)
