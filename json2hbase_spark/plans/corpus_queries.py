@@ -2552,7 +2552,8 @@ def j79_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c_q = qv.select(F.col("vec_id").alias("cid"), F.col("dqv").alias("cvec"))
     quant = cosine_topk(q_q, c_q, SQ_K).select("qid", "cid")
-    ov = exact.join(quant, ["qid", "cid"]).agg(F.count("*").alias("n_ov"))
+    # both sides are SQ_QUERIES*SQ_K rows — broadcast the overlap probe
+    ov = exact.join(F.broadcast(quant), ["qid", "cid"]).agg(F.count("*").alias("n_ov"))
     return dist.crossJoin(F.broadcast(ov)).select(
         "n_vecs",
         "mse",

@@ -61,6 +61,9 @@ AUDIT = {
     "j75_phrase_mining": "HAVING cuts bigrams before the vocab-keyed joins; N broadcast; TakeOrdered top-k",
     "j76_lm_interp": "occurrence stream materialized once; three vocab-keyed equi joins; 1-row N broadcast",
     "j74_dp_counts": "one map-side-combinable hash agg + pure noise expressions, no join",
+    "j77_quality_buckets": "global ntile = ordering-is-the-semantics range exchange (f6's category); bucket agg map-side combines",
+    "j78_cdc_chunks": "boundary scan + split + digests all map-side HOF; only exchange is the digest count-distinct agg",
+    "j79_embed_quantize": "64-row range agg broadcast; quantize in one zip_with projection; both top-k sides broadcast-queries shaped",
 }
 
 MARKERS = (
