@@ -913,7 +913,11 @@ def a23_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver), pairing with m7's digest-only shuffle. The oracle's
     read_blob glob is pinned to the DRIVER's sf0.01 staging dir (the
     correctness gate runs at sf0.01); the Spark side stages and reads
-    its own per-sf dir at any scale."""
+    its own per-sf dir at any scale. CONSEQUENCE: a cross-sf oracle
+    sweep (e.g. tools/oracle_check.py --sf .../sf0.001) reports a23
+    as a value mismatch BY CONSTRUCTION — Spark reads that sf's
+    blobs, the oracle still reads the sf0.01 staging. Not a bug; the
+    sf0.01 gate is the meaningful check."""
     import os
 
     docs = load(spark, sf_dir, "documents")
