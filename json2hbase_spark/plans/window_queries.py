@@ -425,13 +425,20 @@ def h3_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum'), 4) AS norm2,
            len(list_filter(embedding, x -> x > 0)) AS n_pos,
            round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_val,
-           round(CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE), 4) AS first_two_sum
+           round(CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE), 4) + 0.0 AS first_two_sum
     FROM embeddings
     """,
 )
 def h4_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions — the JVM-native path for vector
-    math (no Python UDF, stays in codegen)."""
+    math (no Python UDF, stays in codegen). first_two_sum (the one
+    rounded column whose domain straddles zero) adds +0.0 after the
+    round on BOTH sides: DuckDB's round preserves the sign of a
+    tiny-negative input (-0.00004 -> -0.0) while Spark's BigDecimal
+    round returns +0.0, and a signed-zero disagreement breaks the
+    value-hash row alignment (surfaced by the sf0.1 cross-sweep;
+    IEEE -0.0 + 0.0 = +0.0 normalizes it identically in both
+    engines)."""
     e = load(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
     return e.select(
@@ -442,8 +449,12 @@ def h4_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("norm2"),
         F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
         F.round(F.array_max(emb).cast("double"), 4).alias("max_val"),
-        F.round(
-            F.element_at(emb, 1).cast("double") + F.element_at(emb, 2).cast("double"), 4
+        (
+            F.round(
+                F.element_at(emb, 1).cast("double") + F.element_at(emb, 2).cast("double"),
+                4,
+            )
+            + F.lit(0.0)
         ).alias("first_two_sum"),
     )
 

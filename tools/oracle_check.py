@@ -45,6 +45,8 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:
+            return 0.0  # -0.0 == +0.0 semantically; signed-zero repr noise breaks row alignment
         return v
     if hasattr(v, "item"):  # numpy scalar
         v = v.item()
