@@ -86,3 +86,49 @@ def test_dedup_blocking_stays_linear(spark, scaled_docs_dir, name):
         f"({base:.2f}s → {scaled:.2f}s) — blocking structure may have "
         f"regressed toward a pairwise stage (linear ≈ ×{MULT}, quadratic ≈ ×{MULT**2})"
     )
+
+
+@pytest.fixture(scope="module")
+def scaled_emb_dir(spark, tmp_path_factory):
+    """×4 disjoint shards of the sf0.01 embeddings table, vectors
+    cyclically rotated per shard (norms preserved, cross-shard cosines
+    scrambled) — scale_probe.py's embeddings construction."""
+    from json2hbase_spark.io import load
+
+    base = "/root/testdata/sf0.01"
+    out = str(tmp_path_factory.mktemp("scale4emb"))
+    emb = load(spark, base, "embeddings")
+    big = None
+    for k in range(4):
+        rot = (
+            F.concat(F.slice("embedding", k + 1, 64 - k), F.slice("embedding", 1, k))
+            if k
+            else F.col("embedding")
+        )
+        shard = emb.select(
+            (F.col("vec_id") + F.lit(k * 10_000_000)).alias("vec_id"),
+            rot.alias("embedding"),
+            "label",
+        )
+        big = shard if big is None else big.unionByName(shard)
+    big.repartition(8).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    load(spark, base, "documents").write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+    return out
+
+
+def test_embed_dedup_blocking_stays_bucketed(spark, scaled_emb_dir):
+    """j16's LSH-hyperplane blocking at FIXED plane count: ×4 volume
+    grows within-bucket pairs ≤×16 by design (SCALE.md's envelope),
+    but measured wall-clock stays ≤×2-3 because fixed costs dominate
+    at this size. Losing the bucket join (accidental all-pairs) would
+    jump past ×8 immediately — that is what this tripwire catches."""
+    base = _best_of_two(spark, "j16_dedup_embed", "/root/testdata/sf0.01")
+    scaled = _best_of_two(spark, "j16_dedup_embed", scaled_emb_dir)
+    ratio = scaled / max(base, 1e-6)
+    assert ratio < 8.0, (
+        f"j16_dedup_embed: ×4 volume took ×{ratio:.1f} wall-clock "
+        f"({base:.2f}s → {scaled:.2f}s) — the bucket join may have "
+        f"degenerated to all-pairs (designed envelope ≤×16 pairs, measured ≤×2.3 time)"
+    )
