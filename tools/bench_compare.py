@@ -1,0 +1,66 @@
+"""Diff a bench run against the frozen per-query medians in BASELINE.md.
+
+    python tools/bench_compare.py [--bench bench_full.json] [--factor 2.0]
+
+Parses every `| name | seconds |` cell from BASELINE.md (later tables
+override earlier ones, so each query's LATEST freeze wins), compares
+the given bench run, and prints queries exceeding `factor` x their
+frozen median plus queries with no freeze row at all. Exit code 1 if
+any query exceeds the factor — usable as a pre-commit check after
+perf-sensitive changes. This is the per-query companion to the
+driver's single-number BENCH_r{N}.json: it answers "WHICH plan
+regressed", not just "did the total move".
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def frozen_medians() -> dict[str, float]:
+    txt = (REPO / "BASELINE.md").read_text()
+    out: dict[str, float] = {}
+    # later occurrences override: BASELINE.md appends newer freeze tables
+    for name, sec in re.findall(r"\| ([a-z]\d+[a-z]?_\w+) \| ([0-9.]+) ", txt):
+        out[name] = float(sec)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bench", default=str(REPO / "bench_full.json"))
+    ap.add_argument("--factor", type=float, default=2.0)
+    args = ap.parse_args()
+
+    bench = json.loads(Path(args.bench).read_text())["queries"]
+    frozen = frozen_medians()
+
+    slow, unfrozen = [], []
+    for name, t in sorted(bench.items()):
+        if t < 0:
+            slow.append((name, t, frozen.get(name), float("inf")))
+            continue
+        f = frozen.get(name)
+        if f is None:
+            unfrozen.append((name, t))
+        elif t > args.factor * f and t > 1.0:  # ignore sub-second jitter
+            slow.append((name, t, f, t / f))
+
+    for name, t, f, r in sorted(slow, key=lambda x: -x[3]):
+        print(f"SLOW  {name}: {t:.2f}s vs frozen {f}s  (x{r:.1f})")
+    for name, t in unfrozen:
+        print(f"NOFREEZE  {name}: {t:.2f}s (add a median row to BASELINE.md)")
+    n = len(bench)
+    print(f"{n - len(slow) - len(unfrozen)} within {args.factor}x of freeze, "
+          f"{len(slow)} over, {len(unfrozen)} unfrozen")
+    sys.exit(1 if slow else 0)
+
+
+if __name__ == "__main__":
+    main()
