@@ -102,11 +102,20 @@ def main() -> None:
     # so a single-run bench reports steady-state plan cost instead of
     # whichever query the hiccup hit. Bounded: ~10-20 re-runs worst
     # case, and genuinely-expensive queries just reproduce their time.
+    # Both timings are logged to stderr so a genuine intermittent
+    # regression (e.g. occasional spill) stays visible in the bench log
+    # even though the reported number keeps the min (policy note in
+    # BASELINE.md "Methodology").
     rerun = [n for n, t in times.items() if t >= 3.0]
     for name in rerun:
         second = run_once(name)
         if second >= 0:
-            times[name] = min(times[name], second)
+            kept = min(times[name], second)
+            print(
+                f"# bench re-measure {name}: runs=({times[name]}, {second}) kept={kept}",
+                file=sys.stderr,
+            )
+            times[name] = kept
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
     payload = {

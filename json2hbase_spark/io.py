@@ -98,7 +98,14 @@ def _stage_symlink(link: str, src: str) -> None:
                 return
         except OSError:
             pass
-        os.unlink(link)
+        try:
+            os.unlink(link)
+        except OSError:
+            # a real directory at the staged path (leftover from an
+            # older layout) — unlink raises IsADirectoryError; replace
+            import shutil
+
+            shutil.rmtree(link, ignore_errors=True)
     try:
         os.symlink(src, link)
     except FileExistsError:

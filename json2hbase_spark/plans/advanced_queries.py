@@ -229,12 +229,16 @@ def _kmeans_oracle(iters: int = 3) -> str:
     )
 
 
-def kmeans_assign(spark: SparkSession, sf_dir: str, iters: int = 3) -> DataFrame:
-    """Lloyd's k-means assignment plan (k=10 seeded from vec_id 0..9,
+def kmeans_assign(
+    spark: SparkSession, sf_dir: str, iters: int = 3, k: int = 10
+) -> DataFrame:
+    """Lloyd's k-means assignment plan (k seeded from vec_id 0..k-1,
     deterministic argmin tie-break by cluster id): returns
     (vec_id, v, cluster) after ``iters`` rounds, with the centroid
     table materialized per iteration so lineage stays flat. Spark twin
-    of ``kmeans_ctes``'s ``af``. Shared by j21 and j43."""
+    of ``kmeans_ctes``'s ``af`` at the oracle-pinned k=10; larger k is
+    the scale dial (operators/scaling.auto_kmeans_k chooses k ∝ n so
+    SemDeDup cells stay bounded). Shared by j21 and j43."""
     emb = load(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", F.col("embedding").alias("v"))
 
@@ -245,7 +249,7 @@ def kmeans_assign(spark: SparkSession, sf_dir: str, iters: int = 3) -> DataFrame
             lambda acc, x: acc + x,
         )
 
-    centroids = emb.filter(F.col("vec_id") < 10).select(
+    centroids = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").cast("int").alias("cluster"),
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("c"),
     )

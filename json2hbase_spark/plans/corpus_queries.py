@@ -377,14 +377,40 @@ def j43_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     then pruning, WITHIN each cluster only, every vector that has a
     lower-id neighbor at cosine ≥ τ. The cluster step is what makes
     embedding dedup scale: candidate pairs are O(Σ cell²) instead of
-    O(n²), and cells shrink as k grows — at 100 TB k is chosen so
-    cells fit an executor (then the within-cell pair join is a local
-    quadratic, no shuffle amplification). Hash-checked end-to-end:
+    O(n²), and cells shrink as k grows. This registered variant PINS
+    k=10 for bit-exact parity with the unrolled DuckDB oracle; the
+    deployable API is ``semdedup_plan`` below, whose default k is the
+    volume-adaptive dial (operators/scaling.auto_kmeans_k: k ∝ n, so
+    the pair budget stays linear — tripwired in
+    tests/test_scale_tripwire.py). Hash-checked end-to-end:
     assignments reuse j21's bit-exact iteration, cosine is the same
     sequential fold both engines run, so the pruned sets match
     exactly."""
-    asg = materialize(kmeans_assign(spark, sf_dir, iters=3).select("vec_id", "cluster"))
+    return semdedup_plan(spark, sf_dir, iters=3, k=10)
+
+
+def semdedup_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = 3,
+    k: int | None = None,
+    tau: float = SEMDEDUP_TAU,
+) -> DataFrame:
+    """SemDeDup with the cell-capacity dial as a real parameter:
+    ``k=None`` counts the corpus (a parquet-footer read at scale, not
+    a scan) and chooses k = ⌈n / TARGET_CELL⌉ via auto_kmeans_k, so
+    the within-cell pair budget Σ C(cell,2) ≈ n·TARGET_CELL/2 grows
+    LINEARLY with the corpus instead of the ×16-per-×4 envelope a
+    fixed k has. Returns per-cluster (n_members, n_pruned,
+    n_survivors) at cosine threshold ``tau``."""
+    from json2hbase_spark.operators.scaling import auto_kmeans_k
+
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if k is None:
+        k = auto_kmeans_k(emb.count())
+    asg = materialize(
+        kmeans_assign(spark, sf_dir, iters=iters, k=k).select("vec_id", "cluster")
+    )
     # hoist the norm to once-per-vector (5k folds) instead of twice-
     # per-pair (2.5M folds): identical arithmetic — sqrt of the same
     # sequential fold — so the similarity values (and the hash) are
@@ -411,7 +437,7 @@ def j43_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sim", vdot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     )
     pruned = (
-        pairs.filter(F.col("sim") >= SEMDEDUP_TAU)
+        pairs.filter(F.col("sim") >= tau)
         .groupBy("cluster")
         .agg(F.countDistinct("vec_b").alias("n_pruned"))
     )
@@ -2011,6 +2037,36 @@ def j73_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 DP_EPS = 1.0  # per-release privacy budget for the Laplace mechanism
 
 
+def dp_counts_plan(docs: DataFrame, eps: float = DP_EPS, salt: str = "dp:") -> DataFrame:
+    """Laplace-noised (lang, source) histogram with seed-addressed
+    noise; ``salt`` is the seed prefix. SECURITY NOTE: with a PUBLIC
+    salt (the registered query's "dp:" — needed for DuckDB oracle
+    parity) the noise is recomputable from the released row's own
+    group key, so the true count is exactly recoverable and the
+    release provides NO privacy — it is a deterministic SIMULATION of
+    the mechanism. A deployment must pass a secret, per-release salt;
+    only then does the inverse-CDF draw behave as an unpredictable
+    Laplace sample and the ε-DP guarantee hold."""
+    g = docs.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col("lang"), F.lit(":"), F.col("source"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("decimal(20,0)").cast("double")
+    uni = (v + F.lit(0.5)) / F.lit(float(16**15))
+    s = uni - F.lit(0.5)
+    noise = (F.lit(-1.0 / eps)) * F.signum(s) * F.log(F.lit(1.0) - 2.0 * F.abs(s))
+    return g.select(
+        "lang",
+        "source",
+        F.round(F.col("n") + noise, 4).alias("noisy_count"),
+    )
+
+
 @query(
     "j74_dp_counts",
     oracle=f"""
@@ -2033,38 +2089,22 @@ def j74_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Differentially-private count release (Dwork et al. 2006 Laplace
     mechanism) over the corpus (lang, source) histogram: each count
     gets Laplace(1/ε) noise, calibrated to the count query's
-    sensitivity of 1, and the TRUE counts are dropped from the output
-    — the release a pipeline can publish about a private corpus.
+    sensitivity of 1, and the TRUE counts are dropped from the output.
     The noise is CONTENT-ADDRESSED, not RNG: uniform u ∈ (0,1) comes
     from the group key's md5 (the engine-wide reproducibility
     contract — a rerun releases the identical table, and the DuckDB
     twin derives the same u), then the inverse-CDF transform
     −(1/ε)·sign(u−½)·ln(1−2|u−½|) maps it to Laplace. The +0.5
     numerator offset keeps u strictly inside (0,1) so ln never sees 0.
-    In deployment the md5 seed would be a secret salt; the mechanism,
-    sensitivity and calibration are unchanged. Plan: one hash agg +
-    pure expressions — map-side combinable, no shuffle beyond the
-    groupBy, scales like any histogram. round(4) absorbs libm ln
-    last-bit drift (j31's convention)."""
-    docs = load(spark, sf_dir, "documents")
-    g = docs.groupBy("lang", "source").agg(F.count("*").alias("n"))
-    v = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("dp:"), F.col("lang"), F.lit(":"), F.col("source"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("decimal(20,0)").cast("double")
-    uni = (v + F.lit(0.5)) / F.lit(float(16**15))
-    s = uni - F.lit(0.5)
-    noise = (F.lit(-1.0 / DP_EPS)) * F.signum(s) * F.log(F.lit(1.0) - 2.0 * F.abs(s))
-    return g.select(
-        "lang",
-        "source",
-        F.round(F.col("n") + noise, 4).alias("noisy_count"),
-    )
+    THIS REGISTERED VARIANT USES A PUBLIC SALT and is therefore a
+    reproducible simulation of the mechanism, NOT a private release —
+    the noise is recomputable from the output row's own key (see
+    ``dp_counts_plan``, which takes the secret ``salt`` a deployment
+    must supply). Plan: one hash agg + pure expressions — map-side
+    combinable, no shuffle beyond the groupBy, scales like any
+    histogram. round(4) absorbs libm ln last-bit drift (j31's
+    convention)."""
+    return dp_counts_plan(load(spark, sf_dir, "documents"), DP_EPS, "dp:")
 
 
 # ---------------------------------------------------------------- j75
@@ -2432,9 +2472,11 @@ SQ_K = 5
     err AS (
       SELECT e.vec_id, u.i AS pos,
              CAST(e.embedding[u.i] AS DOUBLE) AS x,
-             rng.mn + round((CAST(e.embedding[u.i] AS DOUBLE) - rng.mn)
-                            * {SQ_LEVELS}.0 / (rng.mx - rng.mn), 0)
-                    * (rng.mx - rng.mn) / {SQ_LEVELS}.0 AS dq
+             CASE WHEN rng.mx = rng.mn THEN CAST(e.embedding[u.i] AS DOUBLE)
+                  ELSE rng.mn + round((CAST(e.embedding[u.i] AS DOUBLE) - rng.mn)
+                                      * {SQ_LEVELS}.0 / (rng.mx - rng.mn), 0)
+                              * (rng.mx - rng.mn) / {SQ_LEVELS}.0
+             END AS dq
       FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) u
       JOIN rng ON rng.pos = u.i
     ),
@@ -2514,7 +2556,10 @@ def j79_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = rng.agg(
         F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))).alias("st")
     )
-    deq = lambda x, s: (  # noqa: E731
+    # constant-dimension guard (mx == mn): the unguarded formula is 0/0
+    # = NaN in Spark but NULL in DuckDB's div-by-zero convention; a
+    # constant dim quantizes to itself exactly (oracle mirrors the CASE)
+    deq = lambda x, s: F.when(s["mx"] == s["mn"], x.cast("double")).otherwise(  # noqa: E731
         s["mn"]
         + F.round((x.cast("double") - s["mn"]) * float(SQ_LEVELS) / (s["mx"] - s["mn"]), 0)
         * (s["mx"] - s["mn"])

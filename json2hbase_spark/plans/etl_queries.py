@@ -889,14 +889,12 @@ def a22_python_datasource_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "a23_binary_ingest",
     oracle="""
-    WITH blobs AS (
-      SELECT filename, content
-      FROM read_blob('/tmp/j2h_a23_assets_root_testdata_sf0.01/*.bin')
-    )
-    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
-           CAST(octet_length(content) AS BIGINT) AS n_bytes,
-           md5(content::VARCHAR) AS content_md5
-    FROM blobs
+    SELECT 'asset_' || lpad(CAST(doc_id AS VARCHAR), 5, '0') || '.bin'
+             AS file_name,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    WHERE doc_id < 40
     """,
 )
 def a23_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -906,26 +904,21 @@ def a23_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     NO decoding, ready for the digest/metadata passes (m1/m7). The
     staged fixture is 40 deterministic .bin files derived from the
     documents table (media libs absent, so text bytes stand in for
-    payloads); the oracle reads the SAME files via DuckDB's read_blob
-    and must agree on every (name, size, md5) — proving byte-faithful
-    ingestion, not just row counts. At 100 TB binaryFile lists and
-    splits by file (one task per blob group, content never in the
-    driver), pairing with m7's digest-only shuffle. The oracle's
-    read_blob glob is pinned to the DRIVER's sf0.01 staging dir (the
-    correctness gate runs at sf0.01); the Spark side stages and reads
-    its own per-sf dir at any scale. CONSEQUENCE: a cross-sf oracle
-    sweep (e.g. tools/oracle_check.py --sf .../sf0.001) reports a23
-    as a value mismatch BY CONSTRUCTION — Spark reads that sf's
-    blobs, the oracle still reads the sf0.01 staging. Not a bug; the
-    sf0.01 gate is the meaningful check."""
+    payloads). The oracle derives the EXPECTED (name, utf-8 byte
+    length, md5) straight from the documents view — sf-generic, no
+    pinned staging path (round-5 sweeps flagged the old read_blob glob
+    as sf0.01-pinned) — so the check is end-to-end: source text →
+    staged file bytes → binaryFile read-back must reproduce the
+    source's own digest, proving byte-faithful ingestion, not just row
+    counts. At 100 TB binaryFile lists and splits by file (one task
+    per blob group, content never in the driver), pairing with m7's
+    digest-only shuffle."""
     import os
+    import tempfile
 
     docs = load(spark, sf_dir, "documents")
     tag = sf_dir.strip("/").replace("/", "_")
-    # literal /tmp, NOT tempfile.gettempdir(): the oracle's read_blob
-    # glob is a pinned literal path, and a TMPDIR-honoring staging dir
-    # would silently diverge from it on hosts that set TMPDIR
-    stage = f"/tmp/j2h_a23_assets_{tag}"
+    stage = os.path.join(tempfile.gettempdir(), f"j2h_a23_assets_{tag}")
     marker = os.path.join(stage, "_staged")
     # marker carries the source fixture's fingerprint (mtime_ns:size,
     # io.py's _stream_schema_cache pattern): a regenerated

@@ -619,11 +619,33 @@ def j16_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH bucket (6 seeded planes → 64 buckets, the same quantizer j18's
     ANN uses): only same-bucket vectors meet in the self-join, so the
     pair count is O(n²/2^planes) instead of all-pairs — the blocking
-    key a 100 TB dedup actually shards on (a label column's cardinality
-    doesn't grow with data; bucket count is a free parameter). The
-    bucket literals are identical constants in both engines, so the
-    blocking AND the sequential-fold cosine hash-match exactly."""
+    key a 100 TB dedup actually shards on. This registered variant
+    PINS the 6-plane LSH_PLANES for oracle parity (the bucket literals
+    are identical constants in both engines, so the blocking AND the
+    sequential-fold cosine hash-match exactly); the deployable API is
+    ``dedup_embed_plan`` below, whose default plane count is the
+    volume-adaptive dial (operators/scaling.auto_lsh_planes: +2 planes
+    per ×4 volume keeps the pair budget linear — tripwired in
+    tests/test_scale_tripwire.py)."""
     emb = load(spark, sf_dir, "embeddings")
+    return dedup_embed_plan(emb, planes=LSH_PLANES)
+
+
+def dedup_embed_plan(
+    emb: DataFrame,
+    planes: list[list[float]] | None = None,
+    tau: float = 0.35,
+) -> DataFrame:
+    """LSH-blocked embedding near-dup with the bucket dial as a real
+    parameter: ``planes=None`` counts the corpus (footer read at
+    scale) and draws ⌈log₂(n/TARGET_BUCKET)⌉ seeded hyperplanes via
+    auto_lsh_planes/seeded_planes, so expected same-bucket pairs stay
+    ≈ n·TARGET_BUCKET/2 — linear in n, vs the ×16-per-×4 envelope of
+    a fixed plane count. Returns (vec_a, vec_b, bucket, sim ≥ tau)."""
+    if planes is None:
+        from json2hbase_spark.operators.scaling import auto_lsh_planes, seeded_planes
+
+        planes = seeded_planes(auto_lsh_planes(emb.count()))
     # bucket + norm hoisted out of the pair join: computed once per
     # vector (O(n) folds) instead of once per candidate pair; the
     # bucketed table is materialized so the self-join's two sides share
@@ -631,7 +653,7 @@ def j16_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = emb.select(
         "vec_id",
         "embedding",
-        lsh_bucket(F.col("embedding"), LSH_PLANES).alias("bucket"),
+        lsh_bucket(F.col("embedding"), planes).alias("bucket"),
         l2_norm(F.col("embedding")).alias("nrm"),
     )
     bucketed = materialize(bucketed)
@@ -649,7 +671,7 @@ def j16_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b", "bucket", sim.alias("sim"))
-        .filter(F.col("sim") >= 0.35)
+        .filter(F.col("sim") >= tau)
     )
 
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 import json
 import random
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -271,6 +271,7 @@ def test_span_remove_consistent_with_span_stats(spark, docs):
     base=st.text(alphabet="abcdef gh", min_size=40, max_size=160),
     edit_pos=st.integers(min_value=0, max_value=30),
 )
+@example(base="aaaaaaaaaaaaaaaaaaaehgcebehaaaaaaaaaaaaa", edit_pos=26)
 @SETTLE
 def test_cdc_chunking_edit_locality(spark, base, edit_pos):
     """Content-defined chunking's defining property: a single-char
@@ -306,11 +307,19 @@ def test_cdc_chunking_edit_locality(spark, base, edit_pos):
         ]
 
     orig, edit = chunks_of(base), chunks_of(edited)
-    # chunks fully outside [pos-W+1, pos+W] are unaffected
+    # A cut p is a function of the window at 1-based positions
+    # [p, p+W-1], so an edit at 1-based e = pos+1 can move every cut
+    # p ∈ [e-W+1, e]. A chunk spanning [start, start+len-1] is bounded
+    # by cuts at `start` and at `start+len` (its END boundary), so it
+    # is safe on the before side only when that END cut is strictly
+    # below the affected range: start+len < e-W+1, i.e.
+    # start+len(c) < pos+2-W. (The earlier bound on start+len(c)-1
+    # admitted end cuts landing exactly on e-W+1 — the pinned example
+    # below is the hypothesis-found case where that cut vanishes.)
     W = 8
     safe = {
         c for (start, c) in orig
-        if start + len(c) - 1 < pos + 1 - W + 1 or start > pos + 1 + W
+        if start + len(c) < pos + 2 - W or start > pos + 1 + W
     }
     edited_set = {c for (_, c) in edit}
     assert safe <= edited_set, (safe - edited_set, base, edited)

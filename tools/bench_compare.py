@@ -41,10 +41,10 @@ def main() -> None:
     bench = json.loads(Path(args.bench).read_text())["queries"]
     frozen = frozen_medians()
 
-    slow, unfrozen = [], []
+    slow, unfrozen, failed = [], [], []
     for name, t in sorted(bench.items()):
         if t < 0:
-            slow.append((name, t, frozen.get(name), float("inf")))
+            failed.append(name)  # bench.py records errors as -1.0
             continue
         f = frozen.get(name)
         if f is None:
@@ -52,14 +52,17 @@ def main() -> None:
         elif t > args.factor * f and t > 1.0:  # ignore sub-second jitter
             slow.append((name, t, f, t / f))
 
+    for name in failed:
+        print(f"FAIL  {name}: bench run errored (-1.0 in bench_full.json)")
     for name, t, f, r in sorted(slow, key=lambda x: -x[3]):
         print(f"SLOW  {name}: {t:.2f}s vs frozen {f}s  (x{r:.1f})")
     for name, t in unfrozen:
         print(f"NOFREEZE  {name}: {t:.2f}s (add a median row to BASELINE.md)")
     n = len(bench)
-    print(f"{n - len(slow) - len(unfrozen)} within {args.factor}x of freeze, "
-          f"{len(slow)} over, {len(unfrozen)} unfrozen")
-    sys.exit(1 if slow else 0)
+    print(f"{n - len(slow) - len(unfrozen) - len(failed)} within {args.factor}x "
+          f"of freeze, {len(slow)} over, {len(failed)} failed, "
+          f"{len(unfrozen)} unfrozen")
+    sys.exit(1 if slow or failed else 0)
 
 
 if __name__ == "__main__":

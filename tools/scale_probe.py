@@ -59,6 +59,17 @@ PROBES = [
     "j63_entropy_filter",
     "j64_dsir_importance",
     "j65_bloom_dedup",
+    # round-6 additions (VERDICT r5 #6): the iterative/pair-heavy ops
+    # not yet covered. All are designed linear in corpus volume:
+    # j47/j20 iterate joins over the BANDED near-dup edge set (edges
+    # grow linearly because banding caps candidates; iterations are a
+    # fixed count), j49's recall harness reuses the banded candidate
+    # set plus a bounded ground-truth sample, j72's overlap profile is
+    # a gram-keyed hash agg (no pair stage at all).
+    "j47_pagerank",
+    "j20_dup_components",
+    "j49_dedup_recall",
+    "j72_source_overlap",
 ]
 
 
