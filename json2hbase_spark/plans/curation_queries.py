@@ -1,0 +1,659 @@
+"""Round-6 curation operators: rule-based quality gating (j80), LSH
+parameter calibration (j81), feature-hashed doc vectors (j82),
+exact-arithmetic PPS sampling (j83), vocabulary coverage curves (j84),
+duplicate-cluster morphology (j85), plus two everyday scalar-function
+bundles (h18 regexp, h19 struct ordering).
+
+Design notes shared by the family:
+
+- Ratio-style predicates are integer cross-multiplications
+  (``3*nw <= tl`` instead of ``tl/nw >= 3``): no float compare, no
+  engine divergence, and Catalyst folds them into the same codegen'd
+  comparisons.
+- Detection probabilities (j81) are built from repeated squaring only
+  (exponents are powers of two), so Spark and DuckDB evaluate the
+  identical IEEE multiplication tree — no pow(), whose libm rounding
+  is not contractually identical across engines.
+- Sampling (j83) is content-addressed (md5 permutation key) and the
+  pick arithmetic is pure BIGINT (``(cum*K) div W``), the same
+  reproducibility posture as j62/j19: a rerun on any engine emits the
+  identical sample.
+- All randomness-free: the whole family passes
+  tools/determinism_check.py by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from json2hbase_spark.io import load
+from json2hbase_spark.materialize import materialize
+from json2hbase_spark.operators.text import whitespace_tokens
+from json2hbase_spark.registry import query
+
+# ---------------------------------------------------------------- j80
+
+GOPHER_STOPWORDS = ("the", "a", "be", "to", "of", "and", "that", "have", "with", "it")
+_DUCK_STOPS = "[" + ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS) + "]"
+
+
+@query(
+    "j80_gopher_quality",
+    oracle=f"""
+    WITH feats AS (
+      SELECT
+        len(w) AS nw,
+        CAST(COALESCE(list_aggregate(list_transform(w, x -> len(x)), 'sum'), 0)
+             AS BIGINT) AS tl,
+        len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS aw,
+        len(list_filter({_DUCK_STOPS}::VARCHAR[],
+                        s -> list_contains(list_transform(w, x -> lower(x)), s)))
+          AS sw
+      FROM (SELECT list_filter(string_split(text, ' '), x -> x != '') AS w
+            FROM documents)
+    ),
+    agg AS (
+      SELECT COUNT(*) AS c0,
+             CAST(SUM(CASE WHEN nw BETWEEN 20 AND 100000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN nw BETWEEN 20 AND 100000
+                       AND 3 * nw <= tl AND tl <= 10 * nw THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c2,
+             CAST(SUM(CASE WHEN nw BETWEEN 20 AND 100000
+                       AND 3 * nw <= tl AND tl <= 10 * nw
+                       AND 5 * aw > 4 * nw THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c3,
+             CAST(SUM(CASE WHEN nw BETWEEN 20 AND 100000
+                       AND 3 * nw <= tl AND tl <= 10 * nw
+                       AND 5 * aw > 4 * nw
+                       AND sw >= 2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c4
+      FROM feats
+    )
+    SELECT '1_word_count' AS stage, c0 AS n_in, c1 AS n_out,
+           CAST(c1 AS DOUBLE) / c0 AS keep_frac FROM agg
+    UNION ALL
+    SELECT '2_mean_word_len', c1, c2, CAST(c2 AS DOUBLE) / c0 FROM agg
+    UNION ALL
+    SELECT '3_alpha_fraction', c2, c3, CAST(c3 AS DOUBLE) / c0 FROM agg
+    UNION ALL
+    SELECT '4_stopword_presence', c3, c4, CAST(c4 AS DOUBLE) / c0 FROM agg
+    """,
+)
+def j80_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule funnel (Rae et al. 2021 §A1.1, the quality
+    gate every web-corpus pipeline runs before model-based scoring):
+    word count ∈ [20, 100k] → mean word length ∈ [3, 10] →
+    alphabetic-word fraction > 0.8 → ≥2 distinct stopwords present,
+    applied as a FUNNEL with per-stage attrition (n_in → n_out per
+    rule plus corpus-relative survivor fraction) so the report shows
+    WHICH rule cuts what — the number a curation review actually
+    wants, not just the final keep set. Every predicate is integer
+    cross-multiplication (mean-length bound as 3·nw ≤ Σlen ≤ 10·nw,
+    alpha fraction as 5·aw > 4·nw): no float compares to drift
+    cross-engine. Plan: one narrow projection computes all four
+    features per doc, one hash agg folds the four cumulative stage
+    counts map-side; the funnel rows are a 4-literal explode of that
+    single agg row — a 100 TB corpus pays one scan, one exchange of
+    five longs."""
+    docs = load(spark, sf_dir, "documents")
+    w = whitespace_tokens(F.col("text"))
+    wl = F.transform(w, lambda x: F.lower(x))
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    feats = docs.select(
+        F.size(w).alias("nw"),
+        F.aggregate(
+            w, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).alias("tl"),
+        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))).alias("aw"),
+        F.size(F.filter(stops, lambda s: F.array_contains(wl, s))).alias("sw"),
+    )
+    p1 = F.col("nw").between(20, 100000)
+    p2 = p1 & (3 * F.col("nw") <= F.col("tl")) & (F.col("tl") <= 10 * F.col("nw"))
+    p3 = p2 & (5 * F.col("aw") > 4 * F.col("nw"))
+    p4 = p3 & (F.col("sw") >= 2)
+    one = lambda p: F.sum(F.when(p, 1).otherwise(0))  # noqa: E731
+    agg = feats.agg(
+        F.count("*").alias("c0"),
+        one(p1).alias("c1"),
+        one(p2).alias("c2"),
+        one(p3).alias("c3"),
+        one(p4).alias("c4"),
+    )
+    stagerow = lambda name, i, o: F.struct(  # noqa: E731
+        F.lit(name).alias("stage"),
+        F.col(i).alias("n_in"),
+        F.col(o).alias("n_out"),
+        (F.col(o).cast("double") / F.col("c0")).alias("keep_frac"),
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                stagerow("1_word_count", "c0", "c1"),
+                stagerow("2_mean_word_len", "c1", "c2"),
+                stagerow("3_alpha_fraction", "c2", "c3"),
+                stagerow("4_stopword_presence", "c3", "c4"),
+            )
+        ).alias("s")
+    ).select("s.stage", "s.n_in", "s.n_out", "s.keep_frac")
+
+
+# ---------------------------------------------------------------- j81
+
+# (bands, rows-per-band) configurations over a 64-hash signature; all
+# exponents are powers of two so detection probabilities evaluate as
+# repeated squaring — identical IEEE trees in both engines
+BAND_CONFIGS = ((32, 2), (16, 4), (8, 8), (4, 16))
+BAND_MIN_JACC = 0.1
+
+
+def _pow2k_col(e: Column, k: int) -> Column:
+    """e^(2^k) by repeated squaring (Spark side)."""
+    for _ in range(k):
+        e = e * e
+    return e
+
+
+def _pow2k_sql(e: str, k: int) -> str:
+    """Textual twin of ``_pow2k_col`` — duplicating the subexpression
+    does not change the IEEE result, only the text."""
+    for _ in range(k):
+        e = f"({e} * {e})"
+    return e
+
+
+def _detect_col(j: Column, bands: int, rows: int) -> Column:
+    """P(candidate) = 1 - (1 - j^rows)^bands, powers-of-two only."""
+    jr = _pow2k_col(j, rows.bit_length() - 1)
+    return F.lit(1.0) - _pow2k_col(F.lit(1.0) - jr, bands.bit_length() - 1)
+
+
+def _detect_sql(j: str, bands: int, rows: int) -> str:
+    jr = _pow2k_sql(j, rows.bit_length() - 1)
+    return f"1.0 - {_pow2k_sql(f'(1.0 - {jr})', bands.bit_length() - 1)}"
+
+
+def _s_star(bands: int, rows: int) -> float:
+    """Analytic S-curve threshold (1/b)^(1/r) via nested sqrt — r is a
+    power of two, so this is exact repeated square-rooting, identical
+    in any IEEE engine (the same constant is emitted as a literal to
+    both sides, so it cannot drift anyway)."""
+    v = 1.0 / bands
+    for _ in range(rows.bit_length() - 1):
+        v = v**0.5
+    return v
+
+
+@query(
+    "j81_band_tuning",
+    oracle="""
+    WITH normed AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, substr(norm, 1, 40) AS block,
+             list_distinct(list_transform(range(1, greatest(len(norm) - 7, 0) + 1),
+                                          i -> substr(norm, i, 8))) AS shingles
+      FROM normed WHERE len(norm) >= 8
+    ),
+    pairs AS (
+      SELECT CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / (len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles))) AS jacc
+      FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+    ),
+    kept AS (SELECT jacc FROM pairs WHERE jacc >= {minj})
+    {selects}
+    """.replace("{minj}", repr(BAND_MIN_JACC)).replace(
+        "{selects}",
+        "\n    UNION ALL ".join(
+            f"""SELECT {b} AS bands, {r} AS rows_pb,
+           CAST({_s_star(b, r)!r} AS DOUBLE) AS s_star,
+           COUNT(*) AS n_pairs,
+           round(CAST(SUM(CAST(round({_detect_sql('jacc', b, r)}, 12)
+                               AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 4)
+             AS exp_recall
+    FROM kept"""
+            for b, r in BAND_CONFIGS
+        ),
+    ),
+)
+def j81_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash banding S-curve calibration ON THE CORPUS — the tool
+    that picks j2/j48's (bands × rows) dial instead of folklore: for
+    each 64-hash split (32×2, 16×4, 8×8, 4×16) it reports the
+    analytic threshold s* = (1/b)^(1/r) and the EXPECTED RECALL
+    Σ 1-(1-j^r)^b / n over the corpus's own observed near-pair Jaccard
+    distribution (block-candidate pairs with j ≥ 0.1 — the population
+    banding has to catch). More rows per band shifts s* right (fewer
+    false candidates, more misses): this query quantifies that trade
+    on real data. Exactness: j^r and (1-j^r)^b are repeated squaring
+    (powers of two only — no pow()), per-pair probabilities round(12)
+    and sum as DECIMAL so accumulation order cannot drift, one
+    division, round(4). Plan: the pair table builds once (same
+    40-char-block candidate generation as the j20/j26 dup graph, pair
+    count bounded by blocking) and materializes; the four configs are
+    four tiny aggregates over it — at 100 TB the calibration runs on
+    a corpus sample, the expression tree is unchanged."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    normed = docs.select("doc_id", norm.alias("norm")).filter(F.length("norm") >= 8)
+    # substring over a column index needs expr (F.substring takes int
+    # literals); same walk as the oracle's list_transform
+    sh = normed.select(
+        "doc_id",
+        F.substring("norm", 1, 40).alias("block"),
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, greatest(length(norm) - 7, 0)),"
+                " i -> substring(norm, i, 8))"
+            )
+        ).alias("shingles"),
+    )
+    a = sh.select(
+        F.col("block"), F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")
+    )
+    b = sh.select(
+        F.col("block").alias("block_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sb"),
+    )
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    jacc = inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
+    kept = materialize(
+        a.join(b, (F.col("block") == F.col("block_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select(jacc.alias("jacc"))
+        .filter(F.col("jacc") >= BAND_MIN_JACC)
+    )
+    parts = []
+    for bands, rows in BAND_CONFIGS:
+        det = _detect_col(F.col("jacc"), bands, rows)
+        parts.append(
+            kept.agg(
+                F.lit(bands).alias("bands"),
+                F.lit(rows).alias("rows_pb"),
+                F.lit(_s_star(bands, rows)).alias("s_star"),
+                F.count("*").alias("n_pairs"),
+                F.round(
+                    F.sum(F.round(det, 12).cast("decimal(28,12)")).cast("double")
+                    / F.count("*"),
+                    4,
+                ).alias("exp_recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------- j82
+
+FH_DIM = 16  # feature-hash buckets; the dial is dim ∝ target collision
+             # rate — 2x dim halves expected sign-collisions per bucket
+
+
+@query(
+    "j82_feature_hash_embed",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(t), 1, 8))::BIGINT % {FH_DIM} AS b,
+             CASE WHEN substr(md5(t), 9, 1) IN
+                    ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END AS sgn
+      FROM toks
+    ),
+    v AS (
+      SELECT doc_id, COUNT(*) AS n_toks,
+             {", ".join(f"SUM(CASE WHEN b = {k} THEN sgn ELSE 0 END) AS v{k}" for k in range(FH_DIM))}
+      FROM h GROUP BY doc_id
+    ),
+    n AS (
+      SELECT *, sqrt(CAST({" + ".join(f"v{k} * v{k}" for k in range(FH_DIM))} AS DOUBLE)) AS nrm
+      FROM v
+    )
+    SELECT doc_id, n_toks,
+           {", ".join(f"CASE WHEN nrm = 0 THEN 0.0 ELSE v{k} / nrm END AS fh{k}" for k in range(FH_DIM))}
+    FROM n
+    """,
+)
+def j82_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (Weinberger et al. 2009): model-free document
+    vectors from a signed token hash — bucket = md5(token) mod
+    {FH_DIM}, sign = one md5 bit — summed per doc and L2-normalized.
+    The classic pre-embedding featurization for dedup/clustering when
+    no encoder is in the loop: no vocabulary table to build or ship
+    (the hash IS the vocabulary), so the op is a single narrow
+    explode + one hash agg — the 100 TB shape, with the wide
+    conditional-sum agg combining map-side (FH_DIM longs per doc
+    cross the wire, not tokens). Exactness: bucket/sign are md5
+    arithmetic, components are exact BIGINT sums; the only float ops
+    are one sqrt and one division per coordinate, bit-identical
+    cross-engine (zero-vector docs guard to exact 0.0)."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("t")
+    )
+    h = t.select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long") % FH_DIM).alias("b"),
+        F.when(
+            F.substring(F.md5("t"), 9, 1).isin(*list("01234567")), F.lit(1)
+        ).otherwise(F.lit(-1)).alias("sgn"),
+    )
+    v = h.groupBy("doc_id").agg(
+        F.count("*").alias("n_toks"),
+        *[
+            F.sum(F.when(F.col("b") == k, F.col("sgn")).otherwise(0)).alias(f"v{k}")
+            for k in range(FH_DIM)
+        ],
+    )
+    nrm = F.sqrt(
+        sum((F.col(f"v{k}") * F.col(f"v{k}") for k in range(FH_DIM)), F.lit(0)).cast(
+            "double"
+        )
+    )
+    n = v.withColumn("nrm", nrm)
+    # coordinates surfaced as scalar columns (fh0..fh15), not an
+    # array cell — the driver's comparator and the local gate both
+    # hash scalar cells; full-vector verification either way
+    return n.select(
+        "doc_id",
+        "n_toks",
+        *[
+            F.when(F.col("nrm") == 0, F.lit(0.0))
+            .otherwise(F.col(f"v{k}") / F.col("nrm"))
+            .alias(f"fh{k}")
+            for k in range(FH_DIM)
+        ],
+    )
+
+
+# ---------------------------------------------------------------- j83
+
+PPS_K = 100  # systematic sample slots
+
+
+@query(
+    "j83_pps_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             md5('pps:' || CAST(doc_id AS VARCHAR)) AS hkey
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_chars, hkey,
+             SUM(n_chars) OVER (ORDER BY hkey, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS c
+      FROM keyed
+    ),
+    tot AS (SELECT SUM(n_chars) AS w FROM documents)
+    SELECT doc_id, n_chars,
+           CAST((c * {PPS_K}) // w - ((c - n_chars) * {PPS_K}) // w AS BIGINT)
+             AS n_picks
+    FROM cum, tot
+    WHERE (c * {PPS_K}) // w - ((c - n_chars) * {PPS_K}) // w >= 1
+    """,
+)
+def j83_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS (probability-proportional-to-size) sampling:
+    docs are laid on a [0, W) line in a content-addressed md5
+    permutation order (no RNG — j62's reproducibility contract), each
+    occupying its n_chars of length; {PPS_K} equally-spaced sample
+    points pick whichever doc they land in. Inclusion probability is
+    exactly k·w_i/W (big docs can be hit twice — n_picks reports
+    multiplicity), which is the estimator every corpus-stats audit
+    wants, and the arithmetic is PURE BIGINT (pick count =
+    (cum·K) div W − (lo·K) div W): no float anywhere, so the sampled
+    set hash-matches across engines and reruns by construction.
+    Plan: one global ordered cumsum (a real total order is the
+    SEMANTICS, same posture as j62's shuffle; at 100 TB it range-
+    partitions on hkey) + a broadcast scalar total."""
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.concat(F.lit("pps:"), F.col("doc_id").cast("string"))).alias("hkey"),
+    )
+    w_cum = (
+        Window.orderBy("hkey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = keyed.select(
+        "doc_id", "n_chars", F.sum("n_chars").over(w_cum).alias("c")
+    )
+    tot = docs.agg(F.sum("n_chars").alias("w"))
+    picks = (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_picks",
+            F.expr(f"(c * {PPS_K}) div w - ((c - n_chars) * {PPS_K}) div w").cast(
+                "bigint"
+            ),
+        )
+        .filter(F.col("n_picks") >= 1)
+    )
+    return picks.select("doc_id", "n_chars", "n_picks")
+
+
+# ---------------------------------------------------------------- j84
+
+VOCAB_CUTS = (100, 1000, 10000)
+
+
+@query(
+    "j84_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x != '')) AS t
+      FROM documents
+    ),
+    c AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY t),
+    r AS (SELECT t, c, row_number() OVER (ORDER BY c DESC, t) AS rnk FROM c),
+    tot AS (SELECT SUM(c) AS total FROM c),
+    cuts AS (SELECT unnest([{", ".join(str(k) for k in VOCAB_CUTS)}]) AS cutoff)
+    SELECT cuts.cutoff,
+           CAST(SUM(CASE WHEN r.rnk <= cuts.cutoff THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_types_covered,
+           CAST(SUM(CASE WHEN r.rnk <= cuts.cutoff THEN r.c ELSE 0 END) AS BIGINT)
+             AS covered_mass,
+           CAST(SUM(CASE WHEN r.rnk <= cuts.cutoff THEN r.c ELSE 0 END) AS DOUBLE)
+             / ANY_VALUE(tot.total) AS mass_frac
+    FROM r, cuts, tot
+    GROUP BY cuts.cutoff
+    """,
+)
+def j84_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of the corpus's token
+    MASS the top-{{100, 1k, 10k}} most frequent types cover — the
+    Zipf-complement (j37 fits the slope; this reads the integral)
+    every tokenizer-vocab and stopword decision is based on. Rank is
+    deterministic (count DESC, token) and all masses are exact BIGINT
+    sums with one final division per cutoff. Plan: token hash-agg
+    (map-side combinable), a window rank over the VOCABULARY (≪
+    corpus — the sort is over distinct types, which at 100 TB is
+    millions of rows, not billions), then one tiny conditional agg
+    per cutoff via a 3-literal explode."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("t")
+    )
+    c = toks.groupBy("t").agg(F.count("*").alias("c"))
+    r = c.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("t")))
+    )
+    tot = c.agg(F.sum("c").alias("total"))
+    cuts = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in VOCAB_CUTS])).alias("cutoff")
+    )
+    return (
+        r.crossJoin(F.broadcast(cuts))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("cutoff")
+        .agg(
+            F.sum(F.when(F.col("rnk") <= F.col("cutoff"), 1).otherwise(0)).alias(
+                "n_types_covered"
+            ),
+            F.sum(
+                F.when(F.col("rnk") <= F.col("cutoff"), F.col("c")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("covered_mass"),
+            (
+                F.sum(
+                    F.when(F.col("rnk") <= F.col("cutoff"), F.col("c")).otherwise(0)
+                ).cast("double")
+                / F.any_value(F.col("total"))
+            ).alias("mass_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- j85
+
+
+def _j85_oracle() -> str:
+    from json2hbase_spark.plans.advanced_queries import DUCK_COMP_CTES
+
+    return (
+        DUCK_COMP_CTES
+        + """
+    , sizes AS (SELECT component, COUNT(*) AS sz FROM comp GROUP BY component)
+    SELECT sz AS cluster_size,
+           COUNT(*) AS n_clusters,
+           CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY sz
+    """
+    )
+
+
+@query("j85_dup_cluster_stats", oracle=_j85_oracle())
+def j85_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster morphology: the size histogram of the
+    near-dup connected components (how many pairs vs long chains vs
+    giant blobs) — the number that decides KEEP-ONE vs KEEP-NONE
+    policy and flags boilerplate explosions (a giant component is
+    almost never real duplication; it is a template). Reuses j20's
+    bounded min-label propagation verbatim (same edges, same
+    fixpoint — one extra hash agg on top), so the 100 TB posture is
+    j20's: banded edge set materialized once, narrow join + min-agg
+    per hop, histogram over components (≪ docs)."""
+    from json2hbase_spark.plans.advanced_queries import _component_labels
+
+    sizes = (
+        _component_labels(spark, sf_dir)
+        .groupBy(F.col("label").alias("component"))
+        .agg(F.count("*").alias("sz"))
+    )
+    return sizes.groupBy("sz").agg(
+        F.col("sz").alias("cluster_size"),
+        F.count("*").alias("n_clusters"),
+        (F.col("sz") * F.count("*")).cast("bigint").alias("n_docs"),
+    ).select("cluster_size", "n_clusters", "n_docs")
+
+
+# ---------------------------------------------------------------- h18
+
+H18_KW = "(data|model|learn)"
+
+
+@query(
+    "h18_fn_regexp",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT)
+             AS n_digit_runs,
+           CAST(SUM(CASE WHEN regexp_matches(text, '{H18_KW}') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_kw,
+           CAST(SUM(CASE WHEN regexp_extract(text, '[0-9]{{1,9}}') = '' THEN 0
+                    ELSE CAST(regexp_extract(text, '[0-9]{{1,9}}') AS BIGINT) END)
+                AS BIGINT) AS sum_first_num,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]{{7,}}'))) AS BIGINT)
+             AS n_long_words,
+           CAST(SUM(len(regexp_replace(text, '[0-9]+', '#', 'g'))) AS BIGINT)
+             AS len_collapsed
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def h18_fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalar-function bundle (the everyday pattern surface
+    h1's string bundle doesn't cover): regexp_extract_all + counting,
+    first-match extraction with the empty-match → 0 convention
+    (Spark and DuckDB both return '' on no-match; '' casts to NULL in
+    Spark but ERRORS in DuckDB, hence the explicit CASE), rlike /
+    regexp_matches predicates, and global regexp_replace (Spark
+    replaces all by default; DuckDB needs the 'g' flag — pinned
+    here so the twins can't drift). First-number extraction caps at 9
+    digits ('[0-9]{{1,9}}', greedy prefix — identical semantics both
+    engines) so the BIGINT cast cannot overflow on adversarial
+    digit runs. All aggregates are exact integer sums; one scan, one
+    hash agg."""
+    docs = load(spark, sf_dir, "documents")
+    first_num = F.regexp_extract(F.col("text"), "[0-9]{1,9}", 0)
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.regexp_extract_all(F.col("text"), F.lit("[0-9]+"), 0)))
+        .cast("bigint")
+        .alias("n_digit_runs"),
+        F.sum(F.when(F.col("text").rlike(H18_KW), 1).otherwise(0)).alias("n_docs_kw"),
+        F.sum(
+            F.when(first_num == "", 0).otherwise(first_num.cast("bigint"))
+        ).alias("sum_first_num"),
+        F.sum(F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]{7,}"), 0)))
+        .cast("bigint")
+        .alias("n_long_words"),
+        F.sum(F.length(F.regexp_replace(F.col("text"), "[0-9]+", "#")))
+        .cast("bigint")
+        .alias("len_collapsed"),
+    )
+
+
+# ---------------------------------------------------------------- h19
+
+
+@query(
+    "h19_fn_struct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           struct_extract(max(struct_pack(p := o_totalprice, k := o_orderkey)), 'p')
+             AS top_price,
+           struct_extract(max(struct_pack(p := o_totalprice, k := o_orderkey)), 'k')
+             AS top_key,
+           struct_extract(min(struct_pack(p := o_totalprice, k := o_orderkey)), 'p')
+             AS bottom_price,
+           struct_extract(min(struct_pack(p := o_totalprice, k := o_orderkey)), 'k')
+             AS bottom_key
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def h19_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct ordering bundle: MIN/MAX over a composite struct — the
+    one-agg argmax/argmin idiom (struct comparison is lexicographic
+    by field position in BOTH engines, so (price, orderkey) gives a
+    deterministic tie-break for free, no window needed). This is the
+    scale-preferred form of d15's argmax: a plain hash aggregate with
+    map-side combine — no row_number window, no per-group sort — the
+    difference between one exchange and a sort at 100 TB. Field
+    extraction via getField/struct_extract round-trips the composite
+    back to scalar columns."""
+    orders = load(spark, sf_dir, "orders")
+    s = F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k"))
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.max(s)["p"].alias("top_price"),
+        F.max(s)["k"].alias("top_key"),
+        F.min(s)["p"].alias("bottom_price"),
+        F.min(s)["k"].alias("bottom_key"),
+    )

@@ -49,4 +49,5 @@ def load_all_query_modules() -> None:
         advanced_queries,
         corpus_queries,
         pipeline_queries,
+        curation_queries,
     )

@@ -1,0 +1,142 @@
+"""Property tests for the round-6 curation family (j80-j85, h18/h19).
+
+The DuckDB oracles prove cross-engine equality; these pin the
+SEMANTIC invariants equality alone can't: funnel monotonicity, PPS
+mass conservation, unit-norm feature vectors, S-curve shape.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _load_registry():
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+
+
+def test_gopher_funnel_is_monotone(spark):
+    """Funnel contract: each stage's n_in equals the previous stage's
+    n_out, counts never increase, and keep_frac is n_out/corpus."""
+    from json2hbase_spark import registry
+
+    rows = sorted(
+        registry.QUERIES["j80_gopher_quality"](spark, SF).collect(),
+        key=lambda r: r.stage,
+    )
+    corpus = rows[0].n_in
+    prev_out = corpus
+    for r in rows:
+        assert r.n_in == prev_out, r.stage
+        assert 0 <= r.n_out <= r.n_in, r.stage
+        assert r.keep_frac == pytest.approx(r.n_out / corpus)
+        prev_out = r.n_out
+
+
+def test_band_tuning_scurve_shape(spark):
+    """More rows per band ⇒ higher threshold s* and (on a fixed pair
+    population) lower-or-equal expected recall — the S-curve trade the
+    op exists to quantify. All four configs see the same n_pairs."""
+    from json2hbase_spark import registry
+
+    rows = sorted(
+        registry.QUERIES["j81_band_tuning"](spark, SF).collect(),
+        key=lambda r: r.rows_pb,
+    )
+    assert len({r.n_pairs for r in rows}) == 1
+    for a, b in zip(rows, rows[1:]):
+        assert a.s_star < b.s_star
+        assert a.exp_recall >= b.exp_recall
+    for r in rows:
+        # s* really is (1/b)^(1/r)
+        assert r.s_star == pytest.approx((1.0 / r.bands) ** (1.0 / r.rows_pb))
+        assert 0.0 <= r.exp_recall <= 1.0
+
+
+def test_feature_hash_vectors_unit_norm(spark):
+    """Every non-empty doc's hashed vector is unit-L2 (or exactly the
+    zero vector when all buckets cancel)."""
+    from json2hbase_spark import registry
+
+    df = registry.QUERIES["j82_feature_hash_embed"](spark, SF)
+    dim = len([c for c in df.columns if c.startswith("fh")])
+    sq = sum(F.col(f"fh{k}") * F.col(f"fh{k}") for k in range(dim))
+    norms = [r.n2 for r in df.select(sq.alias("n2")).collect()]
+    assert norms, "no documents produced vectors"
+    for n2 in norms:
+        assert n2 == pytest.approx(1.0, abs=1e-9) or n2 == 0.0
+
+
+def test_pps_sample_mass_conservation(spark):
+    """Systematic PPS invariants: exactly K picks in total, every
+    multiplicity ≥ 1 in the output, and no doc can be picked more than
+    ceil(K·w/W)+1 times."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.io import load
+    from json2hbase_spark.plans.curation_queries import PPS_K
+
+    rows = registry.QUERIES["j83_pps_sample"](spark, SF).collect()
+    total_w = load(spark, SF, "documents").agg(F.sum("n_chars")).collect()[0][0]
+    assert sum(r.n_picks for r in rows) == PPS_K
+    for r in rows:
+        assert r.n_picks >= 1
+        assert r.n_picks <= math.ceil(PPS_K * r.n_chars / total_w) + 1
+
+
+def test_vocab_coverage_monotone(spark):
+    """Coverage is non-decreasing in the cutoff and bounded by 1."""
+    from json2hbase_spark import registry
+
+    rows = sorted(
+        registry.QUERIES["j84_vocab_coverage"](spark, SF).collect(),
+        key=lambda r: r.cutoff,
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_types_covered <= b.n_types_covered
+        assert a.covered_mass <= b.covered_mass
+        assert a.mass_frac <= b.mass_frac
+    assert rows[-1].mass_frac <= 1.0 + 1e-12
+
+
+def test_dup_cluster_stats_consistent_with_components(spark):
+    """The histogram re-aggregates j20's components exactly: Σ
+    size·n_clusters over the histogram equals j20's total node
+    count."""
+    from json2hbase_spark import registry
+
+    hist = registry.QUERIES["j85_dup_cluster_stats"](spark, SF).collect()
+    comp = registry.QUERIES["j20_dup_components"](spark, SF).collect()
+    assert sum(r.n_docs for r in hist) == sum(r.n_docs for r in comp)
+    assert sum(r.n_clusters for r in hist) == len(comp)
+
+
+def test_struct_ordering_matches_window_argmax(spark):
+    """h19's max(struct) agg must agree with the row_number-window
+    argmax on (price DESC, key DESC) — the two idioms are
+    interchangeable, h19 is just the exchange-cheaper one."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.io import load
+    from pyspark.sql import Window
+
+    got = {
+        r.o_orderpriority: (r.top_price, r.top_key)
+        for r in registry.QUERIES["h19_fn_struct"](spark, SF).collect()
+    }
+    orders = load(spark, SF, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.desc("o_orderkey")
+    )
+    want = {
+        r.o_orderpriority: (r.o_totalprice, r.o_orderkey)
+        for r in orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == want
