@@ -64,6 +64,13 @@ AUDIT = {
     "j77_quality_buckets": "global ntile = ordering-is-the-semantics range exchange (f6's category); bucket agg map-side combines",
     "j78_cdc_chunks": "boundary scan + split + digests all map-side HOF; only exchange is the digest count-distinct agg",
     "j79_embed_quantize": "64-row range agg broadcast; quantize in one zip_with projection; both top-k sides broadcast-queries shaped",
+    "j80_gopher_quality": "one narrow feature projection + one partial-combined hash agg; funnel rows from a 4-literal explode of the single agg row",
+    "j81_band_tuning": "block-keyed equi pair join (bounded candidates) materialized once; four config aggs are tiny scans of it",
+    "j82_feature_hash_embed": "explode + ONE wide conditional-sum HashAggregate (partial combine) — FH_DIM longs per doc cross the wire, not tokens",
+    "j83_pps_sample": "global ordered cumsum window (ordering IS the semantics) + 1-row broadcast total; pick arithmetic stays integer",
+    "j89_hapax_docs": "token explode → vocab agg → equi re-join on token → per-doc agg (j7's shape, no pairwise stage)",
+    "j90_embed_outliers": "centroid + label-mean both broadcast back; distance fold map-side; no corpus self-join",
+    "m8_shard_plan": "metadata-only cumsum (doc_id + bytes) + hash agg; blob bytes never enter the plan",
 }
 
 MARKERS = (
@@ -110,6 +117,10 @@ SMJ_JUSTIFIED = {
     "j49_dedup_recall": "candidate set vs ground-truth pairs, both grow with corpus",
     "j51_dataset_diff": "full-outer snapshot diff, both snapshots corpus-sized",
     "j73_hybrid_rrf": "full-outer fusion of two top-k lists — FULL OUTER has no broadcast form, and both sides are bounded at RRF_CAND=50 rows",
+    "j81_band_tuning": "block-keyed candidate pair join — both sides corpus-sized (j43's category)",
+    "j85_dup_cluster_stats": "j20's label propagation reused verbatim: edges vs labels, both corpus-sized",
+    "j87_graph_degree_stats": "degree count over the j20 edge set — the edge materialize carries j20's join shape",
+    "j89_hapax_docs": "occurrence stream re-joined to its own vocabulary — both sides grow with the corpus",
 }
 
 
