@@ -237,20 +237,24 @@ def j81_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     count bounded by blocking) and materializes; the four configs are
     four tiny aggregates over it — at 100 TB the calibration runs on
     a corpus sample, the expression tree is unchanged."""
+    from json2hbase_spark.io import widen
+    from json2hbase_spark.operators.dedup import char_shingles, normalize_text
+
     docs = load(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    normed = docs.select("doc_id", norm.alias("norm")).filter(F.length("norm") >= 8)
-    # substring over a column index needs expr (F.substring takes int
-    # literals); same walk as the oracle's list_transform
-    sh = normed.select(
-        "doc_id",
-        F.substring("norm", 1, 40).alias("block"),
-        F.array_distinct(
-            F.expr(
-                "transform(sequence(1, greatest(length(norm) - 7, 0)),"
-                " i -> substring(norm, i, 8))"
-            )
-        ).alias("shingles"),
+    normed = (
+        widen(docs)
+        .select("doc_id", normalize_text(F.col("text")).alias("norm"))
+        .filter(F.length("norm") >= 8)
+    )
+    # shingle table materialized so the self-join's two sides share
+    # ONE shingling pass (HOF plans defeat ReuseExchange — j2v/_dup_
+    # edges convention; without it j81 paid the fold twice: 5.7→~2 s)
+    sh = materialize(
+        normed.select(
+            "doc_id",
+            F.substring("norm", 1, 40).alias("block"),
+            char_shingles(F.col("norm"), 8).alias("shingles"),
+        )
     )
     a = sh.select(
         F.col("block"), F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")
