@@ -334,6 +334,121 @@ def test_cdc_chunking_edit_locality(spark, base, edit_pos):
     assert row.n_distinct == len({c for (_, c) in orig})
 
 
+@given(
+    weights=st.lists(st.integers(min_value=1, max_value=10_000), min_size=3, max_size=60)
+)
+@SETTLE
+def test_pps_pick_counts_match_pure_python(spark, weights):
+    """j83's systematic PPS on arbitrary positive weights: the Spark
+    plan's pick multiplicities must equal the pure-Python boundary
+    walk (same md5 permutation, same integer arithmetic), total picks
+    must be exactly K, and every pick count must be within the
+    floor/ceil bracket of its exact expectation K·w/W."""
+    import hashlib
+    import math
+
+    from json2hbase_spark.plans.curation_queries import PPS_K
+
+    docs = spark.createDataFrame(
+        [(i, "x", "en", "s", w) for i, w in enumerate(weights)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="j83_prop_")
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    got = {
+        r.doc_id: r.n_picks
+        for r in registry.QUERIES["j83_pps_sample"](spark, d).collect()
+    }
+    # pure-python twin
+    order = sorted(
+        range(len(weights)),
+        key=lambda i: (hashlib.md5(f"pps:{i}".encode()).hexdigest(), i),
+    )
+    total = sum(weights)
+    cum, want = 0, {}
+    for i in order:
+        lo, cum = cum, cum + weights[i]
+        picks = (cum * PPS_K) // total - (lo * PPS_K) // total
+        if picks:
+            want[i] = picks
+    assert got == want
+    assert sum(got.values()) == PPS_K
+    for i, p in got.items():
+        exact = PPS_K * weights[i] / total
+        assert math.floor(exact) <= p <= math.ceil(exact) + 1
+
+
+@given(
+    jacc=st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+@SETTLE
+def test_band_detect_prob_matches_pow(spark, jacc):
+    """j81's repeated-squaring detection probability equals the
+    textbook 1-(1-j^r)^b within float noise, for every shipped config,
+    and is monotone non-decreasing in j."""
+    from json2hbase_spark.plans.curation_queries import (
+        BAND_CONFIGS,
+        _detect_sql,
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    for b, r in BAND_CONFIGS:
+        expr = _detect_sql(f"CAST({jacc!r} AS DOUBLE)", b, r)
+        got = con.execute(f"SELECT {expr}").fetchone()[0]
+        want = 1.0 - (1.0 - jacc**r) ** b
+        assert abs(got - want) < 1e-9, (b, r, jacc)
+        # monotonicity probe against a slightly larger j
+        j2 = min(1.0, jacc + 1e-3)
+        got2 = con.execute(
+            f"SELECT {_detect_sql(f'CAST({j2!r} AS DOUBLE)', b, r)}"
+        ).fetchone()[0]
+        assert got2 >= got - 1e-12
+
+
+@given(
+    toks=st.lists(
+        st.text(alphabet="abcxyz0189", min_size=1, max_size=8), min_size=1, max_size=30
+    )
+)
+@SETTLE
+def test_feature_hash_matches_pure_python(spark, toks):
+    """j82's bucket/sign/normalization pipeline agrees with a pure
+    Python md5 reimplementation on arbitrary token bags."""
+    import hashlib
+    import math
+    import os
+    import tempfile
+
+    from json2hbase_spark import registry
+    from json2hbase_spark.plans.curation_queries import FH_DIM
+
+    text = " ".join(toks)
+    d = tempfile.mkdtemp(prefix="j82_prop_")
+    spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    registry.load_all_query_modules()
+    row = registry.QUERIES["j82_feature_hash_embed"](spark, d).collect()[0]
+    v = [0] * FH_DIM
+    for t in toks:
+        h = hashlib.md5(t.encode()).hexdigest()
+        v[int(h[:8], 16) % FH_DIM] += 1 if h[8] in "01234567" else -1
+    nrm = math.sqrt(sum(x * x for x in v))
+    want = [0.0] * FH_DIM if nrm == 0 else [x / nrm for x in v]
+    got = [getattr(row, f"fh{k}") for k in range(FH_DIM)]
+    assert row.n_toks == len(toks)
+    for g, w in zip(got, want):
+        assert abs(g - w) < 1e-12
+
+
 @given(rank=st.integers(min_value=1, max_value=50))
 @SETTLE
 def test_rrf_contribution_monotone(spark, rank):
