@@ -102,15 +102,19 @@ def main() -> None:
     # so a single-run bench reports steady-state plan cost instead of
     # whichever query the hiccup hit. Bounded: ~10-20 re-runs worst
     # case, and genuinely-expensive queries just reproduce their time.
-    # Both timings are logged to stderr so a genuine intermittent
-    # regression (e.g. occasional spill) stays visible in the bench log
-    # even though the reported number keeps the min (policy note in
-    # BASELINE.md "Methodology").
+    # Both timings are kept machine-readably in bench_full.json's
+    # "reruns" field (and logged to stderr) so a genuine intermittent
+    # regression (e.g. occasional spill) stays visible even though the
+    # reported number keeps the min — tools/bench_compare.py flags any
+    # rerun pair that diverges by more than the gate factor (policy
+    # note in BASELINE.md "Methodology").
     rerun = [n for n, t in times.items() if t >= 3.0]
+    reruns: dict[str, list[float]] = {}
     for name in rerun:
         second = run_once(name)
         if second >= 0:
             kept = min(times[name], second)
+            reruns[name] = [times[name], second]
             print(
                 f"# bench re-measure {name}: runs=({times[name]}, {second}) kept={kept}",
                 file=sys.stderr,
@@ -123,6 +127,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "reruns": reruns,
         "sf": sf_dir,
     }
     # the driver's BENCH_r{N}.json keeps only a truncated stdout tail;

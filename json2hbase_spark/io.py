@@ -100,16 +100,26 @@ def _stage_symlink(link: str, src: str) -> None:
             pass
         try:
             os.unlink(link)
-        except OSError:
+        except IsADirectoryError:
             # a real directory at the staged path (leftover from an
-            # older layout) — unlink raises IsADirectoryError; replace
+            # older layout) — replace it
             import shutil
 
             shutil.rmtree(link, ignore_errors=True)
+        except OSError:
+            pass  # e.g. EPERM — the symlink create below surfaces it
     try:
         os.symlink(src, link)
     except FileExistsError:
-        pass  # concurrent session created it between unlink and here
+        # Acceptable only if a concurrent session raced us to the SAME
+        # target; a stale entry that survived a failed unlink must not
+        # be served silently.
+        try:
+            if os.readlink(link) == src:
+                return
+        except OSError:
+            pass
+        raise
 
 
 def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -45,7 +45,14 @@ def auto_lsh_planes(
     """Hyperplane count for an n-vector corpus: each plane halves the
     expected bucket, so ⌈log₂(n/target_bucket)⌉ keeps occupancy at
     ``target_bucket`` — +2 planes per ×4 volume, expected same-bucket
-    pairs ≈ n·target_bucket/2 (linear)."""
+    pairs ≈ n·target_bucket/2 (linear).
+
+    Floor region: below n ≈ target_bucket·2^p_min (≈4096 at the
+    defaults) the dial is flat at ``p_min`` — the "+2 per ×4" contract
+    only holds above the floor, which is why the tripwire test
+    (tests/test_scale_tripwire.py) samples n ≥ 10k. Fixture-scale runs
+    sit in the floor on purpose: p_min is the oracle-pinned plane
+    count."""
     if n_vecs <= target_bucket:
         return p_min
     return max(p_min, math.ceil(math.log2(n_vecs / target_bucket)))

@@ -641,7 +641,12 @@ def dedup_embed_plan(
     scale) and draws ⌈log₂(n/TARGET_BUCKET)⌉ seeded hyperplanes via
     auto_lsh_planes/seeded_planes, so expected same-bucket pairs stay
     ≈ n·TARGET_BUCKET/2 — linear in n, vs the ×16-per-×4 envelope of
-    a fixed plane count. Returns (vec_a, vec_b, bucket, sim ≥ tau)."""
+    a fixed plane count. NOTE: ``planes=None`` triggers an eager
+    ``emb.count()`` action at plan-construction time (cheap for a
+    parquet scan — footer metadata — but a full pass for an expensive
+    upstream plan); callers with non-trivial inputs should pass
+    ``planes`` (or count once themselves via table metadata).
+    Returns (vec_a, vec_b, bucket, sim ≥ tau)."""
     if planes is None:
         from json2hbase_spark.operators.scaling import auto_lsh_planes, seeded_planes
 

@@ -38,8 +38,20 @@ def main() -> None:
     ap.add_argument("--factor", type=float, default=2.0)
     args = ap.parse_args()
 
-    bench = json.loads(Path(args.bench).read_text())["queries"]
+    payload = json.loads(Path(args.bench).read_text())
+    bench = payload["queries"]
     frozen = frozen_medians()
+
+    # min-of-two divergence check: bench.py keeps the MIN of the two
+    # timings for re-measured (≥3 s) queries, which can mask a genuine
+    # intermittent cost (recurring spill). Surface any rerun pair whose
+    # two runs diverge by more than the gate factor.
+    for name, runs in sorted(payload.get("reruns", {}).items()):
+        if len(runs) >= 2 and min(runs) > 0 and max(runs) / min(runs) > args.factor:
+            print(
+                f"DIVERGENT  {name}: reruns {runs} differ x{max(runs) / min(runs):.1f}"
+                " — min kept; investigate if it recurs across benches"
+            )
 
     slow, unfrozen, failed = [], [], []
     for name, t in sorted(bench.items()):
