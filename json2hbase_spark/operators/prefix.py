@@ -1,0 +1,83 @@
+"""Distributed ordered prefix sums — the scale-safe replacement for
+``Window.orderBy(...)`` with no ``partitionBy`` (which moves the whole
+table into a single task: Spark's WindowExec warns "Moving all data to
+a single partition").
+
+Classic two-pass shape:
+
+1. bucket every row by a **monotone** function of the global order key
+   (bucket boundaries can never split the order, so bucket-local order
+   concatenated in bucket order IS the global order);
+2. partition-local cumsum per bucket — ONE hash exchange on the bucket
+   key, buckets run in parallel;
+3. per-bucket totals (tiny: one row per bucket, map-side combined);
+4. each bucket's offset = sum of all EARLIER buckets' totals, via a
+   broadcast theta self-join of the totals table (≤ buckets² rows —
+   trivial — and avoids re-introducing a single-partition window);
+5. global cumsum = local cumsum + broadcast offset.
+
+Output values are EXACTLY the global ordered cumsum — bucketing is an
+execution detail invisible in the result, so a DuckDB oracle written
+as a plain ``SUM(...) OVER (ORDER BY ...)`` still hash-matches.
+
+At 100 TB: the only data-sized exchange is hashpartitioning(bucket) on
+narrow metadata; parallelism = bucket count (``CUMSUM_BUCKETS``, a
+dial — raise it with the cluster; at 256+ use a longer hex prefix in
+``hex_prefix_bucket``); no ``Exchange SinglePartition`` anywhere in
+the plan (tools/plan_audit.py tripwires that marker).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Parallelism of the cumsum exchange. Fixture-friendly default; a real
+# deployment sets this to O(cluster cores). Must stay ≤ 256 while
+# hex_prefix_bucket reads two hex chars.
+CUMSUM_BUCKETS = 32
+
+
+def hex_prefix_bucket(col: Column, n_buckets: int = CUMSUM_BUCKETS) -> Column:
+    """Monotone bucket id for a LOWERCASE hex string key (md5/sha):
+    hex digits 0-9a-f sort identically as characters and as values, so
+    the numeric value of the first two chars is monotone in the full
+    string's lexicographic order — and uniform for a hash key, so the
+    buckets are balanced by construction. ``(prefix · n) div 256``
+    keeps monotonicity for any n_buckets ≤ 256."""
+    pre = F.conv(F.substring(col, 1, 2), 16, 10).cast("long")
+    return ((pre * n_buckets) / F.lit(256)).cast("long")
+
+
+def bucketed_cumsum(
+    df: DataFrame,
+    bucket: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Global ordered running sum of ``value_col`` along
+    ``order_cols``, computed without a single-partition window.
+    ``df[bucket]`` must be an integer column MONOTONE NON-DECREASING
+    along the global order of ``order_cols`` (hex_prefix_bucket for
+    hash-string keys; ``(id · n) div (max+1)`` for dense integer
+    keys). Returns df + ``out_col`` = inclusive prefix sum."""
+    w_local = (
+        Window.partitionBy(bucket)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = df.withColumn("_local_c", F.sum(value_col).over(w_local))
+    totals = df.groupBy(bucket).agg(F.sum(value_col).alias("_btot"))
+    a, b = totals.alias("_a"), totals.alias("_b")
+    offsets = (
+        a.join(F.broadcast(b), F.col(f"_b.{bucket}") < F.col(f"_a.{bucket}"), "left")
+        .groupBy(F.col(f"_a.{bucket}").alias(bucket))
+        .agg(F.coalesce(F.sum("_b._btot"), F.lit(0).cast("long")).alias("_off"))
+    )
+    return (
+        local.join(F.broadcast(offsets), bucket)
+        .withColumn(out_col, F.col("_local_c") + F.col("_off"))
+        .drop("_local_c", "_off")
+    )

@@ -29,6 +29,11 @@ from pyspark.sql import functions as F
 
 from json2hbase_spark.io import load
 from json2hbase_spark.materialize import materialize
+from json2hbase_spark.operators.prefix import (
+    CUMSUM_BUCKETS,
+    bucketed_cumsum,
+    hex_prefix_bucket,
+)
 from json2hbase_spark.operators.text import whitespace_tokens
 from json2hbase_spark.registry import query
 
@@ -418,22 +423,23 @@ def j83_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     wants, and the arithmetic is PURE BIGINT (pick count =
     (cum·K) div W − (lo·K) div W): no float anywhere, so the sampled
     set hash-matches across engines and reruns by construction.
-    Plan: one global ordered cumsum (a real total order is the
-    SEMANTICS, same posture as j62's shuffle; at 100 TB it range-
-    partitions on hkey) + a broadcast scalar total."""
+    Plan: the global ordered cumsum runs as a BUCKETED two-pass prefix
+    sum (operators/prefix.py) — hkey's hex prefix is a monotone,
+    uniform bucket, so the cumsum is one hash exchange on narrow
+    metadata with bucket-level parallelism plus a broadcast offsets
+    table; NO single-partition window (the r6 plan funneled the whole
+    table into one task). Values are identical to the plain ordered
+    window, so the oracle is unchanged. Plus a broadcast scalar
+    total."""
     docs = load(spark, sf_dir, "documents")
     keyed = docs.select(
         "doc_id",
         "n_chars",
         F.md5(F.concat(F.lit("pps:"), F.col("doc_id").cast("string"))).alias("hkey"),
-    )
-    w_cum = (
-        Window.orderBy("hkey", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = keyed.select(
-        "doc_id", "n_chars", F.sum("n_chars").over(w_cum).alias("c")
-    )
+    ).withColumn("_bkt", hex_prefix_bucket(F.col("hkey")))
+    cum = bucketed_cumsum(
+        keyed, "_bkt", ["hkey", "doc_id"], "n_chars", "c"
+    ).select("doc_id", "n_chars", "c")
     tot = docs.agg(F.sum("n_chars").alias("w"))
     picks = (
         cum.crossJoin(F.broadcast(tot))
@@ -1009,19 +1015,30 @@ def m8_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     without an index lookup per asset. The shard id is pure BIGINT
     arithmetic on the byte cumsum ((start_offset div budget), the
     classic offset→bin map), so the plan is rerun-identical and
-    engine-exact. Plan: one global ordered cumsum over asset METADATA
-    (doc_id + byte length only — blob bytes never move; at 100 TB the
-    cumsum range-partitions on the order key) + one hash agg. Byte
-    lengths are utf-8 of the text stand-in, same source as a23/m1."""
+    engine-exact. Plan: the ordered byte cumsum over asset METADATA
+    (doc_id + byte length only — blob bytes never move) runs as a
+    BUCKETED two-pass prefix sum (operators/prefix.py): doc_id is a
+    dense integer key, so ``(doc_id · buckets) div (max+1)`` is a
+    monotone balanced bucket (max is a 1-row broadcast agg — the only
+    SinglePartition in the plan, scalar by construction), one hash
+    exchange + broadcast offsets, no single-partition window. Values
+    equal the plain ordered window, oracle unchanged. Then one hash
+    agg. Byte lengths are utf-8 of the text stand-in, same source as
+    a23/m1."""
     docs = load(spark, sf_dir, "documents")
     assets = docs.select(
         "doc_id", F.octet_length(F.col("text")).cast("long").alias("n_bytes")
     )
-    w_cum = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    n = assets.agg((F.max("doc_id") + F.lit(1)).alias("_n"))
+    bucketed = (
+        assets.join(F.broadcast(n))
+        .withColumn(
+            "_bkt", F.expr(f"(doc_id * {CUMSUM_BUCKETS}) div _n").cast("long")
+        )
+        .drop("_n")
     )
-    cum = assets.select(
-        "doc_id", "n_bytes", F.sum("n_bytes").over(w_cum).alias("c")
+    cum = bucketed_cumsum(bucketed, "_bkt", ["doc_id"], "n_bytes", "c").select(
+        "doc_id", "n_bytes", "c"
     )
     return (
         cum.withColumn(

@@ -67,10 +67,10 @@ AUDIT = {
     "j80_gopher_quality": "one narrow feature projection + one partial-combined hash agg; funnel rows from a 4-literal explode of the single agg row",
     "j81_band_tuning": "block-keyed equi pair join (bounded candidates) materialized once; four config aggs are tiny scans of it",
     "j82_feature_hash_embed": "explode + ONE wide conditional-sum HashAggregate (partial combine) — FH_DIM longs per doc cross the wire, not tokens",
-    "j83_pps_sample": "global ordered cumsum window (ordering IS the semantics) + 1-row broadcast total; pick arithmetic stays integer",
+    "j83_pps_sample": "bucketed two-pass prefix sum: hex-prefix monotone buckets, hash exchange + bucket-partitioned window + broadcast offsets — no SinglePartition window; pick arithmetic stays integer",
     "j89_hapax_docs": "token explode → vocab agg → equi re-join on token → per-doc agg (j7's shape, no pairwise stage)",
     "j90_embed_outliers": "centroid + label-mean both broadcast back; distance fold map-side; no corpus self-join",
-    "m8_shard_plan": "metadata-only cumsum (doc_id + bytes) + hash agg; blob bytes never enter the plan",
+    "m8_shard_plan": "metadata-only bucketed two-pass prefix sum (doc_id + bytes, monotone integer buckets from a 1-row broadcast max) + hash agg; blob bytes never enter the plan; no SinglePartition window",
 }
 
 MARKERS = (
