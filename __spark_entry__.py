@@ -44,11 +44,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # oracle possible ("no_oracle"). Genuine failures re-surface into the
 # window automatically. Local full-registry parity is still checked
 # every session via tools/oracle_check.py.
-def _driver_verified() -> set[str]:
+def _driver_verified() -> dict[str, int]:
+    """name → LATEST round with a green driver record (hash-match, or
+    rows-only where SURVEY §2 declares no hash oracle possible)."""
     import json
+    import re
 
-    done: set[str] = set()
+    done: dict[str, int] = {}
     for path in sorted(Path(_REPO).glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)", path.name)
+        rnd = int(m.group(1)) if m else 0
         try:
             rec = json.loads(path.read_text())
         except (OSError, ValueError):
@@ -57,7 +62,7 @@ def _driver_verified() -> set[str]:
             if not isinstance(row, dict):
                 continue
             if row.get("hash_match") is True or row.get("err") == "no_oracle":
-                done.add(name)
+                done[name] = max(done.get(name, 0), rnd)
     return done
 
 
@@ -94,13 +99,22 @@ def _fresh_rank(name: str) -> int:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2, ordered so
-    queries without a driver-side correctness record yet come first."""
+    """One entry per implemented operator from SURVEY.md §2. Queries
+    without any driver-side correctness record come first (ordered by
+    _fresh_rank); as of round 7 every registered query has a green
+    record, so the verified remainder rotates OLDEST-record-first —
+    each round's 50-entry window re-verifies the stalest ids against
+    the freshly regenerated fixtures instead of re-checking the same
+    recent 50."""
     seen = _driver_verified()
     fresh_names = [k for k in registry.QUERIES if k not in seen]
     fresh_names.sort(key=lambda n: (_fresh_rank(n), n))
     fresh = {k: registry.QUERIES[k] for k in fresh_names}
-    rest = {k: registry.QUERIES[k] for k in sorted(seen) if k in registry.QUERIES}
+    stale_first = sorted(
+        (k for k in seen if k in registry.QUERIES),
+        key=lambda n: (seen[n], n),
+    )
+    rest = {k: registry.QUERIES[k] for k in stale_first}
     return {**fresh, **rest}
 
 

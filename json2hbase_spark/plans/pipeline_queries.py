@@ -257,10 +257,12 @@ def j64_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     its totals, and the log-ratios all reduce from that table, the
     ratio table broadcasts back onto it, and the only corpus-sized
     exchanges are the doc_hist agg and the per-doc score agg. The
-    final top-K rank is a single-partition window over DOC-level rows
-    (one row per doc, not per token) — at 100 TB swap it for the
-    j3-style per-partition-top-K + global merge; the flag semantics
-    are identical."""
+    final top-K flag needs NO global rank: a TakeOrdered top-K (per-
+    partition top-K + merge, never a full sort) is reduced to the
+    1-row K-th-place threshold, broadcast, and every doc compares its
+    (importance DESC, doc_id) key against it — identical flag
+    semantics to row_number()<=K because the key is unique, with no
+    single-partition window anywhere."""
     docs = load(spark, sf_dir, "documents")
     toks = widen(docs).select(
         "doc_id", "lang", F.explode(whitespace_tokens(F.col("text"))).alias("tok")
@@ -304,12 +306,20 @@ def j64_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("importance"),
         )
     )
-    w = Window.orderBy(F.desc("importance"), "doc_id")
-    return scored.select(
+    # ascending twin of (importance DESC, doc_id ASC); importance is
+    # +0.0-normalized above, so the negation can only mint -0.0, which
+    # Spark comparisons treat as equal to 0.0
+    ordkey = F.struct((-F.col("importance")).alias("ni"), F.col("doc_id").alias("di"))
+    thr = (
+        scored.orderBy(F.desc("importance"), "doc_id")
+        .limit(DSIR_KEEP)
+        .agg(F.max(ordkey).alias("thr"))
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
         "doc_id",
         "n_toks",
         "importance",
-        (F.row_number().over(w) <= DSIR_KEEP).alias("selected"),
+        (ordkey <= F.col("thr")).alias("selected"),
     )
 
 

@@ -885,3 +885,69 @@ def test_j74_dp_counts_is_single_agg(spark, sf_dir):
     plan = _physical_plan(registry.QUERIES["j74_dp_counts"](spark, sf_dir))
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+# ------------------------------------------------ SinglePartition hygiene
+
+
+def test_cumsum_ops_have_no_single_task_funnel(spark, sf_dir):
+    """The r6 judge finding: j83/m8 ran their global cumsum as a
+    whole-table Exchange SinglePartition + Window (one task folds the
+    corpus), and j64 flagged its top-K through a global row_number.
+    All three now run distributed shapes (bucketed two-pass prefix
+    sum; TakeOrdered + broadcast threshold): the only SinglePartition
+    exchanges left must be 1-row scalar (keys=[]) aggregates."""
+    from tools.plan_audit import _nonscalar_singlepart
+
+    for name in ("j83_pps_sample", "m8_shard_plan", "j64_dsir_importance"):
+        plan = _physical_plan(registry.QUERIES[name](spark, sf_dir))
+        assert _nonscalar_singlepart(plan) == 0, f"{name}:\n{plan}"
+    # and the cumsum pair kept a real bucket-partitioned window
+    for name in ("j83_pps_sample", "m8_shard_plan"):
+        plan = _physical_plan(registry.QUERIES[name](spark, sf_dir))
+        assert "Window" in plan and "hashpartitioning(_bkt" in plan, f"{name}:\n{plan}"
+
+
+def test_singlepart_justified_set_is_exact(spark, sf_dir):
+    """The enumerated SINGLEPART_JUSTIFIED queries each carry exactly
+    one bounded-input single-partition exchange (domain/vocab windows
+    or declared range-boundary semantics) — if one of them loses it,
+    the justification row in PLANS.md goes stale; if it grows more,
+    something regressed. New funnels elsewhere are caught by the
+    per-round global audit (tools/plan_audit.py → PLANS.md)."""
+    from tools.plan_audit import SINGLEPART_JUSTIFIED, _nonscalar_singlepart
+
+    assert sorted(SINGLEPART_JUSTIFIED) == [
+        "f6_range_partition",
+        "j37_zipf_slope",
+        "j50_drift_ks",
+        "j77_quality_buckets",
+        "j84_vocab_coverage",
+    ]
+    for name in SINGLEPART_JUSTIFIED:
+        plan = _physical_plan(registry.QUERIES[name](spark, sf_dir))
+        assert _nonscalar_singlepart(plan) == 1, f"{name}:\n{plan}"
+
+
+def test_bucketed_cumsum_matches_pure_python(spark):
+    """operators/prefix.bucketed_cumsum on a skewed synthetic table
+    (including an empty bucket and a single-row bucket) equals the
+    plain ordered prefix sum computed in Python."""
+    from json2hbase_spark.operators.prefix import bucketed_cumsum
+
+    rows = [
+        # (bucket, key, value) — bucket monotone in key; bucket 2 empty
+        (0, 1, 5), (0, 2, 0), (0, 3, 7),
+        (1, 4, 1),
+        (3, 5, 2), (3, 6, 9), (3, 7, 4), (3, 8, 8),
+    ]
+    df = spark.createDataFrame(rows, "b int, k int, v long")
+    got = {
+        r["k"]: r["c"]
+        for r in bucketed_cumsum(df, "b", ["k"], "v", "c").collect()
+    }
+    acc, want = 0, {}
+    for _, k, v in sorted(rows, key=lambda t: t[1]):
+        acc += v
+        want[k] = acc
+    assert got == want

@@ -49,7 +49,7 @@ AUDIT = {
     "m7_media_dedup": "digest projection + partial/final hash agg: blobs never shuffle, digests do",
     "j62_global_shuffle": "one hash Exchange on shard feeds both in-shard sort and row_number; no rangepartitioning/SinglePartition funnel",
     "j63_entropy_filter": "char explode into two partial-combined hash aggs; shuffle payload bounded by alphabet, no join",
-    "j64_dsir_importance": "ratio table broadcast onto the materialized doc×bucket table; no explode re-run, no SortMergeJoin",
+    "j64_dsir_importance": "ratio table broadcast onto the materialized doc×bucket table; no explode re-run, no SortMergeJoin; top-K flag via TakeOrdered threshold broadcast, no global rank window",
     "j65_bloom_dedup": "bitmap built by idempotent bit_or agg (no corpus distinct/shuffle); probe and confirm joins broadcast",
     "j66_cms_heavy_hitters": "d×w counter agg partially combines (sketch merge = partial agg); exact top-K via TakeOrderedAndProject; probe broadcast",
     "j67_kmv_distinct": "distinct + bottom-k window bounded by vocab, never corpus; kmv side broadcast onto exact counts",
@@ -140,6 +140,36 @@ RANGE_JUSTIFIED = {
     "b7_pipe_syntax": "pipe query ends in ORDER BY — the declared semantics",
 }
 
+# Exchange SinglePartition is allowed when its INPUT is scalar (a
+# keys=[] partial aggregate — 1 row per upstream partition, the normal
+# grand-total shape, detected automatically) — otherwise it is a
+# single-task funnel that dies at 100 TB (the r6 j83/m8 finding: a
+# Window.orderBy with no partitionBy sails through every other marker)
+# and must be enumerated here with the bound that keeps it safe.
+SINGLEPART_JUSTIFIED: dict[str, str] = {
+    "f6_range_partition": "ordering IS the semantics (the range-partition demonstrator); at scale: sampled split points (docstring)",
+    "j77_quality_buckets": "global ntile = declared range-boundary semantics (f6's category); at scale: sampled split points (docstring)",
+    "j37_zipf_slope": "rank window over the distinct VOCABULARY, types ≪ corpus (millions at 100 TB, not billions of rows)",
+    "j84_vocab_coverage": "rank window over the distinct VOCABULARY (docstring: the sort is over types, not the corpus)",
+    "j50_drift_ks": "CDF cumsum over the DISTINCT-VALUE domain of n_chars — hundreds of rows at any corpus size",
+}
+
+
+def _nonscalar_singlepart(plan: str) -> int:
+    """Count Exchange SinglePartition nodes whose child is NOT a
+    scalar (keys=[]) aggregate. In the tree toString the child is the
+    next line; a grand-total funnel reads 'Exchange SinglePartition'
+    over '...Aggregate(keys=[], ...)'."""
+    lines = plan.splitlines()
+    n = 0
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        if "Aggregate(keys=[]" not in child:
+            n += 1
+    return n
+
 
 def global_plan_audit(spark, sf: str) -> list[str]:
     """Every batch query's plan swept in one pass for (a) SMJ /
@@ -177,13 +207,23 @@ def global_plan_audit(spark, sf: str) -> list[str]:
             regressions.append(f"| {name} | rangepartitioning×{rng} — global sort outside the sort ops |")
         elif rng:
             rows.append(f"| {name} | range×{rng} | {RANGE_JUSTIFIED[name]} |")
+        sp = _nonscalar_singlepart(plan)
+        if sp and name not in SINGLEPART_JUSTIFIED:
+            regressions.append(
+                f"| {name} | non-scalar Exchange SinglePartition×{sp} — single-task funnel |"
+            )
+        elif sp:
+            rows.append(f"| {name} | 1-part×{sp} | {SINGLEPART_JUSTIFIED[name]} |")
     out = [
         "## Global plan audit (every batch query, one pass)",
         "",
         "SortMergeJoin only for genuine big-big joins; row-at-a-time",
         "Python only in the declared k-family escape hatches; global-sort",
         "range exchanges only where ordering IS the semantics;",
-        "CartesianProduct never. Occurrences and why each is right:",
+        "non-scalar Exchange SinglePartition (a single-task funnel)",
+        "only over bounded inputs (distinct-value domains, vocabularies,",
+        "declared range-boundary semantics); CartesianProduct never.",
+        "Occurrences and why each is right:",
         "",
         "| query | marker | why it is the right plan |",
         "| --- | --- | --- |",
@@ -195,7 +235,8 @@ def global_plan_audit(spark, sf: str) -> list[str]:
     else:
         out += [
             "No unjustified SMJ, no CartesianProduct, no row-Python outside",
-            "the k-family, no global sort outside the sort operators.",
+            "the k-family, no global sort outside the sort operators, no",
+            "non-scalar SinglePartition funnel outside the bounded set.",
             "",
         ]
     return out
