@@ -38,6 +38,19 @@ TRIPWIRE_QUERIES = [
     "j20_dup_components",
     "j49_dedup_recall",
     "j72_source_overlap",
+    # round-7 (VERDICT r6 #5): the round-6 curation ops — j81's banded
+    # candidate-pair table (j43's category: a lost block key goes
+    # quadratic), j82's explode into ONE wide conditional agg (token
+    # rows scale linearly, FH_DIM stays fixed), j89's explode → vocab
+    # agg → equi re-join (j7's shape), and the two bucketed two-pass
+    # prefix sums (j83/m8 — a regression back to the single-partition
+    # window shows up as the lost-parallelism wall, not quadratic, but
+    # the ratio bound still catches a serialized fold at ×10).
+    "j81_band_tuning",
+    "j82_feature_hash_embed",
+    "j89_hapax_docs",
+    "j83_pps_sample",
+    "m8_shard_plan",
 ]
 MULT = 10
 MAX_RATIO = 12.0

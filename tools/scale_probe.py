@@ -70,6 +70,18 @@ PROBES = [
     "j20_dup_components",
     "j49_dedup_recall",
     "j72_source_overlap",
+    # round-7 additions (VERDICT r6 #5): the round-6 curation ops.
+    # j81 materializes a block-keyed candidate pair table (linear while
+    # banding holds), j82 is explode + one wide conditional agg (linear
+    # in token volume at fixed FH_DIM), j89 is explode → vocab agg →
+    # equi re-join (j7's shape), j83/m8 are the bucketed two-pass
+    # prefix sums rewritten this round — probing them pins the
+    # distributed cumsum's linearity.
+    "j81_band_tuning",
+    "j82_feature_hash_embed",
+    "j89_hapax_docs",
+    "j83_pps_sample",
+    "m8_shard_plan",
 ]
 
 
