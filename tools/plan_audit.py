@@ -245,6 +245,11 @@ def global_plan_audit(spark, sf: str) -> list[str]:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--costs-sf",
+        default="/root/testdata/sf0.1",
+        help="fixture for the measured shuffle cost model ('' to skip)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("plan_audit")
@@ -260,6 +265,10 @@ def main() -> None:
         "",
         *global_plan_audit(spark, args.sf),
     ]
+    if args.costs_sf:
+        from tools.cost_model import section as cost_section
+
+        out += cost_section(spark, args.costs_sf)
     for name, why in AUDIT.items():
         df = registry.QUERIES[name](spark, args.sf)
         plan = df._jdf.queryExecution().executedPlan().toString()
