@@ -185,6 +185,57 @@ DSIR_TARGET_LANG = "en"
 DSIR_KEEP = 100
 
 
+def dsir_scored_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-materialized per-doc DSIR scoring plan — split out so
+    tests/plan audits can inspect its physical shape (broadcast ratio
+    join, no explode re-run, ≤3 wide exchanges); j64 materializes it
+    because the threshold branch and the final projection both consume
+    it."""
+    docs = load(spark, sf_dir, "documents")
+    toks = widen(docs).select(
+        "doc_id", "lang", F.explode(whitespace_tokens(F.col("text"))).alias("tok")
+    )
+    bucketed = toks.select(
+        "doc_id",
+        "lang",
+        (F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long") % DSIR_BUCKETS)
+        .cast("int")
+        .alias("b"),
+    )
+    doc_hist = materialize(
+        bucketed.groupBy("doc_id", "lang", "b").agg(F.count("*").alias("c"))
+    )
+    hist = doc_hist.groupBy("b").agg(
+        F.sum("c").cast("bigint").alias("raw_cnt"),
+        F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("tgt_cnt"),
+    )
+    tot = hist.agg(
+        F.sum("raw_cnt").cast("bigint").alias("raw_n"),
+        F.sum("tgt_cnt").cast("bigint").alias("tgt_n"),
+    )
+    ratios = hist.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.log(
+            ((F.col("tgt_cnt") + 1) * (F.col("raw_n") + DSIR_BUCKETS)).cast("double")
+            / ((F.col("raw_cnt") + 1) * (F.col("tgt_n") + DSIR_BUCKETS)).cast("double")
+        ).alias("logr"),
+    )
+    return (
+        doc_hist.join(F.broadcast(ratios), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_toks"),
+            # + 0.0 normalizes IEEE -0.0 (observed: an all-neutral-
+            # bucket doc averages to a tiny negative, rounds to -0.0
+            # in Spark but 0.0 in DuckDB — strict repr-hash differs)
+            (F.round(F.sum(F.col("c") * F.col("logr")) / F.sum("c"), 4) + F.lit(0.0))
+            .alias("importance"),
+        )
+    )
+
+
 @query(
     "j64_dsir_importance",
     oracle=f"""
@@ -237,6 +288,7 @@ DSIR_KEEP = 100
     FROM scored
     """,
 )
+
 def j64_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (Xie et al. 2023): tilt the raw
     corpus toward a target distribution using only hashed-unigram
@@ -263,49 +315,10 @@ def j64_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (importance DESC, doc_id) key against it — identical flag
     semantics to row_number()<=K because the key is unique, with no
     single-partition window anywhere."""
-    docs = load(spark, sf_dir, "documents")
-    toks = widen(docs).select(
-        "doc_id", "lang", F.explode(whitespace_tokens(F.col("text"))).alias("tok")
-    )
-    bucketed = toks.select(
-        "doc_id",
-        "lang",
-        (F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long") % DSIR_BUCKETS)
-        .cast("int")
-        .alias("b"),
-    )
-    doc_hist = materialize(
-        bucketed.groupBy("doc_id", "lang", "b").agg(F.count("*").alias("c"))
-    )
-    hist = doc_hist.groupBy("b").agg(
-        F.sum("c").cast("bigint").alias("raw_cnt"),
-        F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("c")).otherwise(0))
-        .cast("bigint")
-        .alias("tgt_cnt"),
-    )
-    tot = hist.agg(
-        F.sum("raw_cnt").cast("bigint").alias("raw_n"),
-        F.sum("tgt_cnt").cast("bigint").alias("tgt_n"),
-    )
-    ratios = hist.crossJoin(F.broadcast(tot)).select(
-        "b",
-        F.log(
-            ((F.col("tgt_cnt") + 1) * (F.col("raw_n") + DSIR_BUCKETS)).cast("double")
-            / ((F.col("raw_cnt") + 1) * (F.col("tgt_n") + DSIR_BUCKETS)).cast("double")
-        ).alias("logr"),
-    )
-    scored = (
-        doc_hist.join(F.broadcast(ratios), "b")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").cast("bigint").alias("n_toks"),
-            # + 0.0 normalizes IEEE -0.0 (observed: an all-neutral-
-            # bucket doc averages to a tiny negative, rounds to -0.0
-            # in Spark but 0.0 in DuckDB — strict repr-hash differs)
-            (F.round(F.sum(F.col("c") * F.col("logr")) / F.sum("c"), 4) + F.lit(0.0))
-            .alias("importance"),
-        )
-    )
+    # materialized: consumed twice (the K-th-place threshold and the
+    # final flag projection) — without the cut the per-doc score agg
+    # would run once per consumer
+    scored = materialize(dsir_scored_plan(spark, sf_dir))
     # ascending twin of (importance DESC, doc_id ASC); importance is
     # +0.0-normalized above, so the negation can only mint -0.0, which
     # Spark comparisons treat as equal to 0.0

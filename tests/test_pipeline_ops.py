@@ -129,7 +129,9 @@ def test_j64_ratio_join_is_broadcast(spark, sf_dir):
     the per-doc score agg and the 64-row-bounded histogram agg on b —
     in particular the corpus explode must NOT reappear (one corpus
     pass, not five)."""
-    plan = _physical_plan(registry.QUERIES["j64_dsir_importance"](spark, sf_dir))
+    from json2hbase_spark.plans.pipeline_queries import dsir_scored_plan
+
+    plan = _physical_plan(dsir_scored_plan(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "Exchange hashpartitioning(doc_id" in plan, plan
@@ -137,6 +139,11 @@ def test_j64_ratio_join_is_broadcast(spark, sf_dir):
     # totals, but from the materialized docs×64 table, not the corpus)
     assert plan.count("Exchange hashpartitioning") <= 3, plan
     assert "Generate explode" not in plan, plan  # explode happened pre-cut
+    # the final flag over the materialized scores: TakeOrdered top-K +
+    # broadcast threshold compare — never a global rank window
+    flag = _physical_plan(registry.QUERIES["j64_dsir_importance"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in flag, flag
+    assert "Window" not in flag, flag
 
 
 # ---------------------------------------------------------------- j65
