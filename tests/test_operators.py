@@ -101,6 +101,27 @@ def test_entry_contract(spark):
     assert "d1_agg_hash" in qs and "a3_kv_flatten" in qs
 
 
+def test_driver_window_orders_stalest_first():
+    """The driver records only the first 50 queries() entries, so the
+    ordering must put never-recorded queries first and rotate the
+    verified remainder oldest-driver-record-first — each round then
+    re-verifies the stalest ids instead of the same recent 50."""
+    import __spark_entry__ as entrymod
+
+    seen = entrymod._driver_verified()
+    order = list(entrymod.queries())
+    assert len(order) == len(set(order))
+    fresh = [n for n in order if n not in seen]
+    # every never-recorded query precedes every recorded one
+    if fresh:
+        last_fresh = max(order.index(n) for n in fresh)
+        first_seen = min(order.index(n) for n in order if n in seen)
+        assert last_fresh < first_seen
+    # the recorded tail is non-decreasing in last-green round
+    rounds = [seen[n] for n in order if n in seen]
+    assert rounds == sorted(rounds)
+
+
 def test_f4_sample_rate_close_to_nominal(spark):
     from json2hbase_spark.plans.relational_queries import f4_sample_det
 

@@ -107,13 +107,16 @@ def build_scaled(spark, sf_dir: str, mult: int, out_dir: str) -> None:
 
 
 def run_suite(spark, sf_dir: str) -> dict[str, float]:
-    """Min of two runs per query — the probe compares ALGORITHMIC
-    scaling, so first-touch costs (parquet footers, codegen for the
-    new path shape) must not masquerade as data-size terms."""
+    """Min of three runs per query — the probe compares ALGORITHMIC
+    scaling, so neither first-touch costs (parquet footers, codegen
+    for the new path shape) nor this host's sporadic multi-second
+    stalls (see bench.py's re-measure note; a stall that spans both
+    of two runs poisoned four ratios in the round-7 first attempt)
+    may masquerade as data-size terms."""
     times = {}
     for name in PROBES:
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             registry.QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
@@ -160,7 +163,7 @@ def run_emb_suite(spark, sf_dir: str) -> dict[str, float]:
     times = {}
     for name in EMB_PROBES:
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             registry.QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
