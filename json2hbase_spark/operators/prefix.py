@@ -34,20 +34,25 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 # Parallelism of the cumsum exchange. Fixture-friendly default; a real
-# deployment sets this to O(cluster cores). Must stay ≤ 256 while
-# hex_prefix_bucket reads two hex chars.
+# deployment sets this to O(cluster cores), up to 65536 with the
+# 4-hex-char prefix below.
 CUMSUM_BUCKETS = 32
 
 
 def hex_prefix_bucket(col: Column, n_buckets: int = CUMSUM_BUCKETS) -> Column:
     """Monotone bucket id for a LOWERCASE hex string key (md5/sha):
     hex digits 0-9a-f sort identically as characters and as values, so
-    the numeric value of the first two chars is monotone in the full
+    the numeric value of the first four chars is monotone in the full
     string's lexicographic order — and uniform for a hash key, so the
-    buckets are balanced by construction. ``(prefix · n) div 256``
-    keeps monotonicity for any n_buckets ≤ 256."""
-    pre = F.conv(F.substring(col, 1, 2), 16, 10).cast("long")
-    return ((pre * n_buckets) / F.lit(256)).cast("long")
+    buckets are balanced by construction. ``(prefix · n) div 65536``
+    keeps monotonicity for any n_buckets ≤ 65536 (and for any n that
+    divides 256 it assigns the identical buckets a 2-char prefix
+    would, so widening the prefix was not a behavior change at the
+    default)."""
+    if not 1 <= n_buckets <= 65536:
+        raise ValueError(f"n_buckets must be in [1, 65536], got {n_buckets}")
+    pre = F.conv(F.substring(col, 1, 4), 16, 10).cast("long")
+    return ((pre * n_buckets) / F.lit(65536)).cast("long")
 
 
 def bucketed_cumsum(

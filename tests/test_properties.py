@@ -459,3 +459,44 @@ def test_rrf_contribution_monotone(spark, rank):
     a = round(1.0 / (60 + rank), 6)
     b = round(1.0 / (60 + rank + 1), 6)
     assert a > b, (rank, a, b)
+
+
+@SETTLE
+@given(
+    weights=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40),
+    n_buckets=st.sampled_from([1, 2, 5, 32, 256, 65536]),
+)
+def test_bucketed_cumsum_equals_ordered_cumsum(spark, weights, n_buckets):
+    """operators/prefix: for ANY weights and ANY bucket count, the
+    bucketed two-pass prefix sum over an md5-keyed order equals the
+    plain ordered cumsum computed in Python — bucketing is an
+    execution detail, invisible in the values. Also pins the
+    hex_prefix_bucket monotonicity the decomposition relies on."""
+    import hashlib
+
+    from json2hbase_spark.operators.prefix import bucketed_cumsum, hex_prefix_bucket
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id int, w long").withColumn(
+        "hkey", F.md5(F.concat(F.lit("p:"), F.col("doc_id").cast("string")))
+    )
+    out = bucketed_cumsum(
+        df.withColumn("_bkt", hex_prefix_bucket(F.col("hkey"), n_buckets)),
+        "_bkt",
+        ["hkey", "doc_id"],
+        "w",
+        "c",
+    ).collect()
+    got = {r["doc_id"]: r["c"] for r in out}
+    order = sorted(rows, key=lambda t: (hashlib.md5(f"p:{t[0]}".encode()).hexdigest(), t[0]))
+    acc, want = 0, {}
+    for i, w in order:
+        acc += w
+        want[i] = acc
+    assert got == want
+    # monotone: bucket order never contradicts key order
+    key_bkt = sorted(
+        (hashlib.md5(f"p:{i}".encode()).hexdigest(), b)
+        for i, b in ((r["doc_id"], r["_bkt"]) for r in out)
+    )
+    assert all(a[1] <= b[1] for a, b in zip(key_bkt, key_bkt[1:]))
