@@ -1052,3 +1052,235 @@ def m8_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------- j91
+
+TOKEN_BUDGET = 20_000  # absolute token budget for the selected subset
+QUALITY_CEIL = 16.0  # safe upper bound on the j12 score (ln(1+n)·≤1.5)
+
+
+@query(
+    "j91_token_budget_select",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT)
+               AS n_tokens,
+             round(ln(1 + len(list_filter(string_split(text, ' '), x -> x != '')))
+                   * (1.0 - CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                            / greatest(len(text), 1))
+                   * (0.5 + CAST(len(list_filter(list_filter(string_split(text, ' '), x -> x != ''),
+                            t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t))) AS DOUBLE)
+                            / greatest(len(list_filter(string_split(text, ' '), x -> x != '')), 1)), 4)
+               AS quality
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens, quality,
+             CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_tokens
+      FROM f
+    )
+    SELECT doc_id, n_tokens, quality, cum_tokens,
+           (cum_tokens <= {TOKEN_BUDGET}) AS selected
+    FROM cum
+    """,
+)
+def j91_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection (the FineWeb-Edu-style 'keep the
+    best docs until the budget is spent' step): docs are ranked by the
+    j12 quality score, the token counts are cumulatively summed in
+    (quality DESC, doc_id) order, and a doc is selected iff its
+    cumulative total still fits TOKEN_BUDGET — greedy quality-first
+    selection under an absolute token budget, rerun-identical because
+    rank and score are both deterministic. Plan: the ordered cumsum is
+    the j83 bucketed two-pass prefix sum (operators/prefix.py) with a
+    VALUE-derived monotone bucket — floor((CEIL−q)·B/CEIL) clamped to
+    [0, B−1] never contradicts the (quality DESC) order, so no
+    single-partition window; bucket balance follows the quality
+    distribution (skew costs parallelism, never correctness). Scoring
+    itself is one narrow map pass (j12's expressions)."""
+    docs = load(spark, sf_dir, "documents")
+    from json2hbase_spark.operators.text import quality_features
+
+    feats = quality_features(F.col("text"))
+    quality = F.round(
+        F.log(1 + feats["n_tokens"])
+        * (1.0 - feats["digit_ratio"])
+        * (0.5 + feats["stopword_ratio"]),
+        4,
+    )
+    scored = docs.select(
+        "doc_id",
+        feats["n_tokens"].cast("bigint").alias("n_tokens"),
+        quality.alias("quality"),
+    )
+    b = F.floor(
+        (F.lit(QUALITY_CEIL) - F.col("quality"))
+        * CUMSUM_BUCKETS
+        / F.lit(QUALITY_CEIL)
+    ).cast("long")
+    bucketed = scored.withColumn(
+        "_bkt", F.least(F.greatest(b, F.lit(0)), F.lit(CUMSUM_BUCKETS - 1))
+    )
+    cum = bucketed_cumsum(
+        bucketed, "_bkt", [F.desc("quality"), F.asc("doc_id")], "n_tokens", "cum_tokens"
+    )
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        "cum_tokens",
+        (F.col("cum_tokens") <= TOKEN_BUDGET).alias("selected"),
+    )
+
+
+# ---------------------------------------------------------------- j92
+
+SEG_CHARS = 40  # fixed segment width for code-switching detection
+SEG_TOP_N = 20  # per-language vote vocabulary (j11's dial)
+
+
+@query(
+    "j92_langid_segments",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+      FROM documents
+    ),
+    freq AS (SELECT lang, token, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+    top AS (
+      SELECT lang AS cand_lang, token FROM (
+        SELECT lang, token,
+               row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS r
+        FROM freq
+      ) WHERE r <= {SEG_TOP_N}
+    ),
+    segs AS (
+      SELECT d.doc_id, d.n_chars, i.i,
+             substr(d.text, i.i * {SEG_CHARS} + 1, {SEG_CHARS}) AS seg_text
+      FROM documents d,
+           LATERAL (SELECT unnest(range((d.n_chars - 1) // {SEG_CHARS} + 1)) AS i) i
+      WHERE d.n_chars > 0
+    ),
+    seg_tokens AS (
+      SELECT DISTINCT doc_id, n_chars, i,
+             unnest(list_filter(string_split(seg_text, ' '), x -> x != '')) AS token
+      FROM segs
+    ),
+    votes AS (
+      SELECT doc_id, n_chars, i, cand_lang, COUNT(*) AS hits
+      FROM seg_tokens JOIN top USING (token)
+      GROUP BY 1, 2, 3, 4
+    ),
+    pred AS (
+      SELECT doc_id, n_chars, i, cand_lang AS pred_lang FROM (
+        SELECT doc_id, n_chars, i, cand_lang,
+               row_number() OVER (PARTITION BY doc_id, i
+                                  ORDER BY hits DESC, cand_lang) AS r
+        FROM votes
+      ) WHERE r = 1
+    ),
+    lang_counts AS (
+      SELECT doc_id, n_chars, pred_lang, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pred GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT doc_id, n_chars, pred_lang, c,
+             row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, pred_lang) AS r,
+             SUM(c) OVER (PARTITION BY doc_id) AS n_scored,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_langs
+      FROM lang_counts
+    )
+    SELECT doc_id,
+           CAST((n_chars - 1) // {SEG_CHARS} + 1 AS BIGINT) AS n_segments,
+           CAST(n_scored AS BIGINT) AS n_scored,
+           CAST(n_langs AS BIGINT) AS n_langs,
+           pred_lang AS majority_lang,
+           round(CAST(c AS DOUBLE) / n_scored, 4) AS majority_frac,
+           (n_langs >= 2) AS mixed
+    FROM ranked WHERE r = 1
+    """,
+)
+def j92_langid_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switching / mixed-language detection: j11's corpus-trained
+    top-{SEG_TOP_N}-token language vote applied at fixed
+    {SEG_CHARS}-char SEGMENT granularity, rolled back up per doc as
+    (segments scored, distinct predicted languages, majority language
+    + its fraction, mixed flag). A monolingual-corpus trainer wants
+    exactly this screen: doc-level langid (j11) happily labels a
+    half-English half-German page 'en'; the segment profile exposes
+    it. Deterministic: segment boundaries are fixed-width character
+    arithmetic, vote ties break (hits DESC, lang), majority ties
+    (count DESC, lang). Plan: the vote vocabulary (langs×{SEG_TOP_N}
+    rows) BROADCASTS onto the segment-token stream — the corpus side
+    is explode → distinct → two bounded hash aggs and one per-doc
+    window over ≤n_langs rows; n_segments is carried arithmetically
+    from n_chars (functionally doc-keyed), so there is NO corpus-side
+    join anywhere."""
+    docs = load(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", "lang", F.explode(whitespace_tokens(F.col("text"))).alias("token")
+    )
+    freq = tokens.groupBy("lang", "token").agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    top = (
+        freq.withColumn("r", F.row_number().over(wt))
+        .filter(F.col("r") <= SEG_TOP_N)
+        .select(F.col("lang").alias("cand_lang"), "token")
+    )
+    segs = (
+        docs.filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "n_chars",
+            F.explode(
+                F.sequence(F.lit(0), F.expr(f"int((n_chars - 1) div {SEG_CHARS})"))
+            ).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "i",
+            F.expr(f"substring(text, i * {SEG_CHARS} + 1, {SEG_CHARS})").alias(
+                "seg_text"
+            ),
+        )
+    )
+    seg_tokens = segs.select(
+        "doc_id", "n_chars", "i", F.explode(whitespace_tokens(F.col("seg_text"))).alias("token")
+    ).distinct()
+    votes = (
+        seg_tokens.join(F.broadcast(top), "token")
+        .groupBy("doc_id", "n_chars", "i", "cand_lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    wp = Window.partitionBy("doc_id", "i").orderBy(F.desc("hits"), F.asc("cand_lang"))
+    pred = (
+        votes.withColumn("r", F.row_number().over(wp))
+        .filter(F.col("r") == 1)
+        .select("doc_id", "n_chars", "i", F.col("cand_lang").alias("pred_lang"))
+    )
+    lang_counts = pred.groupBy("doc_id", "n_chars", "pred_lang").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    wd = Window.partitionBy("doc_id")
+    wr = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("pred_lang"))
+    ranked = (
+        lang_counts.withColumn("r", F.row_number().over(wr))
+        .withColumn("n_scored", F.sum("c").over(wd))
+        .withColumn("n_langs", F.count("*").over(wd))
+    )
+    return ranked.filter(F.col("r") == 1).select(
+        "doc_id",
+        F.expr(f"(n_chars - 1) div {SEG_CHARS} + 1").cast("bigint").alias("n_segments"),
+        F.col("n_scored").cast("bigint").alias("n_scored"),
+        F.col("n_langs").cast("bigint").alias("n_langs"),
+        F.col("pred_lang").alias("majority_lang"),
+        F.round(F.col("c").cast("double") / F.col("n_scored"), 4).alias("majority_frac"),
+        (F.col("n_langs") >= 2).alias("mixed"),
+    )

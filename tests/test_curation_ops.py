@@ -199,3 +199,78 @@ def test_struct_ordering_matches_window_argmax(spark):
         .collect()
     }
     assert got == want
+
+
+def test_j91_budget_selection_is_greedy_maximal(spark):
+    """Selection contract: the selected set is exactly the longest
+    (quality DESC, doc_id) prefix whose token total fits the budget —
+    total within budget, the first unselected doc would overflow it,
+    and no unselected doc outranks a selected one."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.plans.curation_queries import TOKEN_BUDGET
+
+    rows = registry.QUERIES["j91_token_budget_select"](spark, SF).collect()
+    order = sorted(rows, key=lambda r: (-r.quality, r.doc_id))
+    sel = [r for r in order if r.selected]
+    unsel = [r for r in order if not r.selected]
+    assert sum(r.n_tokens for r in sel) <= TOKEN_BUDGET
+    if unsel:
+        assert sum(r.n_tokens for r in sel) + unsel[0].n_tokens > TOKEN_BUDGET
+        # prefix property: every selected row ranks before every unselected
+        assert order[: len(sel)] == sel
+    # cum_tokens is the running total in rank order
+    acc = 0
+    for r in order:
+        acc += r.n_tokens
+        assert r.cum_tokens == acc
+
+
+def test_j92_segment_profile_invariants(spark):
+    """Per-doc segment profile: scored ≤ total segments, majority
+    fraction in (0, 1], mixed iff ≥2 predicted languages, and the
+    fractions are consistent with n_scored."""
+    from json2hbase_spark import registry
+
+    rows = registry.QUERIES["j92_langid_segments"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_scored <= r.n_segments
+        assert 1 <= r.n_langs <= r.n_scored
+        assert 0 < r.majority_frac <= 1.0
+        assert r.mixed == (r.n_langs >= 2)
+
+
+def test_j92_detects_a_constructed_code_switch(spark, tmp_path):
+    """A half-'aa' half-'bb' doc (whose doc-level label hides the
+    mix) must come back mixed=True while the pure docs stay
+    mixed=False — the screen j11's doc-level vote cannot provide."""
+    from json2hbase_spark import registry
+
+    a_tok, b_tok = "alpha", "bravo"
+    pure_a = " ".join([a_tok] * 40)          # 40*6-1 = 239 chars ≈ 6 segments
+    pure_b = " ".join([b_tok] * 40)
+    mixed = " ".join([a_tok] * 20 + [b_tok] * 20)
+    docs = spark.createDataFrame(
+        [
+            (0, pure_a, "aa", "s0", len(pure_a)),
+            (1, pure_a, "aa", "s0", len(pure_a)),
+            (2, pure_b, "bb", "s0", len(pure_b)),
+            (3, pure_b, "bb", "s0", len(pure_b)),
+            # labeled bb so 'alpha' stays out of... no — 'alpha' leaks
+            # into bb's vocab, but aa's stays pure {alpha}: alpha
+            # segments tie aa/bb → aa, bravo segments are bb-only →
+            # the mix is detectable. (Labeled aa, bravo would leak
+            # into aa's tiny vocab and every segment would tie to aa —
+            # a real limitation of the top-N vote on 2-token corpora,
+            # not of the segment roll-up.)
+            (4, mixed, "bb", "s0", len(mixed)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "mixfix")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r.doc_id: r for r in registry.QUERIES["j92_langid_segments"](spark, d).collect()}
+    assert out[4].mixed and out[4].n_langs == 2
+    for i in (0, 1, 2, 3):
+        assert not out[i].mixed
+        assert out[i].majority_lang == ("aa" if i < 2 else "bb")

@@ -71,6 +71,8 @@ AUDIT = {
     "j89_hapax_docs": "token explode → vocab agg → equi re-join on token → per-doc agg (j7's shape, no pairwise stage)",
     "j90_embed_outliers": "centroid + label-mean both broadcast back; distance fold map-side; no corpus self-join",
     "m8_shard_plan": "metadata-only bucketed two-pass prefix sum (doc_id + bytes, monotone integer buckets from a 1-row broadcast max) + hash agg; blob bytes never enter the plan; no SinglePartition window",
+    "j91_token_budget_select": "j12 scoring map + bucketed prefix sum with a VALUE-derived monotone bucket (quality band); no SinglePartition window, no join beyond the broadcast offsets",
+    "j92_langid_segments": "vote vocabulary broadcast onto the segment-token stream; corpus side is explode → distinct → bounded hash aggs + per-doc window; n_segments carried arithmetically — no corpus-side join",
 }
 
 MARKERS = (
