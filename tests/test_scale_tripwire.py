@@ -51,6 +51,13 @@ TRIPWIRE_QUERIES = [
     "j89_hapax_docs",
     "j83_pps_sample",
     "m8_shard_plan",
+    # round-7 new ops: j91 rides the same bucketed prefix sum (value-
+    # derived bucket), j92 is a segment explode into broadcast-vote
+    # aggs, j93 is the deliberately chars-heavy ExactSubstr gram sweep
+    # (count-over-window on the gram hash) — all designed linear.
+    "j91_token_budget_select",
+    "j92_langid_segments",
+    "j93_dup_substring_ranges",
 ]
 MULT = 10
 MAX_RATIO = 12.0

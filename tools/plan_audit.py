@@ -73,6 +73,7 @@ AUDIT = {
     "m8_shard_plan": "metadata-only bucketed two-pass prefix sum (doc_id + bytes, monotone integer buckets from a 1-row broadcast max) + hash agg; blob bytes never enter the plan; no SinglePartition window",
     "j91_token_budget_select": "j12 scoring map + bucketed prefix sum with a VALUE-derived monotone bucket (quality band); no SinglePartition window, no join beyond the broadcast offsets",
     "j92_langid_segments": "vote vocabulary broadcast onto the segment-token stream; corpus side is explode → distinct → bounded hash aggs + per-doc window; n_segments carried arithmetically — no corpus-side join",
+    "j93_dup_substring_ranges": "every-offset gram stream → count-over-window on gram hash → per-doc island window → bounded aggs; chars-heavy BY SEMANTICS (ExactSubstr), no join, no cartesian, linear",
 }
 
 MARKERS = (
