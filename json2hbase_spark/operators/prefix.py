@@ -86,3 +86,52 @@ def bucketed_cumsum(
         .withColumn(out_col, F.col("_local_c") + F.col("_off"))
         .drop("_local_c", "_off")
     )
+
+
+def grouped_bucketed_cumsum(
+    df: DataFrame,
+    groups: list[str],
+    bucket: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Per-group ordered running sum of ``value_col`` along
+    ``order_cols`` WITHIN each group, without a per-group
+    single-partition window. Same two-pass shape as
+    :func:`bucketed_cumsum`, but the offset join is constrained to the
+    group: each (group, bucket) cell's offset = sum of the SAME
+    group's earlier buckets only.
+
+    When to use which: a plain ``Window.partitionBy(*groups)`` is
+    already scale-safe when group cardinality is high (domains, users
+    — each partition is small). This variant exists for the opposite
+    regime: FEW, LARGE groups (data sources, mixture components,
+    quality tiers), where one group would otherwise be one task. The
+    totals table is |groups|·buckets rows — broadcast by construction
+    in that regime. ``df[bucket]`` must be monotone non-decreasing
+    along ``order_cols`` within every group."""
+    w_local = (
+        Window.partitionBy(*groups, bucket)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = df.withColumn("_local_c", F.sum(value_col).over(w_local))
+    totals = df.groupBy(*groups, bucket).agg(F.sum(value_col).alias("_btot"))
+    a, b = totals.alias("_a"), totals.alias("_b")
+    cond = F.col(f"_b.{bucket}") < F.col(f"_a.{bucket}")
+    for g in groups:
+        cond = cond & (F.col(f"_b.{g}") == F.col(f"_a.{g}"))
+    offsets = (
+        a.join(F.broadcast(b), cond, "left")
+        .groupBy(
+            *[F.col(f"_a.{g}").alias(g) for g in groups],
+            F.col(f"_a.{bucket}").alias(bucket),
+        )
+        .agg(F.coalesce(F.sum("_b._btot"), F.lit(0).cast("long")).alias("_off"))
+    )
+    return (
+        local.join(F.broadcast(offsets), [*groups, bucket])
+        .withColumn(out_col, F.col("_local_c") + F.col("_off"))
+        .drop("_local_c", "_off")
+    )

@@ -1,0 +1,491 @@
+"""Round-7 selection & corpus-audit operators: per-source token-budget
+selection (j94), blockword density gating (j95), template-shape mining
+(j96), exact integer embedding covariance (j97), URL canonicalization
+dedup (j98).
+
+Design notes shared by the family:
+
+- j94 extends the j83/j91 bucketed two-pass prefix sum to GROUPED
+  cumsums (operators/prefix.grouped_bucketed_cumsum): per-source
+  running totals with no per-source single-partition window — the
+  few-large-groups regime where ``Window.partitionBy(source)`` would
+  funnel a whole source into one task.
+- j95/j96 are broadcast-list / hash-key shapes: the corpus side is one
+  narrow map pass plus a bounded hash agg; nothing quadratic.
+- j97 quantizes embeddings to integers FIRST (the j47 trick), so every
+  covariance entry is an exact BIGINT arithmetic result — order-free,
+  engine-free, no float-summation drift to tolerate.
+- All randomness-free and rerun-identical (tools/determinism_check.py
+  green by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from json2hbase_spark.io import load, widen
+from json2hbase_spark.operators.prefix import (
+    CUMSUM_BUCKETS,
+    grouped_bucketed_cumsum,
+)
+from json2hbase_spark.operators.text import EN_STOPWORDS, whitespace_tokens
+from json2hbase_spark.registry import query
+
+# ---------------------------------------------------------------- j94
+
+PER_SOURCE_TOKEN_BUDGET = 1_500  # token budget granted to EACH source
+J94_QUALITY_CEIL = 16.0  # same safe ceiling as j91 (ln(1+n)·≤1.5)
+
+_DUCK_STOPS_LIST = "[" + ", ".join(f"'{s}'" for s in EN_STOPWORDS) + "]"
+
+# the j12/j91 quality score, verbatim, as a DuckDB expression
+_DUCK_QUALITY = f"""
+round(ln(1 + len(list_filter(string_split(text, ' '), x -> x != '')))
+      * (1.0 - CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+               / greatest(len(text), 1))
+      * (0.5 + CAST(len(list_filter(list_filter(string_split(text, ' '), x -> x != ''),
+               t -> list_contains({_DUCK_STOPS_LIST}, t))) AS DOUBLE)
+               / greatest(len(list_filter(string_split(text, ' '), x -> x != '')), 1)), 4)
+"""
+
+
+@query(
+    "j94_source_budget_select",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT)
+               AS n_tokens,
+             {_DUCK_QUALITY} AS quality
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, source, n_tokens, quality,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source
+                                      ORDER BY quality DESC, doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_tokens
+      FROM f
+    )
+    SELECT doc_id, source, n_tokens, quality, cum_tokens,
+           (cum_tokens <= {PER_SOURCE_TOKEN_BUDGET}) AS selected
+    FROM cum
+    """,
+)
+def j94_source_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget selection — the mixture-building step
+    that follows j91's global budget: every SOURCE gets its own token
+    budget (equal here; a weighted mixture passes per-source budgets),
+    and within each source docs are kept greedy quality-first until
+    that source's budget is spent. This is how a pipeline enforces
+    source diversity while still preferring quality — a global budget
+    (j91) lets one huge high-quality source crowd out the rest.
+    Deterministic: j12's quality score, ties broken by doc_id.
+
+    Plan: the per-source ordered cumsum is the grouped bucketed
+    two-pass prefix sum (operators/prefix.grouped_bucketed_cumsum) —
+    partition key is (source, quality-band bucket), so a 100 TB source
+    spreads over CUMSUM_BUCKETS tasks instead of funneling into one
+    per-source window partition; offsets are a broadcast of
+    |sources|·buckets totals rows. The value-derived bucket
+    floor((CEIL−q)·B/CEIL) is monotone along (quality DESC) within
+    every source, so bucket-local order concatenated in bucket order
+    IS the per-source order — identical output to the plain window the
+    oracle runs."""
+    docs = load(spark, sf_dir, "documents")
+    from json2hbase_spark.operators.text import quality_features
+
+    feats = quality_features(F.col("text"))
+    quality = F.round(
+        F.log(1 + feats["n_tokens"])
+        * (1.0 - feats["digit_ratio"])
+        * (0.5 + feats["stopword_ratio"]),
+        4,
+    )
+    scored = docs.select(
+        "doc_id",
+        "source",
+        feats["n_tokens"].cast("bigint").alias("n_tokens"),
+        quality.alias("quality"),
+    )
+    b = F.floor(
+        (F.lit(J94_QUALITY_CEIL) - F.col("quality"))
+        * CUMSUM_BUCKETS
+        / F.lit(J94_QUALITY_CEIL)
+    ).cast("long")
+    bucketed = scored.withColumn(
+        "_bkt", F.least(F.greatest(b, F.lit(0)), F.lit(CUMSUM_BUCKETS - 1))
+    )
+    cum = grouped_bucketed_cumsum(
+        bucketed,
+        ["source"],
+        "_bkt",
+        [F.desc("quality"), F.asc("doc_id")],
+        "n_tokens",
+        "cum_tokens",
+    )
+    return cum.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "quality",
+        "cum_tokens",
+        (F.col("cum_tokens") <= PER_SOURCE_TOKEN_BUDGET).alias("selected"),
+    )
+
+
+# ---------------------------------------------------------------- j95
+
+# word-boundary exact-token blocklist; 'crash' is deliberately absent
+# from the fixture vocabulary so the op proves non-matches stay zero
+BLOCKWORDS = ("slow", "dup", "crash")
+_DUCK_BLOCKS = "[" + ", ".join(f"'{w}'" for w in BLOCKWORDS) + "]"
+
+# flag iff blockword density ≥ 5% — integer cross-multiplication
+BLOCK_DENSITY_NUM = 1
+BLOCK_DENSITY_DEN = 20
+
+
+@query(
+    "j95_blockword_gate",
+    oracle=f"""
+    WITH f AS (
+      SELECT source,
+             CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT)
+               AS n_tokens,
+             CAST(len(list_filter(list_filter(string_split(text, ' '), x -> x != ''),
+                      t -> list_contains({_DUCK_BLOCKS}, lower(t)))) AS BIGINT)
+               AS n_block
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_block * {BLOCK_DENSITY_DEN}
+                          >= n_tokens * {BLOCK_DENSITY_NUM}
+                          AND n_tokens > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(SUM(n_block) AS BIGINT) AS total_block_hits,
+           round(CAST(SUM(n_block) AS DOUBLE) / greatest(SUM(n_tokens), 1), 4)
+             AS corpus_block_density
+    FROM f
+    GROUP BY source
+    """,
+)
+def j95_blockword_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blockword gating (the UT1/LDNOOBW-style unsafe-content screen
+    every web-corpus pipeline runs): exact TOKEN-boundary matches
+    against a blocklist — substring matching is the classic footgun
+    ('class' contains 'ass'); token equality after lowercasing is the
+    defensible rule — with a per-doc density gate (flag iff blockword
+    tokens ≥ 5% of tokens, integer cross-multiplied) rolled up per
+    source: docs, flagged docs, total hits, corpus-level density. The
+    per-source report is the actionable unit — blocklist hits cluster
+    by crawl source, and the decision is 'drop the source' far more
+    often than 'drop the doc'.
+
+    Plan: the blocklist is a tiny in-expression array literal (a real
+    deployment broadcasts a DataFrame and array_contains against it);
+    the corpus side is ONE narrow map pass (tokenize, two array
+    filters) into a map-side-combinable hash agg on source — a 100 TB
+    corpus pays one scan and one exchange of |sources| rows. No UDF,
+    no join, no explode: the filter runs inside codegen on the token
+    array."""
+    docs = load(spark, sf_dir, "documents")
+    toks = whitespace_tokens(F.col("text"))
+    blocks = F.array(*[F.lit(w) for w in BLOCKWORDS])
+    f = docs.select(
+        "source",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(
+            F.filter(toks, lambda t: F.array_contains(blocks, F.lower(t)))
+        )
+        .cast("bigint")
+        .alias("n_block"),
+    )
+    flagged = (
+        (F.col("n_block") * BLOCK_DENSITY_DEN >= F.col("n_tokens") * BLOCK_DENSITY_NUM)
+        & (F.col("n_tokens") > 0)
+    ).cast("int")
+    return f.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(flagged).cast("bigint").alias("n_flagged"),
+        F.sum("n_block").cast("bigint").alias("total_block_hits"),
+        F.round(
+            F.sum("n_block").cast("double") / F.greatest(F.sum("n_tokens"), F.lit(1)),
+            4,
+        ).alias("corpus_block_density"),
+    )
+
+
+# ---------------------------------------------------------------- j96
+
+PREFIX_K = 16  # shared-head width in tokens
+
+
+@query(
+    "j96_prefix_cluster",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x != '') AS w,
+             md5(text) AS th
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, lang, th,
+             md5(array_to_string(w[1:{PREFIX_K}], ' ')) AS prefix_hash
+      FROM t WHERE len(w) >= {PREFIX_K}
+    )
+    SELECT prefix_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT th) AS BIGINT) AS n_texts,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           MIN(doc_id) AS rep_doc
+    FROM p GROUP BY prefix_hash HAVING COUNT(*) >= 2
+    """,
+)
+def j96_prefix_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-head clustering: docs whose first {PREFIX_K} tokens are
+    identical form a cluster — the cheap detector for template headers
+    and mirrored-article families that exact dedup (j1) misses when
+    only the head is shared (this corpus has ZERO exact text dups but
+    ~20 shared-head clusters). Per cluster: size, distinct full texts
+    (n_texts == n_docs ⇒ head-only duplication; < ⇒ exact dups hide
+    inside), languages spanned (a multi-lang cluster is navigation
+    boilerplate, not content), and the smallest doc_id as the stable
+    representative. Complements j41 (bag-of-grams boilerplate score)
+    with an ANCHORED, position-aware signal — and the prefix hash is
+    the blocking key a substring-dedup pass (j93) would shard on.
+
+    Plan: one narrow map pass computes md5(first-K-tokens) per doc,
+    then ONE map-side-combinable hash agg on the 16-byte key; the ≥2
+    HAVING prunes the singleton tail (virtually all of the corpus)
+    before anything else happens. No join, no explode, no window —
+    a 100 TB corpus pays one scan plus one exchange of (hash, small
+    aggregates) rows."""
+    docs = load(spark, sf_dir, "documents")
+    w = whitespace_tokens(F.col("text"))
+    p = docs.select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("text")).alias("th"),
+        F.md5(F.concat_ws(" ", F.slice(w, 1, PREFIX_K))).alias("prefix_hash"),
+    ).filter(F.size(w) >= PREFIX_K)
+    return (
+        p.groupBy("prefix_hash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("th").cast("bigint").alias("n_texts"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.min("doc_id").alias("rep_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# ---------------------------------------------------------------- j97
+
+COV_SCALE = 1_000  # fixed-point quantizer: q = floor(x · 1000)
+
+
+@query(
+    "j97_embed_covariance",
+    oracle=f"""
+    WITH q AS (
+      SELECT list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * {COV_SCALE}) AS BIGINT))
+               AS q
+      FROM embeddings
+    ),
+    p AS (
+      SELECT i.i AS i, j.j AS j,
+             q.q[i.i + 1] AS qi, q.q[j.j + 1] AS qj
+      FROM q,
+           LATERAL (SELECT unnest(range(len(q.q))) AS i) i,
+           LATERAL (SELECT unnest(range(len(q.q))) AS j) j
+      WHERE j.j >= i.i
+    ),
+    s AS (
+      SELECT i, j,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(qi * qj) AS BIGINT) AS sxy,
+             CAST(SUM(qi) AS BIGINT) AS sx,
+             CAST(SUM(qj) AS BIGINT) AS sy
+      FROM p GROUP BY i, j
+    )
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           n * sxy - sx * sy AS cov_num,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * n * {COV_SCALE} * {COV_SCALE}), 6) AS cov
+    FROM s
+    """,
+)
+def j97_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding covariance matrix (upper triangle) — the input to
+    whitening, PCA projection, and anisotropy diagnostics over a
+    corpus embedding table. Exactness trick (the j47 posture):
+    embeddings are quantized to integers FIRST (q = floor(x·1000)),
+    so every Σq_iq_j / Σq_i is an order-free BIGINT sum — the
+    covariance numerator n·Σxy − Σx·Σy is EXACT and hash-matches any
+    engine regardless of partitioning or summation order; the float
+    `cov` column is derived from those exact integers at the very end.
+    Output: d(d+1)/2 rows of (i, j, exact numerator, covariance).
+
+    Plan: pair explode (i ≤ j) into ONE map-side-combinable hash agg —
+    the exchange carries at most d(d+1)/2 partial rows per partition
+    (2,080 for d=64), so shuffle volume is independent of corpus size.
+    The ×d² row fan-out is codegen'd column arithmetic; at 100 TB the
+    constant-factor upgrade is a mapInArrow per-batch numpy Gram
+    (d×d per Arrow batch, same partial-agg merge), and the one-pass
+    integer form should switch to two-pass (center on broadcast means)
+    so the n·Σxy magnitude stays within int64 — both are constant-
+    factor swaps, not shape changes. The oracle runs the identical
+    quantized arithmetic in DuckDB."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = widen(emb).select(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * COV_SCALE).cast("long"),
+        ).alias("q")
+    )
+    p1 = q.select("q", F.posexplode("q").alias("i", "qi"))
+    p2 = p1.select("i", "qi", F.posexplode("q").alias("j", "qj")).filter(
+        F.col("j") >= F.col("i")
+    )
+    s = p2.groupBy("i", "j").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("qi") * F.col("qj")).cast("bigint").alias("sxy"),
+        F.sum("qi").cast("bigint").alias("sx"),
+        F.sum("qj").cast("bigint").alias("sy"),
+    )
+    cov_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        F.col("i").cast("int").alias("i"),
+        F.col("j").cast("int").alias("j"),
+        cov_num.alias("cov_num"),
+        F.round(
+            cov_num.cast("double")
+            / (F.col("n").cast("double") * F.col("n") * COV_SCALE * COV_SCALE),
+            6,
+        ).alias("cov"),
+    )
+
+
+# ---------------------------------------------------------------- j98
+
+
+@query(
+    "j98_url_canonical_dedup",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id, unnest([
+        'HTTPS://' || upper(source) || '.Example.COM:443/docs/'
+          || CAST(doc_id AS VARCHAR) || '/?utm_source=feed&lang=' || lang
+          || '&utm_campaign=mirror#frag',
+        'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+          || '?lang=' || lang
+      ]) AS u
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, u,
+             lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) || '://'
+             || regexp_replace(lower(regexp_extract(u, '^[A-Za-z]+://([^/?#]+)', 1)),
+                               ':443$', '')
+             || regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                  regexp_extract(u, '^[A-Za-z]+://[^/?#]+([^#]*)', 1),
+                  'utm_[^&#]*&', ''), '[?&]utm_[^&#]*', ''), '/\\?', '?'), '/$', '')
+               AS canon
+      FROM urls
+    )
+    SELECT regexp_extract(canon, '^[a-z]+://([^/?#]+)', 1) AS host,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_canonical,
+           round(1.0 - CAST(COUNT(DISTINCT canon) AS DOUBLE) / COUNT(*), 4)
+             AS dedup_ratio,
+           MIN(canon) AS min_canon,
+           MAX(canon) AS max_canon
+    FROM c GROUP BY 1
+    """,
+)
+def j98_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL deduplication — the crawl-frontier / recrawl-merge
+    step that runs BEFORE content dedup: uppercase scheme+host fold to
+    lowercase, the default :443 port drops, the fragment drops, utm_*
+    tracking parameters strip, and the trailing slash before the query
+    (or at end of path) strips; two syntactically different URLs of
+    the same resource then collapse to one canonical string. Each doc
+    contributes a messy variant and a clean variant (derived
+    deterministically from its own columns, like j39's synthesized
+    URLs), and the per-host report proves the collapse: n_canonical is
+    exactly half of n_urls, with min/max canonical strings
+    hash-verifying the full canonicalizer output, not just counts.
+    The regex chain is RE2-safe (character classes only, no
+    lookaround) so Spark's Java regex and DuckDB's RE2 agree — proven
+    by the oracle hash.
+
+    Plan: per-row string expressions (codegen, no UDF) + one
+    map-side-combinable hash agg on the canonical host; a 100 TB
+    frontier pays one scan and one |hosts|-row exchange. The canonical
+    string itself is the dedup key downstream ops group on (the
+    16-byte md5 of it in a real frontier table)."""
+    docs = load(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("HTTPS://"),
+        F.upper("source"),
+        F.lit(".Example.COM:443/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=feed&lang="),
+        F.col("lang"),
+        F.lit("&utm_campaign=mirror#frag"),
+    )
+    clean = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    urls = docs.select("doc_id", F.explode(F.array(messy, clean)).alias("u"))
+    u = F.col("u")
+    canon = F.concat(
+        F.lower(F.regexp_extract(u, "^([A-Za-z]+)://", 1)),
+        F.lit("://"),
+        F.regexp_replace(
+            F.lower(F.regexp_extract(u, "^[A-Za-z]+://([^/?#]+)", 1)), ":443$", ""
+        ),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_extract(u, "^[A-Za-z]+://[^/?#]+([^#]*)", 1),
+                        "utm_[^&#]*&",
+                        "",
+                    ),
+                    r"[?&]utm_[^&#]*",
+                    "",
+                ),
+                r"/\?",
+                "?",
+            ),
+            "/$",
+            "",
+        ),
+    )
+    c = urls.select("doc_id", canon.alias("canon"))
+    return (
+        c.groupBy(F.regexp_extract("canon", "^[a-z]+://([^/?#]+)", 1).alias("host"))
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_urls"),
+            F.countDistinct("canon").cast("bigint").alias("n_canonical"),
+            F.round(
+                1.0 - F.countDistinct("canon").cast("double") / F.count("*"), 4
+            ).alias("dedup_ratio"),
+            F.min("canon").alias("min_canon"),
+            F.max("canon").alias("max_canon"),
+        )
+    )

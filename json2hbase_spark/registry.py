@@ -50,4 +50,5 @@ def load_all_query_modules() -> None:
         corpus_queries,
         pipeline_queries,
         curation_queries,
+        selection_queries,
     )

@@ -58,6 +58,15 @@ TRIPWIRE_QUERIES = [
     "j91_token_budget_select",
     "j92_langid_segments",
     "j93_dup_substring_ranges",
+    # round-7 selection family: j94's grouped bucketed prefix sum (a
+    # regression to a per-source single-partition window shows as the
+    # lost-parallelism wall), j95/j96/j98's map-pass + bounded-agg
+    # shapes. j97 is embeddings-based (this harness scales documents
+    # only); its fixed-d² shuffle is pinned by test_selection_ops.
+    "j94_source_budget_select",
+    "j95_blockword_gate",
+    "j96_prefix_cluster",
+    "j98_url_canonical_dedup",
 ]
 MULT = 10
 MAX_RATIO = 12.0

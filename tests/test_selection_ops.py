@@ -1,0 +1,224 @@
+"""Property tests for the round-7 selection family (j94-j98) and the
+grouped bucketed prefix sum they ride on.
+
+The DuckDB oracles prove cross-engine equality; these pin the
+SEMANTIC invariants equality alone can't: per-group greedy-maximal
+selection, gate monotonicity, cluster morphology, covariance vs a
+numpy recompute, canonicalizer idempotence.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _load_registry():
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+
+
+def test_grouped_bucketed_cumsum_matches_plain_window(spark):
+    """The grouped two-pass prefix sum must equal the per-group
+    single-partition window it replaces, on an adversarial layout:
+    skewed groups, duplicate order keys, empty buckets."""
+    from json2hbase_spark.operators.prefix import grouped_bucketed_cumsum
+    from pyspark.sql import Window
+
+    rows = [
+        (g, i, (i * 7 + ord(g)) % 5, (i * 13 + ord(g) * 3) % 4)
+        for g in ("a", "b", "c")
+        for i in range(40 if g == "a" else 7)
+    ]
+    df = spark.createDataFrame(rows, "grp string, id long, v long, bkt long")
+    # bkt must be monotone along the order inside each group: order by
+    # (bkt, id) so the requirement holds by construction
+    got = {
+        (r.grp, r.id): r.cum
+        for r in grouped_bucketed_cumsum(
+            df, ["grp"], "bkt", [F.asc("bkt"), F.asc("id")], "v", "cum"
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(F.asc("bkt"), F.asc("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r.grp, r.id): r.cum for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_j94_selection_is_greedy_maximal_per_source(spark):
+    """Within EVERY source the selected set is the longest
+    (quality DESC, doc_id) prefix fitting the per-source budget."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.plans.selection_queries import PER_SOURCE_TOKEN_BUDGET
+
+    rows = registry.QUERIES["j94_source_budget_select"](spark, SF).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert len(by_src) > 1
+    for src, rs in by_src.items():
+        order = sorted(rs, key=lambda r: (-r.quality, r.doc_id))
+        sel = [r for r in order if r.selected]
+        unsel = [r for r in order if not r.selected]
+        assert sum(r.n_tokens for r in sel) <= PER_SOURCE_TOKEN_BUDGET, src
+        if unsel:
+            assert (
+                sum(r.n_tokens for r in sel) + unsel[0].n_tokens
+                > PER_SOURCE_TOKEN_BUDGET
+            ), src
+            assert order[: len(sel)] == sel, src
+        acc = 0
+        for r in order:
+            acc += r.n_tokens
+            assert r.cum_tokens == acc, src
+
+
+def test_j94_every_source_gets_a_selection(spark):
+    """Budget fairness: with a non-trivial budget every source keeps
+    at least its best doc — the diversity property j91 lacks."""
+    from json2hbase_spark import registry
+
+    rows = registry.QUERIES["j94_source_budget_select"](spark, SF).collect()
+    sel_sources = {r.source for r in rows if r.selected}
+    all_sources = {r.source for r in rows}
+    assert sel_sources == all_sources
+
+
+def test_j95_gate_invariants(spark):
+    """Per-source report: flagged ≤ docs, density in [0, 1], and the
+    fixture vocabulary guarantees hits (the 'slow' token) while
+    'crash' can never match anything."""
+    from json2hbase_spark import registry
+
+    rows = registry.QUERIES["j95_blockword_gate"](spark, SF).collect()
+    assert rows
+    assert sum(r.total_block_hits for r in rows) > 0
+    for r in rows:
+        assert 0 <= r.n_flagged <= r.n_docs
+        assert 0.0 <= r.corpus_block_density <= 1.0
+
+
+def test_j95_constructed_gate(spark, tmp_path):
+    """A doc that is 40% blockwords must be flagged; a clean doc and a
+    doc with a blockword as a SUBSTRING of a longer token must not."""
+    from json2hbase_spark import registry
+
+    docs = spark.createDataFrame(
+        [
+            (0, "slow slow dup fast big", "en", "s0", 21),
+            (1, "fast big small table scan", "en", "s0", 25),
+            (2, "slowest dupster fast big scan", "en", "s1", 29),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "gatefix")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r.source: r for r in registry.QUERIES["j95_blockword_gate"](spark, d).collect()}
+    assert out["s0"].n_flagged == 1 and out["s0"].total_block_hits == 3
+    # token-boundary rule: 'slowest'/'dupster' contain blockwords as
+    # substrings but match nothing
+    assert out["s1"].n_flagged == 0 and out["s1"].total_block_hits == 0
+
+
+def test_j96_cluster_invariants(spark):
+    """Every cluster: ≥2 docs, distinct texts ≤ docs, langs ≤ docs,
+    rep_doc is a real doc id; the fixture corpus (no exact dups) must
+    still produce shared-head clusters."""
+    from json2hbase_spark import registry
+
+    rows = registry.QUERIES["j96_prefix_cluster"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_docs >= 2
+        assert 1 <= r.n_texts <= r.n_docs
+        assert 1 <= r.n_langs <= r.n_docs
+        assert r.rep_doc >= 0
+    # no exact text dups in this fixture → heads are shared, bodies
+    # differ: every cluster's texts are all distinct
+    for r in rows:
+        assert r.n_texts == r.n_docs
+
+
+def test_j96_constructed_shared_head(spark, tmp_path):
+    """Two docs sharing exactly their first 16 tokens cluster; a doc
+    differing in token 16 stays out."""
+    from json2hbase_spark import registry
+
+    head = " ".join(f"t{i}" for i in range(16))
+    d0 = head + " tailA tailB"
+    d1 = head + " tailC tailD"
+    d2 = " ".join(f"t{i}" for i in range(15)) + " OTHER tailE tailF"
+    docs = spark.createDataFrame(
+        [
+            (0, d0, "en", "s0", len(d0)),
+            (1, d1, "en", "s0", len(d1)),
+            (2, d2, "en", "s0", len(d2)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "headfix")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = registry.QUERIES["j96_prefix_cluster"](spark, d).collect()
+    assert len(rows) == 1
+    assert rows[0].n_docs == 2 and rows[0].n_texts == 2 and rows[0].rep_doc == 0
+
+
+def test_j97_covariance_matches_numpy_exactly(spark):
+    """The integer-quantized covariance numerators must equal a numpy
+    int64 recompute bit-for-bit (that is the point of quantizing), and
+    the derived cov must equal the numerator scaled."""
+    import math
+
+    import numpy as np
+
+    from json2hbase_spark import registry
+    from json2hbase_spark.plans.selection_queries import COV_SCALE
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").orderBy("vec_id").collect()
+    q = np.array(
+        [[math.floor(float(x) * COV_SCALE) for x in r.embedding] for r in emb],
+        dtype=np.int64,
+    )
+    n, d = q.shape
+    sxy = q.T @ q  # d×d int64
+    s = q.sum(axis=0)
+    rows = registry.QUERIES["j97_embed_covariance"](spark, SF).collect()
+    assert len(rows) == d * (d + 1) // 2
+    for r in rows:
+        want = n * int(sxy[r.i, r.j]) - int(s[r.i]) * int(s[r.j])
+        assert r.cov_num == want, (r.i, r.j)
+        assert r.cov == pytest.approx(
+            round(want / (n * n * COV_SCALE * COV_SCALE), 6), abs=1e-12
+        )
+    # diagonal entries are n·Σq² − (Σq)² ≥ 0 by Cauchy-Schwarz
+    for r in rows:
+        if r.i == r.j:
+            assert r.cov_num >= 0
+
+
+def test_j98_canonicalization_collapses_variants(spark):
+    """Per host: exactly 2 URLs per doc collapse to 1 canonical each
+    (ratio 0.5), and no canonical string retains tracking params,
+    default port, fragment, or uppercase scheme/host."""
+    from json2hbase_spark import registry
+
+    rows = registry.QUERIES["j98_url_canonical_dedup"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_urls == 2 * r.n_docs
+        assert r.n_canonical == r.n_docs
+        assert r.dedup_ratio == pytest.approx(0.5)
+        for c in (r.min_canon, r.max_canon):
+            assert c.startswith("https://")
+            assert "utm_" not in c and ":443" not in c and "#" not in c
+            host = c.split("://", 1)[1].split("/", 1)[0]
+            assert host == host.lower()

@@ -71,6 +71,10 @@ EXEMPLARS = [
      "hour level consumes minute partials; payload = time buckets"),
     ("f3_topk_global", "global top-k (f3/j3/j60)", "bounded",
      "TakeOrdered ships k rows per partition, then k total"),
+    ("j94_source_budget_select", "grouped bucketed prefix sum (j91/j94)", "linear",
+     "narrow (id, tokens, source, bucket) metadata; offsets broadcast"),
+    ("j97_embed_covariance", "pair-explode covariance (j97)", "bounded",
+     "≤ d(d+1)/2 partial rows per partition regardless of corpus size"),
 ]
 
 _UNIT = {"B": 1, "KiB": 2**10, "MiB": 2**20, "GiB": 2**30, "TiB": 2**40}

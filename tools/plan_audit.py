@@ -74,6 +74,11 @@ AUDIT = {
     "j91_token_budget_select": "j12 scoring map + bucketed prefix sum with a VALUE-derived monotone bucket (quality band); no SinglePartition window, no join beyond the broadcast offsets",
     "j92_langid_segments": "vote vocabulary broadcast onto the segment-token stream; corpus side is explode → distinct → bounded hash aggs + per-doc window; n_segments carried arithmetically — no corpus-side join",
     "j93_dup_substring_ranges": "every-offset gram stream → count-over-window on gram hash → per-doc island window → bounded aggs; chars-heavy BY SEMANTICS (ExactSubstr), no join, no cartesian, linear",
+    "j94_source_budget_select": "GROUPED bucketed prefix sum: partition key (source, quality-band bucket) — no per-source SinglePartition window; offsets broadcast (|sources|·buckets rows)",
+    "j95_blockword_gate": "blocklist as in-expression array literal; one narrow map pass + one partial-combined hash agg on source; no UDF, no join, no explode",
+    "j96_prefix_cluster": "md5(first-K-tokens) per doc → ONE partial-combined hash agg on the 16-byte key; HAVING prunes the singleton tail; no join/explode/window",
+    "j97_embed_covariance": "pair explode (i≤j) into ONE partial-combined hash agg — shuffle ≤ d(d+1)/2 rows per partition, independent of corpus size",
+    "j98_url_canonical_dedup": "codegen'd regex canonicalizer (no UDF) + one partial-combined hash agg on host; canonical string is the downstream dedup key",
 }
 
 MARKERS = (

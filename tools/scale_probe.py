@@ -88,6 +88,16 @@ PROBES = [
     "j91_token_budget_select",
     "j92_langid_segments",
     "j93_dup_substring_ranges",
+    # round-7 selection family: j94 is the GROUPED bucketed prefix sum
+    # (a lost group/bucket key would serialize a source into one
+    # task), j95/j96/j98 are narrow map passes into bounded hash aggs
+    # — probing pins all four linear. j97 is embeddings-based (the
+    # probe scales documents only) with a corpus-size-independent d²
+    # shuffle; its scale posture is pinned by test_j97 instead.
+    "j94_source_budget_select",
+    "j95_blockword_gate",
+    "j96_prefix_cluster",
+    "j98_url_canonical_dedup",
 ]
 
 
@@ -112,7 +122,7 @@ def build_scaled(spark, sf_dir: str, mult: int, out_dir: str) -> None:
     big.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
 
-def run_suite(spark, sf_dir: str) -> dict[str, float]:
+def run_suite(spark, sf_dir: str, only: list[str] | None = None) -> dict[str, float]:
     """Min of three runs per query — the probe compares ALGORITHMIC
     scaling, so neither first-touch costs (parquet footers, codegen
     for the new path shape) nor this host's sporadic multi-second
@@ -120,7 +130,7 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
     of two runs poisoned four ratios in the round-7 first attempt)
     may masquerade as data-size terms."""
     times = {}
-    for name in PROBES:
+    for name in only if only is not None else PROBES:
         best = None
         for _ in range(3):
             t0 = time.perf_counter()
@@ -186,6 +196,13 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--emb-mult", type=int, default=4)
+    ap.add_argument(
+        "--only",
+        nargs="+",
+        help="probe just these doc-family queries and APPEND their rows "
+        "to SCALE.md's main table (incremental mode for newly added "
+        "ops; the full rewrite re-measures everything)",
+    )
     args = ap.parse_args()
 
     import tempfile
@@ -195,6 +212,21 @@ def main() -> None:
 
     big_dir = f"{tempfile.gettempdir()}/j2h_scale_{args.mult}x"
     build_scaled(spark, args.sf, args.mult, big_dir)
+
+    if args.only:
+        run_suite(spark, args.sf, args.only)  # warm
+        base = run_suite(spark, args.sf, args.only)
+        scaled = run_suite(spark, big_dir, args.only)
+        rows = []
+        for name in args.only:
+            r = round(scaled[name] / base[name], 1) if base[name] > 0 else float("nan")
+            rows.append(f"| {name} | {base[name]:.2f} | {scaled[name]:.2f} | ×{r} |")
+        text = (REPO / "SCALE.md").read_text()
+        marker = "\n## Embeddings family"
+        head, sep, tail = text.partition(marker)
+        (REPO / "SCALE.md").write_text(head.rstrip("\n") + "\n" + "\n".join(rows) + "\n" + sep + tail)
+        print("\n".join(rows))
+        return
 
     # warm (compile) once at base scale, then measure base and scaled
     run_suite(spark, args.sf)
