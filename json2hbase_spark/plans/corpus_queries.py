@@ -2697,3 +2697,100 @@ def j61_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("k"), F.lit(0)).cast("bigint").alias("n_sampled"),
         )
     )
+
+
+# --------------------------------------------------------------- j101
+
+
+def _duck_source_dup_matrix_oracle() -> str:
+    base = _duck_md5_minhash_oracle()
+    head = base[: base.index("SELECT c.doc_a")]
+    jacc = (
+        "CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)"
+        " / (len(sa.shingles) + len(sb.shingles)"
+        " - len(list_intersect(sa.shingles, sb.shingles)))"
+    )
+    return (
+        head
+        + f""", pairs AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(floor({jacc} * 10000) AS BIGINT) AS qj
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b
+      WHERE {jacc} >= 0.5
+    ),
+    srcd AS (
+      SELECT least(da.source, db.source) AS src_a,
+             greatest(da.source, db.source) AS src_b,
+             p.qj
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.doc_a
+      JOIN documents db ON db.doc_id = p.doc_b
+    )
+    SELECT src_a, src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(qj) AS DOUBLE) / (COUNT(*) * 10000), 4) AS avg_jacc,
+           round(CAST(MAX(qj) AS DOUBLE) / 10000, 4) AS max_jacc
+    FROM srcd GROUP BY src_a, src_b
+    """
+    )
+
+
+@query("j101_source_dup_matrix", oracle=_duck_source_dup_matrix_oracle())
+def j101_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — WHO mirrors WHOM: the
+    verified near-dup pairs (j48's banded md5-MinHash candidates,
+    confirmed at exact Jaccard ≥ 0.5 on the materialized shingle
+    arrays) rolled up to unordered source pairs with pair count and
+    avg/max similarity. The diagonal (src_a == src_b) is within-source
+    duplication (template reuse); off-diagonal cells are mirror/
+    syndication relationships — at corpus scale this matrix is what
+    decides crawl-source priorities and which source pair gets a
+    targeted dedup pass. Exactness: per-pair Jaccard quantizes to a
+    BIGINT (floor(j·10⁴)) before the sum, so avg_jacc is one division
+    of exact integers — no float-summation-order drift to tolerate.
+
+    Plan: reuses j48/j49's shared pipeline (materialized shingle
+    table, banded candidate join — never all-pairs); the source
+    attach is two equi joins of the TINY verified-pair set against
+    the corpus (each a broadcast of pairs in practice); the final agg
+    is |sources|² bounded. At 100 TB the matrix costs the same banded
+    dedup everyone already runs plus two id-keyed lookups.
+    Cites j48 (corpus_queries.py) and SCALE.md's banding linearity."""
+    sh, cand = _md5_minhash_parts(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jacc = inter.cast("double") / union
+    pairs = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jacc", jacc)
+        .filter(F.col("jacc") >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(F.col("jacc") * 10000).cast("bigint").alias("qj"),
+        )
+    )
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_1"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_2"))
+    srcd = (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            F.least("src_1", "src_2").alias("src_a"),
+            F.greatest("src_1", "src_2").alias("src_b"),
+            "qj",
+        )
+    )
+    return srcd.groupBy("src_a", "src_b").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(F.sum("qj").cast("double") / (F.count("*") * 10000), 4).alias(
+            "avg_jacc"
+        ),
+        F.round(F.max("qj").cast("double") / 10000, 4).alias("max_jacc"),
+    )

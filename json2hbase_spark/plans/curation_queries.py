@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from json2hbase_spark.io import load
+from json2hbase_spark.io import load, widen
 from json2hbase_spark.materialize import materialize
 from json2hbase_spark.operators.prefix import (
     CUMSUM_BUCKETS,
@@ -1350,7 +1350,7 @@ def j93_dup_substring_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide), matching the paper's ≥2-occurrences rule."""
     docs = load(spark, sf_dir, "documents")
     pos = (
-        docs.filter(F.col("n_chars") >= DUP_GRAM)
+        widen(docs.filter(F.col("n_chars") >= DUP_GRAM))
         .select(
             "doc_id",
             "n_chars",

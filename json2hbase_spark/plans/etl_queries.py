@@ -1053,3 +1053,46 @@ def verify_manifest(actual_df: DataFrame, expected_df: DataFrame) -> DataFrame:
             & (F.col("content_digest") == F.col("exp_digest"))
         ).alias("verified"),
     )
+
+
+@query(
+    "a26_jsonl_gzip",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(len(text)) AS BIGINT) AS sum_len
+    FROM documents
+    GROUP BY source
+    """,
+)
+def a26_jsonl_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed JSONL round-trip — the de-facto interchange format of
+    web-corpus pipelines (CommonCrawl derivatives ship as .jsonl.gz):
+    documents written as gzip line-delimited JSON, re-ingested with
+    schema inference, and aggregated per source; the oracle (computed
+    from the original parquet) proves the codec+parse cycle is
+    lossless including full text bytes (sum_len), not just row counts.
+
+    Plan/scale: gzip is NOT splittable — one .gz file = one read task,
+    so the writer keeps the input partitioning (many ~shard-sized
+    files) rather than coalescing; at 100 TB the reader's parallelism
+    equals the file count, which is why pipelines shard .jsonl.gz to
+    ~100 MB-1 GB files. (zstd would be the better codec — splittable
+    frames via seekable format, faster — but gzip is what the public
+    corpora actually ship.) Schema inference pays one extra pass;
+    production readers pass an explicit schema, as the read-back here
+    documents."""
+    import os
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents")
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"j2h_docs_jsonl_gz_{tag}")
+    docs.write.mode("overwrite").option("compression", "gzip").json(path)
+    back = spark.read.json(path)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_len"),
+    )

@@ -1457,3 +1457,80 @@ def d15_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("o_orderkey", "price_key").alias("worst_order"),
         F.count("*").alias("n_orders"),
     )
+
+
+@query(
+    "b12_scd2_build",
+    oracle="""
+    WITH chg AS (
+      SELECT o_custkey AS custkey, o_orderpriority AS priority,
+             o_orderdate::TIMESTAMP AS ts, o_orderkey,
+             lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey)
+               AS prev_priority
+      FROM orders
+    ),
+    starts AS (
+      SELECT custkey, priority, ts, o_orderkey
+      FROM chg
+      WHERE prev_priority IS NULL OR priority != prev_priority
+    ),
+    vers AS (
+      SELECT custkey, priority,
+             row_number() OVER (PARTITION BY custkey
+                                ORDER BY ts, o_orderkey) AS version,
+             CAST(CAST(ts AS DATE) AS VARCHAR) AS eff_from,
+             CAST(CAST(lead(ts) OVER (PARTITION BY custkey
+                                      ORDER BY ts, o_orderkey) AS DATE)
+                  AS VARCHAR) AS eff_to
+      FROM starts
+    )
+    SELECT custkey, priority, CAST(version AS BIGINT) AS version,
+           eff_from, eff_to,
+           (eff_to IS NULL) AS is_current
+    FROM vers
+    """,
+)
+def b12_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (slowly-changing-dimension type 2) history build from a
+    change log: orders read as per-customer attribute updates
+    (o_orderpriority is the tracked attribute, o_orderdate the change
+    time, o_orderkey the deterministic LSN tiebreak). True SCD2 only
+    opens a new version when the value CHANGES, so consecutive
+    identical updates collapse first (lag-compare), then each change
+    row gets its version number and validity interval
+    [eff_from, eff_to) from lead(); the open version has eff_to NULL
+    and is_current true. This is the warehouse-dimension complement of
+    b6 (which materializes only the latest snapshot).
+
+    Plan: ONE shuffle on custkey serves all three windows (lag,
+    row_number, lead share the partition key — Catalyst reuses the
+    exchange; the change-collapse filter runs between them, shrinking
+    the later windows' input to change rows only). At 100 TB the
+    history builds per key partition with no global sort; validity
+    bounds surface as date strings (the fixture's change grain),
+    keeping the comparison engine-agnostic."""
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey",
+    )
+    # rename BEFORE the first window so both window specs share the
+    # exact (custkey, ts, o_orderkey) sort order and Catalyst reuses
+    # one exchange+sort for all three functions
+    w_ord = Window.partitionBy("custkey").orderBy("ts", "o_orderkey")
+    chg = orders.withColumn("prev_priority", F.lag("priority").over(w_ord))
+    starts = chg.filter(
+        F.col("prev_priority").isNull()
+        | (F.col("priority") != F.col("prev_priority"))
+    )
+    w_ver = Window.partitionBy("custkey").orderBy("ts", "o_orderkey")
+    vers = starts.select(
+        "custkey",
+        "priority",
+        F.row_number().over(w_ver).cast("bigint").alias("version"),
+        F.col("ts").cast("date").cast("string").alias("eff_from"),
+        F.lead("ts").over(w_ver).cast("date").cast("string").alias("eff_to"),
+    )
+    return vers.withColumn("is_current", F.col("eff_to").isNull())

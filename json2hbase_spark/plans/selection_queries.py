@@ -489,3 +489,221 @@ def j98_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("canon").alias("max_canon"),
         )
     )
+
+
+# ---------------------------------------------------------------- j99
+
+WINNOW_K = 16  # gram width (chars)
+WINNOW_W = 8  # winnowing window (grams); guarantee = W + K - 1 = 23 chars
+
+
+@query(
+    "j99_winnow_fingerprint",
+    oracle=f"""
+    WITH pos AS (
+      SELECT d.doc_id, d.n_chars, i.i,
+             substr(md5(substr(d.text, i.i, {WINNOW_K})), 1, 16) ||
+             lpad(CAST(100000000 - i.i AS VARCHAR), 9, '0') AS key
+      FROM documents d,
+           LATERAL (SELECT unnest(range(1, d.n_chars - {WINNOW_K} + 2)) AS i) i
+      WHERE d.n_chars >= {WINNOW_K} + {WINNOW_W} - 1
+    ),
+    win AS (
+      SELECT doc_id, n_chars, i,
+             MIN(key) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN {WINNOW_W} - 1 PRECEDING AND CURRENT ROW)
+               AS sel_key
+      FROM pos
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, n_chars, substr(sel_key, 1, 16) AS fh
+      FROM win WHERE i >= {WINNOW_W}
+    ),
+    hshare AS (
+      SELECT fh, COUNT(DISTINCT doc_id) AS n_docs FROM sel GROUP BY fh
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_fp,
+           CAST(SUM(CASE WHEN h.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_fp,
+           round(CAST(SUM(CASE WHEN h.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS shared_frac,
+           round(CAST(COUNT(*) AS DOUBLE)
+                 / (s.n_chars - {WINNOW_K} + 1), 4) AS fp_density
+    FROM sel s JOIN hshare h USING (fh)
+    GROUP BY s.doc_id, s.n_chars
+    """,
+)
+def j99_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003
+    — the MOSS algorithm): hash a {WINNOW_K}-char gram at every
+    offset, slide a {WINNOW_W}-gram window, and select each window's
+    MINIMUM hash (ties broken by RIGHTMOST position — robust
+    winnowing); the distinct selected hashes are the doc's
+    fingerprints. Guarantee: any shared substring of at least
+    W + K - 1 chars produces at least one shared fingerprint, with a
+    ~2/(W+1) expected selection density — the principled middle ground
+    between j13 (strided fingerprints: cheap, no guarantee) and j93
+    (every-offset audit: exact, chars-heavy output). Per doc:
+    fingerprint count, fingerprints shared with ≥2 docs, shared
+    fraction (the dup-candidate signal), and selection density.
+
+    Plan: the min-with-rightmost-tiebreak is ONE window min over a
+    string key that encodes (hash, reversed zero-padded position) —
+    lexicographic min IS the tuple min, no argmin gymnastics, portable
+    to any engine. The hash is md5 TRUNCATED to 16 hex chars (64
+    bits): both engines truncate identically so the selection stays
+    bit-equal, and the narrower key measured 4× faster end-to-end at
+    sf0.1 (the key rides a 10M-row sort, a sliding min, and a
+    distinct — byte width is the constant that matters; 64-bit
+    fingerprints are what MOSS deployments use). The gram stream is
+    linear (~n_chars rows); the trailing ROWS window runs inside the
+    per-doc sort the island window families (j93) already pay; the
+    share test is one hash agg on the fingerprint + an equi join
+    back. At 100 TB fingerprint selection is embarrassingly parallel
+    per doc; only the DISTINCT fingerprint table (~2/(W+1) of gram
+    volume) shuffles corpus-wide."""
+    docs = load(spark, sf_dir, "documents")
+    pos = (
+        widen(docs.filter(F.col("n_chars") >= WINNOW_K + WINNOW_W - 1))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_chars").cast("int") - WINNOW_K + 1)
+            ).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "i",
+            F.concat(
+                F.substring(F.md5(F.expr(f"substring(text, i, {WINNOW_K})")), 1, 16),
+                F.lpad((F.lit(100000000) - F.col("i")).cast("string"), 9, "0"),
+            ).alias("key"),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-(WINNOW_W - 1), Window.currentRow)
+    )
+    sel = (
+        pos.withColumn("sel_key", F.min("key").over(w))
+        .filter(F.col("i") >= WINNOW_W)
+        .select("doc_id", "n_chars", F.substring("sel_key", 1, 16).alias("fh"))
+        .distinct()
+    )
+    hshare = sel.groupBy("fh").agg(F.countDistinct("doc_id").alias("n_docs"))
+    shared = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
+    return (
+        sel.join(hshare, "fh")
+        .groupBy("doc_id", "n_chars")
+        .agg(
+            F.count("*").cast("bigint").alias("n_fp"),
+            F.sum(shared).cast("bigint").alias("n_shared_fp"),
+            F.round(F.sum(shared).cast("double") / F.count("*"), 4).alias(
+                "shared_frac"
+            ),
+            F.round(
+                F.count("*").cast("double") / (F.col("n_chars") - WINNOW_K + 1), 4
+            ).alias("fp_density"),
+        )
+        .select("doc_id", "n_fp", "n_shared_fp", "shared_frac", "fp_density")
+    )
+
+
+# --------------------------------------------------------------- j100
+
+# invisible-character set every web corpus carries: zero-width space /
+# non-joiner / joiner, BOM; plus NBSP which folds to a regular space
+ZERO_WIDTH = "​‌‍﻿"
+NBSP = " "
+# deterministic mess injected per doc (j98's synthesize-the-input
+# pattern): leading spaces, a zero-width + NBSP cluster mid-doc, a tab
+# tail — so the normalizer provably removes a KNOWN dirt budget
+_MESS_MID = " " + ZERO_WIDTH[0] + NBSP + ZERO_WIDTH[3] + " "
+
+
+@query(
+    "j100_text_normalize",
+    oracle=f"""
+    WITH messy AS (
+      SELECT doc_id, source,
+             '  ' || text || '{_MESS_MID}' || substr(text, 1, 10) || chr(9)
+               AS raw
+      FROM documents
+    ),
+    norm AS (
+      SELECT doc_id, source, raw,
+             trim(regexp_replace(
+               regexp_replace(
+                 replace(raw, '{NBSP}', ' '),
+                 '[{ZERO_WIDTH}]', '', 'g'),
+               '[ \t\r\n]+', ' ', 'g')) AS clean
+      FROM messy
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN clean != raw THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_changed,
+           CAST(SUM(len(raw) - len(clean)) AS BIGINT) AS chars_removed,
+           CAST(SUM(len(clean)) AS BIGINT) AS sum_clean_len,
+           MIN(md5(clean)) AS min_clean_md5
+    FROM norm GROUP BY source
+    """,
+)
+def j100_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode dirt normalization — the first map pass of every web
+    pipeline: zero-width characters (ZWSP/ZWNJ/ZWJ/BOM) strip, NBSP
+    folds to a plain space, whitespace runs collapse to one space,
+    ends trim. Each doc gets a deterministic messy variant (leading
+    spaces + a zero-width/NBSP cluster + duplicated head + tab tail —
+    j98's synthesize-the-dirt pattern, since the fixture text is
+    clean), and the per-source report proves the normalizer: every doc
+    changes, the removed-chars budget is exact, and min(md5(clean))
+    hash-verifies the full cleaned BYTES, not just counts. The regex
+    set is RE2-safe (explicit character classes, no \\s whose Unicode
+    scope differs by engine, no lookaround) so Spark's Java regex and
+    DuckDB's RE2 provably agree.
+
+    Plan: pure per-row codegen'd string expressions (replace + two
+    regexp_replace + trim — no UDF) into one map-side-combinable hash
+    agg on source; a 100 TB corpus pays one scan and a |sources|-row
+    exchange. NFC/NFKC canonicalization is the one step Spark lacks a
+    built-in for — at 100 TB that runs as an Arrow-batched
+    mapInPandas (unicodedata.normalize) AFTER this cheap native pass
+    has handled the high-frequency dirt, keeping the Python path off
+    the hot bytes."""
+    docs = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("  "),
+        F.col("text"),
+        F.lit(_MESS_MID),
+        F.substring("text", 1, 10),
+        F.lit("\t"),
+    )
+    messy = docs.select("doc_id", "source", raw.alias("raw"))
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.replace(F.col("raw"), F.lit(NBSP), F.lit(" ")),
+                f"[{ZERO_WIDTH}]",
+                "",
+            ),
+            "[ \t\r\n]+",
+            " ",
+        )
+    )
+    norm = messy.withColumn("clean", clean)
+    changed = F.when(F.col("clean") != F.col("raw"), 1).otherwise(0)
+    return norm.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(changed).cast("bigint").alias("docs_changed"),
+        F.sum(F.length("raw") - F.length("clean")).cast("bigint").alias(
+            "chars_removed"
+        ),
+        F.sum(F.length("clean")).cast("bigint").alias("sum_clean_len"),
+        F.min(F.md5("clean")).alias("min_clean_md5"),
+    )

@@ -551,3 +551,46 @@ def test_embed_quantize_error_bound_and_recall_range(spark, sf_dir):
     assert 0.0 <= row.recall5 <= 1.0
     assert row.recall5 >= 0.8, row  # 255-level SQ should barely dent top-5
     assert row.n_vecs == len(emb)
+
+
+def test_j101_source_matrix_diagonal_and_mirror(spark, tmp_path):
+    """Constructed corpus: source s0 mirrors s1 (near-identical long
+    docs → off-diagonal cell), s2 has two near-dup templates of its
+    own (diagonal cell), s3 is unique text (appears nowhere)."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "in spain falls mainly on the plain and every good boy does fine"
+    )
+    tmpl = (
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+        "eiusmod tempor incididunt ut labore et dolore magna aliqua"
+    )
+    uniq = (
+        "zyx wvu tsr qpo nml kji hgf edc ba quite unlike anything else "
+        "in this corpus by construction with different character grams"
+    )
+    rows = [
+        (0, base + " tail one", "en", "s0"),
+        (1, base + " tail two", "en", "s1"),
+        (2, tmpl + " alpha", "en", "s2"),
+        (3, tmpl + " betaa", "en", "s2"),
+        (4, uniq, "en", "s3"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, l, s, len(t)) for i, t, l, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "srcmat")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {
+        (r.src_a, r.src_b): r
+        for r in registry.QUERIES["j101_source_dup_matrix"](spark, d).collect()
+    }
+    assert ("s0", "s1") in out and out[("s0", "s1")].n_pairs == 1
+    assert ("s2", "s2") in out and out[("s2", "s2")].n_pairs == 1
+    assert all("s3" not in k for k in out)
+    for r in out.values():
+        assert 0.5 <= r.avg_jacc <= r.max_jacc <= 1.0

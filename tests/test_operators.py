@@ -309,3 +309,86 @@ def test_j36_quartiles_partition_docs(spark, sf_dir):
     assert top.n_sampled == top.n_docs
     for r in rows:
         assert 0 <= r.n_sampled <= r.n_docs
+
+
+def test_b12_scd2_collapses_and_versions(spark, tmp_path):
+    """SCD2 semantics on a constructed change log: consecutive
+    identical values collapse into one version, a re-appearing value
+    opens a NEW version (type 2, not type 1), exactly one open
+    version per key, and intervals chain [from, to) without gaps."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    rows = [
+        # custkey 1: A, A (collapse), B, A (re-open) on 4 dates
+        (100, 1, "O", 10.0, "2024-01-01", "A"),
+        (101, 1, "O", 10.0, "2024-02-01", "A"),
+        (102, 1, "O", 10.0, "2024-03-01", "B"),
+        (103, 1, "O", 10.0, "2024-04-01", "A"),
+        # custkey 2: single order → one open version
+        (104, 2, "O", 10.0, "2024-01-15", "C"),
+    ]
+    df = spark.createDataFrame(
+        [(k, c, s, p, __import__("datetime").datetime.fromisoformat(d), pr)
+         for k, c, s, p, d, pr in rows],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    d = str(tmp_path / "scd2fix")
+    df.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    out = sorted(
+        registry.QUERIES["b12_scd2_build"](spark, d).collect(),
+        key=lambda r: (r.custkey, r.version),
+    )
+    c1 = [r for r in out if r.custkey == 1]
+    assert [(r.priority, r.eff_from, r.eff_to) for r in c1] == [
+        ("A", "2024-01-01", "2024-03-01"),
+        ("B", "2024-03-01", "2024-04-01"),
+        ("A", "2024-04-01", None),
+    ]
+    assert [r.version for r in c1] == [1, 2, 3]
+    assert [r.is_current for r in c1] == [False, False, True]
+    c2 = [r for r in out if r.custkey == 2]
+    assert len(c2) == 1 and c2[0].is_current and c2[0].eff_to is None
+
+
+def test_b12_one_current_version_per_key(spark):
+    """On the fixture: every customer has exactly one open version and
+    version numbers are dense from 1."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    out = registry.QUERIES["b12_scd2_build"](spark, "/root/testdata/sf0.001").collect()
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r.custkey, []).append(r)
+    for k, rs in by_key.items():
+        assert sum(1 for r in rs if r.is_current) == 1, k
+        assert sorted(r.version for r in rs) == list(range(1, len(rs) + 1)), k
+
+
+def test_a26_gzip_files_and_lossless_text(spark, tmp_path):
+    """The sink actually writes .gz parts, and the round-trip
+    preserves full text bytes (hash compare, not just counts)."""
+    import glob
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from json2hbase_spark import registry
+    from json2hbase_spark.io import load
+
+    registry.load_all_query_modules()
+    sf = "/root/testdata/sf0.001"
+    registry.QUERIES["a26_jsonl_gzip"](spark, sf).collect()
+    tag = sf.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"j2h_docs_jsonl_gz_{tag}")
+    parts = glob.glob(f"{path}/part-*")
+    assert parts and all(p.endswith(".json.gz") for p in parts)
+    back = spark.read.json(path)
+    want = load(spark, sf, "documents")
+    h = lambda df: df.select(  # noqa: E731
+        F.md5(F.concat_ws("|", "doc_id", "text", "lang", "source")).alias("h")
+    ).agg(F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint")).alias("s")).collect()[0].s
+    assert h(back) == h(want)

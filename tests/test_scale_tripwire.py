@@ -67,6 +67,14 @@ TRIPWIRE_QUERIES = [
     "j95_blockword_gate",
     "j96_prefix_cluster",
     "j98_url_canonical_dedup",
+    # second round-7 batch: j99's winnowing sweep is the chars-heavy
+    # gram stream + per-doc sliding min (a lost per-doc partition key
+    # or an accidental pair join would blow the ratio), j100 is a
+    # map pass + bounded agg. b12/a26 are orders/IO-based — out of
+    # this documents-scaling harness's scope.
+    "j99_winnow_fingerprint",
+    "j100_text_normalize",
+    "j101_source_dup_matrix",
 ]
 MULT = 10
 MAX_RATIO = 12.0

@@ -222,3 +222,99 @@ def test_j98_canonicalization_collapses_variants(spark):
             assert "utm_" not in c and ":443" not in c and "#" not in c
             host = c.split("://", 1)[1].split("/", 1)[0]
             assert host == host.lower()
+
+
+def test_j99_winnowing_guarantee(spark, tmp_path):
+    """Winnowing's theorem: two docs sharing a substring of at least
+    W + K - 1 chars MUST share a fingerprint; tiny docs (< K+W-1
+    chars) produce no fingerprints at all."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.plans.selection_queries import WINNOW_K, WINNOW_W
+
+    shared = "the quick brown fox jumps over the lazy dog again"  # 49 chars
+    assert len(shared) >= WINNOW_K + WINNOW_W - 1
+    d0 = "prefix one two three " + shared + " suffix alpha beta"
+    d1 = "totally different head here " + shared + " other tail text"
+    d2 = "no overlap with anything else whatsoever in this doc body"
+    d3 = "tiny"
+    docs = spark.createDataFrame(
+        [
+            (0, d0, "en", "s0", len(d0)),
+            (1, d1, "en", "s0", len(d1)),
+            (2, d2, "en", "s1", len(d2)),
+            (3, d3, "en", "s1", len(d3)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "winfix")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r.doc_id: r for r in registry.QUERIES["j99_winnow_fingerprint"](spark, d).collect()}
+    assert 3 not in out  # below the K+W-1 floor → no fingerprints
+    assert out[0].n_shared_fp >= 1 and out[1].n_shared_fp >= 1
+    assert out[2].n_shared_fp == 0
+    for r in out.values():
+        assert 0 < r.n_fp
+        assert 0 <= r.n_shared_fp <= r.n_fp
+        assert 0.0 < r.fp_density <= 1.0
+
+
+def test_j99_density_near_theory(spark):
+    """Selection density should sit near the 2/(W+1) theoretical
+    expectation for random text (loose band: the fixture text is
+    natural-ish, not uniform random)."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.plans.selection_queries import WINNOW_W
+
+    rows = registry.QUERIES["j99_winnow_fingerprint"](spark, SF).collect()
+    assert rows
+    mean_density = sum(r.fp_density for r in rows) / len(rows)
+    theory = 2.0 / (WINNOW_W + 1)
+    assert 0.3 * theory < mean_density < 3.0 * theory
+
+
+def test_j100_normalizer_exact_budget(spark, tmp_path):
+    """The injected dirt budget is exact: leading '  ' (2) + the
+    5-char mid cluster loses its 2 zero-width chars and collapses
+    ' NBSP ' to one space (4 more), + trailing tab collapses into the
+    trim (1): clean = text + ' ' + head10 when text itself is clean."""
+    from json2hbase_spark import registry
+
+    t0 = "clean body text with no dirt inside it"
+    docs = spark.createDataFrame(
+        [(0, t0, "en", "s0", len(t0))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "normfix")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    r = registry.QUERIES["j100_text_normalize"](spark, d).collect()[0]
+    expected_clean = t0 + " " + t0[:10]
+    assert r.docs_changed == 1
+    assert r.sum_clean_len == len(expected_clean)
+    # raw = 2 + len(t0) + 5 + 10 + 1; clean = len(t0) + 1 + 10
+    assert r.chars_removed == (2 + len(t0) + 5 + 10 + 1) - (len(t0) + 1 + 10)
+
+
+def test_j100_idempotent(spark):
+    """Running the normalizer over already-clean output changes
+    nothing (fixed point) — checked in-expression on the fixture."""
+    from pyspark.sql import functions as F
+
+    from json2hbase_spark.io import load
+    from json2hbase_spark.plans.selection_queries import NBSP, ZERO_WIDTH
+
+    def clean(col):
+        return F.trim(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.replace(col, F.lit(NBSP), F.lit(" ")),
+                    f"[{ZERO_WIDTH}]",
+                    "",
+                ),
+                "[ \t\r\n]+",
+                " ",
+            )
+        )
+
+    docs = load(spark, SF, "documents").select(clean(F.col("text")).alias("c1"))
+    twice = docs.select(F.col("c1"), clean(F.col("c1")).alias("c2"))
+    assert twice.filter(F.col("c1") != F.col("c2")).count() == 0

@@ -79,6 +79,10 @@ AUDIT = {
     "j96_prefix_cluster": "md5(first-K-tokens) per doc → ONE partial-combined hash agg on the 16-byte key; HAVING prunes the singleton tail; no join/explode/window",
     "j97_embed_covariance": "pair explode (i≤j) into ONE partial-combined hash agg — shuffle ≤ d(d+1)/2 rows per partition, independent of corpus size",
     "j98_url_canonical_dedup": "codegen'd regex canonicalizer (no UDF) + one partial-combined hash agg on host; canonical string is the downstream dedup key",
+    "b12_scd2_build": "ONE exchange on custkey serves lag, row_number and lead (Window reuses the partitioning); change-collapse filter shrinks the later windows' input; no global sort",
+    "j99_winnow_fingerprint": "gram explode → per-doc sliding window min on the 25-char (hash ∥ position) key → distinct → hash agg on fingerprint + equi join back; no pair stage, linear in chars",
+    "j100_text_normalize": "per-row codegen string expressions (replace + regexp_replace ×2 + trim, no UDF) into one partial-combined hash agg on source",
+    "j101_source_dup_matrix": "j48's shared banded pipeline (materialized shingles, band-keyed candidate join — never all-pairs) + two id-keyed source joins on the tiny verified-pair set + bounded hash agg",
 }
 
 MARKERS = (

@@ -98,6 +98,16 @@ PROBES = [
     "j95_blockword_gate",
     "j96_prefix_cluster",
     "j98_url_canonical_dedup",
+    # second round-7 batch: j99 is the chars-heavy winnowing sweep
+    # (j93's category — gram stream + per-doc window, linear by
+    # construction), j100 is a pure map pass + bounded agg. b12/a26
+    # are orders/IO-based — this harness scales documents only.
+    "j99_winnow_fingerprint",
+    "j100_text_normalize",
+    # j101 rides j48's banded pipeline — its linearity story is j48's,
+    # but probe it anyway: a regression in the source-attach joins
+    # (e.g. losing the pair-side broadcast) would surface here.
+    "j101_source_dup_matrix",
 ]
 
 
