@@ -1,0 +1,51 @@
+"""CI twin of tools/plan_fingerprint.py: every registered query's
+physical-plan shape signature must match the committed snapshot.
+
+PLANS.md + tests/test_plans_scale.py audit the headline plans in
+depth; this test pins the OTHER two hundred with operator-count
+signatures (join strategy mix, shuffle structure, Python evals,
+global sorts) so a silent plan regression — a broadcast flipping to
+sort-merge, a new cartesian, a Python eval sneaking into a native
+pipeline — fails CI instead of surfacing as a bench delta rounds
+later. New queries are additive (no snapshot row required yet);
+intentional plan changes regenerate with
+`python tools/plan_fingerprint.py`.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def test_plan_fingerprints_match_snapshot(spark):
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    from tools.plan_fingerprint import SNAPSHOT, compute_all
+
+    snap = json.loads(SNAPSHOT.read_text())
+    current = compute_all()
+    assert not [k for k, v in current.items() if v.get("error")], (
+        "queries failed to plan"
+    )
+    changed = {
+        name: {
+            k: (snap[name].get(k, 0), fp.get(k, 0))
+            for k in set(snap[name]) | set(fp)
+            if snap[name].get(k, 0) != fp.get(k, 0)
+        }
+        for name, fp in current.items()
+        if name in snap and snap[name] != fp
+    }
+    removed = sorted(set(snap) - set(current))
+    assert not changed and not removed, (
+        f"plan shapes drifted: {changed or ''} {removed or ''} — if "
+        "intended, regenerate with `python tools/plan_fingerprint.py`"
+    )
+    # the global hygiene invariants hold over EVERY query, not just
+    # the snapshot diff: no cartesian products anywhere, Python evals
+    # only in the declared escape hatches
+    assert all(v.get("cartesian", 0) == 0 for v in current.values())
