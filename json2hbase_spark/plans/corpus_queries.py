@@ -2794,3 +2794,67 @@ def j101_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.max("qj").cast("double") / 10000, 4).alias("max_jacc"),
     )
+
+
+# --------------------------------------------------------------- j102
+
+
+@query(
+    "j102_chunk_dedup",
+    oracle=f"""
+    WITH toks AS ({_DUCK_TOKS}),
+    s AS (
+      SELECT doc_id, w, unnest(range(1, len(w) + 1, {CHUNK_TOKENS})) AS st
+      FROM toks WHERE len(w) >= 1
+    ),
+    ch AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(w, st, least(st + {CHUNK_TOKENS} - 1, len(w))), ' '))
+               AS chunk_hash
+      FROM s
+    ),
+    flagged AS (
+      SELECT doc_id, COUNT(*) OVER (PARTITION BY chunk_hash) AS cnt
+      FROM ch
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           round(CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS dup_chunk_frac
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def j102_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granularity exact dedup — duplication measured at the
+    RAG/training-window unit: docs split into NON-overlapping
+    {CHUNK_TOKENS}-token chunks (j42's chunker at stride = chunk), a
+    chunk occurring ≥2 times corpus-wide (within-doc repeats count,
+    j93's rule) is duplicated; per doc: chunk count, duplicated
+    chunks, duplicated fraction. This is the granularity that matters
+    for training-set token accounting: doc-level dedup (j1) misses a
+    copied section inside an otherwise-unique doc, substring audit
+    (j93) is chars-heavy — chunk hashing is the cheap middle that
+    matches how the data is actually windowed into examples.
+
+    Plan: token split + slice + md5 are one widened map pass
+    (~n_tokens/{CHUNK_TOKENS} rows of 16-byte hashes — 64× lighter
+    than j93's every-offset stream); the dup flag is j93's
+    count-over-window on the hash (one exchange); the per-doc rollup
+    map-side combines. Linear, no join, no pair stage."""
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        widen(docs)
+        .select("doc_id", whitespace_tokens(F.col("text")).alias("w"))
+        .filter(F.size("w") >= 1)
+    )
+    ch = rag_chunks(toks, CHUNK_TOKENS, CHUNK_TOKENS).select("doc_id", "chunk_hash")
+    flagged = ch.withColumn(
+        "cnt", F.count("*").over(Window.partitionBy("chunk_hash"))
+    )
+    dup = F.when(F.col("cnt") >= 2, 1).otherwise(0)
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum(dup).cast("bigint").alias("n_dup_chunks"),
+        F.round(F.sum(dup).cast("double") / F.count("*"), 4).alias("dup_chunk_frac"),
+    )

@@ -1096,3 +1096,98 @@ def a26_jsonl_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
         F.sum(F.length("text")).cast("bigint").alias("sum_len"),
     )
+
+
+@query(
+    "a27_csv_corrupt_recovery",
+    oracle="""
+    WITH base AS (
+      SELECT COUNT(*) AS n_nations,
+             CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+             CAST(SUM(CASE WHEN n_nationkey < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bad
+      FROM nation
+    )
+    SELECT 'PERMISSIVE' AS mode,
+           CAST(n_nations + n_bad AS BIGINT) AS n_rows,
+           n_bad AS n_corrupt, key_sum FROM base
+    UNION ALL
+    SELECT 'DROPMALFORMED' AS mode,
+           CAST(n_nations AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS n_corrupt, key_sum FROM base
+    """,
+)
+def a27_csv_corrupt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-CSV recovery — the source-robustness contract a7's
+    clean scan doesn't test: a CSV staged with one deliberately broken
+    line per low-key nation (wrong column count, non-numeric key) read
+    under both parser policies. PERMISSIVE + columnNameOfCorruptRecord
+    keeps every line and quarantines the broken ones into the corrupt
+    column (the audit-and-fix workflow); DROPMALFORMED silently keeps
+    only parseable rows (the ingest-at-all-costs workflow). The report
+    row per mode (row count, corrupt count, key sum over good rows)
+    hash-proves both policies against the clean source of truth.
+
+    Plan/scale: the policy is parser-level, applied per input split —
+    no shuffle, no driver involvement; a 100 TB ingest pays it inside
+    the scan. FAILFAST (the third policy) is the schema-contract
+    gate — exercised in tests, not here, because it throws by design.
+    Corrupt-row columns must be materialized from the raw line (Spark
+    requires selecting the corrupt column only after caching or from
+    the same scan), which this plan does in one pass per mode."""
+    import os
+    import tempfile
+
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    nation = load(spark, sf_dir, "nation")
+    good = nation.select(
+        F.concat_ws(
+            ",",
+            F.col("n_nationkey").cast("string"),
+            "n_name",
+            F.col("n_regionkey").cast("string"),
+        ).alias("line")
+    )
+    bad = nation.filter(F.col("n_nationkey") < 5).select(
+        F.concat(F.lit("notakey,"), F.col("n_name")).alias("line")
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(tempfile.gettempdir(), f"j2h_csv_corrupt_{tag}")
+    good.unionAll(bad).coalesce(1).write.mode("overwrite").text(path)
+
+    schema = StructType(
+        [
+            StructField("n_nationkey", IntegerType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", IntegerType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+    perm = spark.read.csv(
+        path,
+        schema=schema,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt",
+    )
+    p = perm.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count("_corrupt").cast("bigint").alias("n_corrupt"),
+        F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+    ).select(F.lit("PERMISSIVE").alias("mode"), "n_rows", "n_corrupt", "key_sum")
+    dropm = spark.read.csv(
+        path,
+        schema=StructType(schema.fields[:3]),
+        mode="DROPMALFORMED",
+    )
+    d = dropm.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.lit(0).cast("bigint").alias("n_corrupt"),
+        F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+    ).select(F.lit("DROPMALFORMED").alias("mode"), "n_rows", "n_corrupt", "key_sum")
+    return p.unionAll(d)

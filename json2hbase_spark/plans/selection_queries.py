@@ -496,11 +496,9 @@ def j98_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINNOW_K = 16  # gram width (chars)
 WINNOW_W = 8  # winnowing window (grams); guarantee = W + K - 1 = 23 chars
 
-
-@query(
-    "j99_winnow_fingerprint",
-    oracle=f"""
-    WITH pos AS (
+# the selected-fingerprint CTE chain shared by j99 (per-doc report)
+# and j103 (candidate pairs): gram keys, sliding min, distinct picks
+_DUCK_WINNOW_SEL = f"""pos AS (
       SELECT d.doc_id, d.n_chars, i.i,
              substr(md5(substr(d.text, i.i, {WINNOW_K})), 1, 16) ||
              lpad(CAST(100000000 - i.i AS VARCHAR), 9, '0') AS key
@@ -518,7 +516,50 @@ WINNOW_W = 8  # winnowing window (grams); guarantee = W + K - 1 = 23 chars
     sel AS (
       SELECT DISTINCT doc_id, n_chars, substr(sel_key, 1, 16) AS fh
       FROM win WHERE i >= {WINNOW_W}
-    ),
+    )"""
+
+
+def _winnow_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared winnowing pipeline: the DISTINCT selected fingerprints
+    (doc_id, n_chars, fh) — j99's selection stage, reused by j103."""
+    docs = load(spark, sf_dir, "documents")
+    pos = (
+        widen(docs.filter(F.col("n_chars") >= WINNOW_K + WINNOW_W - 1))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_chars").cast("int") - WINNOW_K + 1)
+            ).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "i",
+            F.concat(
+                F.substring(F.md5(F.expr(f"substring(text, i, {WINNOW_K})")), 1, 16),
+                F.lpad((F.lit(100000000) - F.col("i")).cast("string"), 9, "0"),
+            ).alias("key"),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-(WINNOW_W - 1), Window.currentRow)
+    )
+    return (
+        pos.withColumn("sel_key", F.min("key").over(w))
+        .filter(F.col("i") >= WINNOW_W)
+        .select("doc_id", "n_chars", F.substring("sel_key", 1, 16).alias("fh"))
+        .distinct()
+    )
+
+
+@query(
+    "j99_winnow_fingerprint",
+    oracle=f"""
+    WITH {_DUCK_WINNOW_SEL},
     hshare AS (
       SELECT fh, COUNT(DISTINCT doc_id) AS n_docs FROM sel GROUP BY fh
     )
@@ -563,38 +604,7 @@ def j99_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     back. At 100 TB fingerprint selection is embarrassingly parallel
     per doc; only the DISTINCT fingerprint table (~2/(W+1) of gram
     volume) shuffles corpus-wide."""
-    docs = load(spark, sf_dir, "documents")
-    pos = (
-        widen(docs.filter(F.col("n_chars") >= WINNOW_K + WINNOW_W - 1))
-        .select(
-            "doc_id",
-            "n_chars",
-            F.explode(
-                F.sequence(F.lit(1), F.col("n_chars").cast("int") - WINNOW_K + 1)
-            ).alias("i"),
-            "text",
-        )
-        .select(
-            "doc_id",
-            "n_chars",
-            "i",
-            F.concat(
-                F.substring(F.md5(F.expr(f"substring(text, i, {WINNOW_K})")), 1, 16),
-                F.lpad((F.lit(100000000) - F.col("i")).cast("string"), 9, "0"),
-            ).alias("key"),
-        )
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(-(WINNOW_W - 1), Window.currentRow)
-    )
-    sel = (
-        pos.withColumn("sel_key", F.min("key").over(w))
-        .filter(F.col("i") >= WINNOW_W)
-        .select("doc_id", "n_chars", F.substring("sel_key", 1, 16).alias("fh"))
-        .distinct()
-    )
+    sel = _winnow_selected(spark, sf_dir)
     hshare = sel.groupBy("fh").agg(F.countDistinct("doc_id").alias("n_docs"))
     shared = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
     return (
@@ -706,4 +716,211 @@ def j100_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.length("clean")).cast("bigint").alias("sum_clean_len"),
         F.min(F.md5("clean")).alias("min_clean_md5"),
+    )
+
+
+# --------------------------------------------------------------- j103
+
+FP_MAX_DF = 50  # drop fingerprints shared by more docs (MOSS's
+#                 common-code/boilerplate exclusion — and the pair-
+#                 blowup guard: pairs per fingerprint ≤ FP_MAX_DF²/2)
+PAIR_MIN_SHARED = 2  # report pairs sharing at least this many picks
+
+
+@query(
+    "j103_winnow_pairs",
+    oracle=f"""
+    WITH {_DUCK_WINNOW_SEL},
+    nfp AS (
+      SELECT doc_id, COUNT(*) AS n_fp FROM sel GROUP BY doc_id
+    ),
+    rare AS (
+      SELECT fh FROM sel GROUP BY fh
+      HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {FP_MAX_DF}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM sel a JOIN rare r ON r.fh = a.fh
+                 JOIN sel b ON b.fh = a.fh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) >= {PAIR_MIN_SHARED}
+    )
+    SELECT p.doc_a, p.doc_b, p.n_shared,
+           round(CAST(p.n_shared AS DOUBLE) / na.n_fp, 4) AS overlap_a,
+           round(CAST(p.n_shared AS DOUBLE) / nb.n_fp, 4) AS overlap_b,
+           round(CAST(p.n_shared AS DOUBLE) / least(na.n_fp, nb.n_fp), 4)
+             AS containment
+    FROM pairs p
+    JOIN nfp na ON na.doc_id = p.doc_a
+    JOIN nfp nb ON nb.doc_id = p.doc_b
+    """,
+)
+def j103_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing candidate pairs — the MOSS match stage on top of
+    j99's fingerprints: docs sharing ≥{PAIR_MIN_SHARED} selected
+    fingerprints become candidate pairs, scored by shared count and
+    containment (shared / smaller side's fingerprint count — the
+    plagiarism-direction signal: containment ≈ 1 means the smaller
+    doc is essentially inside the larger). Fingerprints shared by
+    more than {FP_MAX_DF} docs are EXCLUDED first — MOSS's
+    common-code/boilerplate rule, and the scale guard: it caps the
+    per-fingerprint pair fan-out at {FP_MAX_DF}²/2, making the pair
+    stage's output linear in corpus size at constant duplication
+    density (the same argument as LSH banding, measured in SCALE.md).
+
+    Plan: one hash agg finds the rare shared fingerprints, the pair
+    join is equi on the 64-bit fingerprint restricted to that set
+    (never all-pairs), and the per-doc fingerprint counts attach by
+    two id-keyed joins of the tiny pair table. Division of exact
+    integer counts — no float drift."""
+    sel = _winnow_selected(spark, sf_dir)
+    nfp = sel.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    rare = (
+        sel.groupBy("fh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= FP_MAX_DF))
+        .select("fh")
+    )
+    s = sel.join(rare, "fh").select("fh", "doc_id")
+    pairs = (
+        s.alias("a")
+        .join(
+            s.alias("b"),
+            (F.col("a.fh") == F.col("b.fh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= PAIR_MIN_SHARED)
+    )
+    na = nfp.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a"))
+    nb = nfp.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(F.col("n_shared").cast("double") / F.col("n_fp_a"), 4).alias(
+                "overlap_a"
+            ),
+            F.round(F.col("n_shared").cast("double") / F.col("n_fp_b"), 4).alias(
+                "overlap_b"
+            ),
+            F.round(
+                F.col("n_shared").cast("double") / F.least("n_fp_a", "n_fp_b"), 4
+            ).alias("containment"),
+        )
+    )
+
+
+# --------------------------------------------------------------- j104
+
+SEG_CHARS = 40  # segment width (chars) — j92's granularity
+SEG_KEEP_NUM = 4  # keep iff clean chars ≥ 4/5 of segment (integer ×)
+SEG_KEEP_DEN = 5
+
+
+@query(
+    "j104_segment_filter",
+    oracle=f"""
+    WITH segs AS (
+      SELECT d.doc_id, s.st,
+             substr(d.text, s.st, {SEG_CHARS}) AS seg
+      FROM documents d,
+           LATERAL (SELECT unnest(range(1, d.n_chars + 1, {SEG_CHARS})) AS st) s
+      WHERE d.n_chars >= 1
+    ),
+    scored AS (
+      SELECT doc_id, st, seg,
+             len(seg) AS seg_len,
+             len(regexp_replace(lower(seg), '[^a-z ]', '', 'g')) AS clean_len
+      FROM segs
+    ),
+    kept AS (
+      SELECT doc_id, st, seg, seg_len, clean_len,
+             (clean_len * {SEG_KEEP_DEN} >= seg_len * {SEG_KEEP_NUM}) AS keep
+      FROM scored
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS kept_frac,
+           CAST(SUM(CASE WHEN keep THEN seg_len ELSE 0 END) AS BIGINT)
+             AS kept_chars,
+           md5(string_agg(CASE WHEN keep THEN seg ELSE '' END, '' ORDER BY st))
+             AS cleaned_md5
+    FROM kept GROUP BY doc_id
+    """,
+)
+def j104_segment_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level cleaning (RefinedWeb/CCNet-style PARTIAL document
+    filtering): docs split into fixed {SEG_CHARS}-char segments (j92's
+    granularity), each kept iff its clean-character ratio — [a-z ]
+    after lowercasing — is ≥ {SEG_KEEP_NUM}/{SEG_KEEP_DEN} (integer
+    cross-multiplied, no float threshold); the doc survives as the
+    ordered concatenation of kept segments. Doc-level gates (j35/j80)
+    drop whole documents; this is the op that SALVAGES a good doc with
+    an embedded junk block — per doc: segment count, kept count/
+    fraction, kept chars, and md5 of the reconstructed cleaned text
+    (byte-proof of the reconstruction, not just counts).
+
+    Plan: segment explode is a widened map pass (n_chars/{SEG_CHARS}
+    rows); scoring is codegen'd regexp arithmetic; the reconstruction
+    is one per-doc agg over sort_array(collect_list(struct(st, seg)))
+    — grouping shuffles (doc_id, segment) rows once, the in-group sort
+    is bounded by doc length. No join, no window, linear."""
+    docs = load(spark, sf_dir, "documents")
+    segs = (
+        widen(docs.filter(F.col("n_chars") >= 1))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_chars").cast("int"), F.lit(SEG_CHARS))
+            ).alias("st"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "st",
+            F.expr(f"substring(text, st, {SEG_CHARS})").alias("seg"),
+        )
+    )
+    seg_len = F.length("seg")
+    clean_len = F.length(F.regexp_replace(F.lower("seg"), "[^a-z ]", ""))
+    kept = segs.select(
+        "doc_id",
+        "st",
+        "seg",
+        seg_len.alias("seg_len"),
+        (clean_len * SEG_KEEP_DEN >= seg_len * SEG_KEEP_NUM).alias("keep"),
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_segments"),
+            F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_kept"),
+            F.round(
+                F.sum(F.col("keep").cast("int")).cast("double") / F.count("*"), 4
+            ).alias("kept_frac"),
+            F.sum(F.when(F.col("keep"), F.col("seg_len")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_chars"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("st", "seg", "keep"))
+                        ),
+                        lambda x: F.when(x["keep"], x["seg"]).otherwise(F.lit("")),
+                    ),
+                    "",
+                )
+            ).alias("cleaned_md5"),
+        )
     )

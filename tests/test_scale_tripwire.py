@@ -75,6 +75,9 @@ TRIPWIRE_QUERIES = [
     "j99_winnow_fingerprint",
     "j100_text_normalize",
     "j101_source_dup_matrix",
+    "j102_chunk_dedup",
+    "j103_winnow_pairs",
+    "j104_segment_filter",
 ]
 MULT = 10
 MAX_RATIO = 12.0

@@ -318,3 +318,86 @@ def test_j100_idempotent(spark):
     docs = load(spark, SF, "documents").select(clean(F.col("text")).alias("c1"))
     twice = docs.select(F.col("c1"), clean(F.col("c1")).alias("c2"))
     assert twice.filter(F.col("c1") != F.col("c2")).count() == 0
+
+
+def test_j102_chunk_dedup_planted_block(spark, tmp_path):
+    """Two docs sharing one identical aligned 64-token chunk each get
+    exactly one duplicated chunk; a fully-unique doc gets zero."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    block = " ".join(f"shared{i}" for i in range(64))
+    a = block + " " + " ".join(f"atail{i}" for i in range(10))
+    b = block + " " + " ".join(f"btail{i}" for i in range(10))
+    c = " ".join(f"unique{i}" for i in range(80))
+    docs = spark.createDataFrame(
+        [(0, a, "en", "s0", len(a)), (1, b, "en", "s0", len(b)),
+         (2, c, "en", "s1", len(c))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "chunkfix")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r.doc_id: r for r in registry.QUERIES["j102_chunk_dedup"](spark, d).collect()}
+    assert out[0].n_chunks == 2 and out[0].n_dup_chunks == 1
+    assert out[1].n_chunks == 2 and out[1].n_dup_chunks == 1
+    assert out[2].n_dup_chunks == 0
+    assert out[0].dup_chunk_frac == 0.5
+
+
+def test_j103_containment_direction(spark, tmp_path):
+    """A small doc embedded verbatim in a big doc: the pair is found
+    and containment (shared / smaller side) is high, while the big
+    doc's own overlap stays lower; n_shared never exceeds either
+    side's fingerprint count."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    small = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    big = (
+        " ".join(f"pre{i}" for i in range(30))
+        + " " + small + " "
+        + " ".join(f"post{i}" for i in range(30))
+    )
+    other = "completely disjoint text body with zero common grams whatsoever here"
+    docs = spark.createDataFrame(
+        [(0, small, "en", "s0", len(small)), (1, big, "en", "s0", len(big)),
+         (2, other, "en", "s1", len(other))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "pairfix")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = registry.QUERIES["j103_winnow_pairs"](spark, d).collect()
+    pair = {(r.doc_a, r.doc_b): r for r in rows}
+    assert (0, 1) in pair
+    r = pair[(0, 1)]
+    assert r.containment >= 0.5
+    assert r.overlap_b <= r.overlap_a  # big side dilutes
+    assert 0 < r.overlap_a <= 1.0 and 0 < r.overlap_b <= 1.0
+    assert all(2 not in k for k in pair)
+
+
+def test_j104_salvage_semantics(spark, tmp_path):
+    """A doc with an embedded junk block keeps its clean segments and
+    drops the junk one; a fully-clean doc keeps everything
+    (kept_frac 1.0) and its cleaned_md5 equals md5(original text)."""
+    import hashlib
+
+    from json2hbase_spark import registry
+    from json2hbase_spark.plans.selection_queries import SEG_CHARS
+
+    junk = "0123456789!@#$%^&*()0123456789!@#$%^&*()"  # 40 chars of junk
+    assert len(junk) == SEG_CHARS
+    # doc 0: clean segment(s) + one aligned junk segment + clean tail
+    t0 = ("a" * SEG_CHARS) + junk + ("b" * SEG_CHARS)
+    t1 = "entirely clean words all the way through here"
+    docs = spark.createDataFrame(
+        [(0, t0, "en", "s0", len(t0)), (1, t1, "en", "s0", len(t1))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "segfix")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r.doc_id: r for r in registry.QUERIES["j104_segment_filter"](spark, d).collect()}
+    assert out[0].n_segments == 3 and out[0].n_kept == 2
+    assert out[0].kept_chars == 2 * SEG_CHARS
+    assert out[1].kept_frac == 1.0
+    assert out[1].cleaned_md5 == hashlib.md5(t1.encode()).hexdigest()

@@ -83,6 +83,9 @@ AUDIT = {
     "j99_winnow_fingerprint": "gram explode → per-doc sliding window min on the 25-char (hash ∥ position) key → distinct → hash agg on fingerprint + equi join back; no pair stage, linear in chars",
     "j100_text_normalize": "per-row codegen string expressions (replace + regexp_replace ×2 + trim, no UDF) into one partial-combined hash agg on source",
     "j101_source_dup_matrix": "j48's shared banded pipeline (materialized shingles, band-keyed candidate join — never all-pairs) + two id-keyed source joins on the tiny verified-pair set + bounded hash agg",
+    "j102_chunk_dedup": "widened map pass to 16-byte chunk hashes (tokens/64 rows) → count-over-window on the hash → map-side-combined per-doc agg; no join, no pair stage",
+    "j103_winnow_pairs": "rare-fingerprint agg (2 ≤ df ≤ 50) → equi pair join on the 64-bit fingerprint — common-code exclusion caps per-fingerprint fan-out; two id-keyed count joins on the tiny pair table",
+    "j104_segment_filter": "widened segment explode → codegen regexp scoring → ONE per-doc agg (sort_array(collect_list) reconstruction) — no join, no window; in-group sort bounded by doc length",
 }
 
 MARKERS = (

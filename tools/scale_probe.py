@@ -108,6 +108,15 @@ PROBES = [
     # but probe it anyway: a regression in the source-attach joins
     # (e.g. losing the pair-side broadcast) would surface here.
     "j101_source_dup_matrix",
+    # j102 is a 64x-lighter j93 (chunk hashes, count-over-window);
+    # j103's pair stage is capped by the FP_MAX_DF common-code
+    # exclusion — a lost cap or a non-equi pair join blows the ratio.
+    "j102_chunk_dedup",
+    "j103_winnow_pairs",
+    # j104's segment explode + collect_list reconstruction: linear in
+    # chars; a regression that loses the per-doc grouping (e.g. a
+    # global sort creeping into the reconstruction) shows here.
+    "j104_segment_filter",
 ]
 
 
