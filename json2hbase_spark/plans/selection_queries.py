@@ -924,3 +924,100 @@ def j104_segment_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cleaned_md5"),
         )
     )
+
+
+# --------------------------------------------------------------- j105
+
+CURR_HI = 2.4  # quality ≥ HI → band 0 (train first)
+CURR_LO = 2.1  # LO ≤ quality < HI → band 1; below → band 2
+
+
+@query(
+    "j105_curriculum_order",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             {_DUCK_QUALITY} AS quality
+      FROM documents
+    ),
+    banded AS (
+      SELECT doc_id, quality,
+             CASE WHEN quality >= {CURR_HI} THEN 0
+                  WHEN quality >= {CURR_LO} THEN 1
+                  ELSE 2 END AS band,
+             md5(CAST(doc_id AS VARCHAR)) AS okey
+      FROM f
+    )
+    SELECT doc_id, band, quality, okey,
+           CAST(row_number() OVER (PARTITION BY band ORDER BY okey)
+                AS BIGINT) AS band_rank,
+           CAST(row_number() OVER (ORDER BY band, okey) AS BIGINT)
+             AS global_rank
+    FROM banded
+    """,
+)
+def j105_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering — band-major deterministic training
+    order: docs band by FIXED quality thresholds (band 0 = highest-
+    quality first — fixed thresholds, not quantiles, are the realistic
+    curriculum design AND the scale design: no global sort to find
+    split points), shuffle WITHIN each band by a content hash
+    (md5(doc_id) — j62's rerun-identical shuffle), and every doc gets
+    its exact band_rank and global_rank. This is the op that hands a
+    trainer its epoch order: curriculum between bands, uniform shuffle
+    inside them, reproducible across reruns and engines.
+
+    Plan: the oracle's two row_number() windows (one of them a GLOBAL
+    sort) are replaced by ONE bucketed prefix sum over the compound
+    monotone bucket band·B + hex_bucket(okey) — global_rank is the
+    running count along (band, okey) with no Exchange SinglePartition
+    and no range sort; band_rank re-derives as global_rank − band
+    offset, where the offsets are a broadcast theta join of the 3-row
+    band-counts table. The only data-sized exchange is one
+    hashpartitioning(bucket) of (doc_id, band, 16-byte key) metadata —
+    the operators/prefix.py contract, ×10-probed linear."""
+    from json2hbase_spark.operators.prefix import bucketed_cumsum, hex_prefix_bucket
+    from json2hbase_spark.operators.text import quality_features
+
+    docs = load(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    quality = F.round(
+        F.log(1 + feats["n_tokens"])
+        * (1.0 - feats["digit_ratio"])
+        * (0.5 + feats["stopword_ratio"]),
+        4,
+    )
+    banded = docs.select(
+        "doc_id",
+        quality.alias("quality"),
+        F.md5(F.col("doc_id").cast("string")).alias("okey"),
+    ).withColumn(
+        "band",
+        F.when(F.col("quality") >= CURR_HI, 0)
+        .when(F.col("quality") >= CURR_LO, 1)
+        .otherwise(2)
+        .cast("long"),
+    )
+    b = banded.withColumn(
+        "_bkt",
+        F.col("band") * CUMSUM_BUCKETS + hex_prefix_bucket(F.col("okey")),
+    ).withColumn("_one", F.lit(1).cast("long"))
+    cum = bucketed_cumsum(b, "_bkt", ["band", "okey"], "_one", "global_rank")
+    counts = banded.groupBy("band").agg(F.count("*").cast("long").alias("_n"))
+    ca, cb = counts.alias("_ca"), counts.alias("_cb")
+    offsets = (
+        ca.join(F.broadcast(cb), F.col("_cb.band") < F.col("_ca.band"), "left")
+        .groupBy(F.col("_ca.band").alias("band"))
+        .agg(F.coalesce(F.sum("_cb._n"), F.lit(0).cast("long")).alias("_off"))
+    )
+    return (
+        cum.join(F.broadcast(offsets), "band")
+        .select(
+            "doc_id",
+            "band",
+            "quality",
+            "okey",
+            (F.col("global_rank") - F.col("_off")).cast("bigint").alias("band_rank"),
+            F.col("global_rank").cast("bigint").alias("global_rank"),
+        )
+    )

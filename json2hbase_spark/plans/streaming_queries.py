@@ -1344,3 +1344,75 @@ def i25_stream_corpus_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     with scoped_stream_confs(spark):
         _run_to_memory(digest, "i25_mem", "complete")
     return spark.table("i25_mem")
+
+
+@query(
+    "i26_stream_chunk_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, w, unnest(range(1, len(w) + 1, 64)) AS st
+      FROM toks WHERE len(w) >= 1
+    ),
+    ch AS (
+      SELECT md5(array_to_string(list_slice(w, st, least(st + 63, len(w))), ' '))
+        AS chunk_hash
+      FROM s
+    )
+    SELECT CAST(COUNT(DISTINCT chunk_hash) AS BIGINT) AS n_unique_chunks,
+           CAST(2 * COUNT(*) AS BIGINT) AS n_arrived_chunks
+    FROM ch
+    """,
+)
+def i26_stream_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SUB-document dedup — j102's chunk granularity inside
+    a stream: arriving docs explode into 64-token chunk hashes in the
+    micro-batch (stateless map), and dropDuplicates on the 16-byte
+    hash keeps exactly the first arrival of every chunk. The source
+    stages the documents file TWICE (at-least-once redelivery), so
+    every chunk arrives exactly twice and must survive once — the
+    oracle pins unique = distinct chunks, arrived = 2×. This is the
+    streaming ingest front of a dedup store: doc-level streaming dedup
+    (i5/i21) misses the copied SECTION inside a fresh doc; chunk-level
+    state catches it at the granularity training examples are cut.
+
+    Plan/scale: the explode is stateless per micro-batch; only the
+    16-byte hash enters the dedup state store (keyed state, hash-
+    partitioned across executors — state size = unique chunks, the
+    same cardinality a batch dedup would shuffle). In production the
+    state store is RocksDB with changelog checkpointing; bounded-state
+    variants use dropDuplicatesWithinWatermark (i21) when re-delivery
+    is time-local, or the j65 Bloom front when approximate suffices."""
+    import os
+
+    from json2hbase_spark.operators.text import whitespace_tokens
+
+    src = f"{sf_dir}/documents.parquet"
+    stage = tempfile.mkdtemp(prefix="j2h_i26_dup_")
+    os.symlink(src, os.path.join(stage, "0.parquet"))
+    os.symlink(src, os.path.join(stage, "1.parquet"))
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(stage)
+    toks = stream.select(whitespace_tokens(F.col("text")).alias("w")).filter(
+        F.size("w") >= 1
+    )
+    st = F.explode(F.sequence(F.lit(1), F.size("w"), F.lit(64))).alias("st")
+    chunks = toks.select("w", st).select(
+        F.md5(F.concat_ws(" ", F.slice(F.col("w"), F.col("st"), 64))).alias(
+            "chunk_hash"
+        )
+    )
+    deduped = chunks.dropDuplicates(["chunk_hash"]).agg(
+        F.count(F.lit(1)).alias("n_unique_chunks")
+    )
+    arrived = chunks.agg(F.count(F.lit(1)).alias("n_arrived_chunks"))
+    with scoped_stream_confs(spark):
+        _run_to_memory(deduped, "i26_mem", "complete")
+        _run_to_memory(arrived, "i26_arrived_mem", "complete")
+    return spark.table("i26_mem").crossJoin(spark.table("i26_arrived_mem")).select(
+        F.col("n_unique_chunks").cast("bigint").alias("n_unique_chunks"),
+        F.col("n_arrived_chunks").cast("bigint").alias("n_arrived_chunks"),
+    )

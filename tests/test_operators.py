@@ -392,3 +392,25 @@ def test_a26_gzip_files_and_lossless_text(spark, tmp_path):
         F.md5(F.concat_ws("|", "doc_id", "text", "lang", "source")).alias("h")
     ).agg(F.sum(F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint")).alias("s")).collect()[0].s
     assert h(back) == h(want)
+
+
+def test_a27_failfast_throws_on_corrupt(spark, tmp_path):
+    """The third parser policy: FAILFAST is the schema-contract gate —
+    it must raise on the malformed line PERMISSIVE quarantines."""
+    import pytest
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    p = str(tmp_path / "bad.csv")
+    with open(p, "w") as f:
+        f.write("1,ALGERIA,0\nnotakey,BROKEN\n2,BRAZIL,1\n")
+    schema = StructType(
+        [
+            StructField("k", IntegerType()),
+            StructField("name", StringType()),
+            StructField("r", IntegerType()),
+        ]
+    )
+    ok = spark.read.csv(p, schema=schema, mode="PERMISSIVE")
+    assert ok.count() == 3  # permissive keeps (nulled) malformed rows
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        spark.read.csv(p, schema=schema, mode="FAILFAST").collect()

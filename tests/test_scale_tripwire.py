@@ -78,6 +78,7 @@ TRIPWIRE_QUERIES = [
     "j102_chunk_dedup",
     "j103_winnow_pairs",
     "j104_segment_filter",
+    "j105_curriculum_order",
 ]
 MULT = 10
 MAX_RATIO = 12.0

@@ -401,3 +401,26 @@ def test_j104_salvage_semantics(spark, tmp_path):
     assert out[0].kept_chars == 2 * SEG_CHARS
     assert out[1].kept_frac == 1.0
     assert out[1].cleaned_md5 == hashlib.md5(t1.encode()).hexdigest()
+
+
+def test_j105_order_is_contiguous_and_band_major(spark):
+    """global_rank is a permutation 1..n; all of band 0 precedes all
+    of band 1 precedes band 2; band_rank is dense per band and
+    consistent with the okey ordering."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    rows = registry.QUERIES["j105_curriculum_order"](spark, SF).collect()
+    n = len(rows)
+    assert sorted(r.global_rank for r in rows) == list(range(1, n + 1))
+    by_band: dict[int, list] = {}
+    for r in rows:
+        by_band.setdefault(r.band, []).append(r)
+    hi = 0
+    for band in sorted(by_band):
+        rs = sorted(by_band[band], key=lambda r: r.band_rank)
+        assert [r.band_rank for r in rs] == list(range(1, len(rs) + 1))
+        assert [r.okey for r in rs] == sorted(r.okey for r in rs)
+        assert min(r.global_rank for r in rs) == hi + 1
+        hi = max(r.global_rank for r in rs)
+    assert hi == n

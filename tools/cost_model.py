@@ -75,6 +75,10 @@ EXEMPLARS = [
      "narrow (id, tokens, source, bucket) metadata; offsets broadcast"),
     ("j97_embed_covariance", "pair-explode covariance (j97)", "bounded",
      "≤ d(d+1)/2 partial rows per partition regardless of corpus size"),
+    ("j99_winnow_fingerprint", "winnowing fingerprints (j99/j103)", "linear",
+     "only the DISTINCT fingerprint table (~2/(W+1) of grams) shuffles"),
+    ("j105_curriculum_order", "compound-bucket global rank (j105/j62)", "linear",
+     "one hash exchange of (id, band, 16-byte key); offsets broadcast"),
 ]
 
 _UNIT = {"B": 1, "KiB": 2**10, "MiB": 2**20, "GiB": 2**30, "TiB": 2**40}

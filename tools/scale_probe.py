@@ -117,6 +117,9 @@ PROBES = [
     # chars; a regression that loses the per-doc grouping (e.g. a
     # global sort creeping into the reconstruction) shows here.
     "j104_segment_filter",
+    # j105's compound-bucket prefix sum: a regression to a global sort
+    # or SinglePartition window shows as the lost-parallelism wall.
+    "j105_curriculum_order",
 ]
 
 
