@@ -1534,3 +1534,96 @@ def b12_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w_ver).cast("date").cast("string").alias("eff_to"),
     )
     return vers.withColumn("is_current", F.col("eff_to").isNull())
+
+
+@query(
+    "c18_scd2_asof_join",
+    oracle="""
+    WITH chg AS (
+      SELECT o_custkey AS custkey, o_orderpriority AS priority,
+             o_orderdate::TIMESTAMP AS ts, o_orderkey,
+             lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey)
+               AS prev_priority
+      FROM orders
+    ),
+    vers AS (
+      SELECT custkey, priority,
+             CAST(CAST(ts AS DATE) AS VARCHAR) AS eff_from,
+             CAST(CAST(lead(ts) OVER (PARTITION BY custkey
+                                      ORDER BY ts, o_orderkey) AS DATE)
+                  AS VARCHAR) AS eff_to
+      FROM chg
+      WHERE prev_priority IS NULL OR priority != prev_priority
+    ),
+    facts AS (
+      SELECT o_orderkey, o_custkey AS custkey, o_orderpriority,
+             CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS odate,
+             CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year
+      FROM orders
+    ),
+    joined AS (
+      SELECT f.o_orderkey, f.o_year, f.o_orderpriority, v.priority AS asof_priority
+      FROM facts f
+      JOIN vers v
+        ON v.custkey = f.custkey
+       AND v.eff_from <= f.odate
+       AND (v.eff_to IS NULL OR f.odate < v.eff_to)
+    )
+    SELECT o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN o_orderpriority = asof_priority
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+           round(1.0 - CAST(SUM(CASE WHEN o_orderpriority = asof_priority
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS mismatch_frac
+    FROM joined GROUP BY o_year
+    """,
+)
+def c18_scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (as-of) join of facts to an SCD2 dimension — the
+    warehouse query b12's history exists FOR: each order looks up its
+    customer's priority version valid AT the order date
+    (eff_from ≤ date < eff_to, open version = NULL eff_to). Exactly
+    one version matches per fact by construction (the intervals
+    partition the timeline), proven by n_orders matching the fact
+    count. The per-year mismatch fraction (order's own priority vs
+    the as-of version) surfaces same-day flip-flops — the data-quality
+    signal SCD2 consumers monitor. Distinct from c7 (time-series
+    as-of on event streams): this is interval-validity lookup against
+    a versioned dimension.
+
+    Plan: equi join on custkey with the interval predicate as a
+    post-join filter — a sort-merge join on the key, both sides
+    derived from the fact table (big-big SMJ, justified: the dim is
+    corpus-derived here; a real warehouse dim is small → broadcast).
+    The versions side is ~|changes| rows, far smaller than facts
+    after the change-collapse; ISO date STRINGS compare correctly
+    lexicographically, keeping the range predicate engine-agnostic.
+    At 100 TB: partition both sides by key (bucketing co-locates, the
+    c11 range-bucket trick bounds the per-key interval scan)."""
+    vers = b12_scd2_build(spark, sf_dir).select(
+        "custkey", F.col("priority").alias("asof_priority"), "eff_from", "eff_to"
+    )
+    orders = load(spark, sf_dir, "orders")
+    facts = orders.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("custkey"),
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").cast("string").alias("odate"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    joined = facts.join(
+        vers,
+        (facts["custkey"] == vers["custkey"])
+        & (vers["eff_from"] <= facts["odate"])
+        & (vers["eff_to"].isNull() | (facts["odate"] < vers["eff_to"])),
+    )
+    match = F.when(F.col("o_orderpriority") == F.col("asof_priority"), 1).otherwise(0)
+    return joined.groupBy("o_year").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(match).cast("bigint").alias("n_match"),
+        F.round(1.0 - F.sum(match).cast("double") / F.count("*"), 4).alias(
+            "mismatch_frac"
+        ),
+    )

@@ -414,3 +414,18 @@ def test_a27_failfast_throws_on_corrupt(spark, tmp_path):
     assert ok.count() == 3  # permissive keeps (nulled) malformed rows
     with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
         spark.read.csv(p, schema=schema, mode="FAILFAST").collect()
+
+
+def test_c18_exactly_one_version_per_fact(spark):
+    """The as-of join must match every order exactly once (intervals
+    partition each customer's timeline): sum of n_orders equals the
+    orders row count."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.io import load
+
+    registry.load_all_query_modules()
+    sf = "/root/testdata/sf0.001"
+    out = registry.QUERIES["c18_scd2_asof_join"](spark, sf).collect()
+    assert sum(r.n_orders for r in out) == load(spark, sf, "orders").count()
+    for r in out:
+        assert 0 <= r.n_match <= r.n_orders

@@ -87,6 +87,7 @@ AUDIT = {
     "j103_winnow_pairs": "rare-fingerprint agg (2 ≤ df ≤ 50) → equi pair join on the 64-bit fingerprint — common-code exclusion caps per-fingerprint fan-out; two id-keyed count joins on the tiny pair table",
     "j104_segment_filter": "widened segment explode → codegen regexp scoring → ONE per-doc agg (sort_array(collect_list) reconstruction) — no join, no window; in-group sort bounded by doc length",
     "j105_curriculum_order": "compound monotone bucket (band·B + hex_bucket) prefix sum for global_rank — NO Exchange SinglePartition, NO rangepartitioning (the oracle's global row_number is the anti-plan); band offsets broadcast",
+    "c18_scd2_asof_join": "equi join on custkey + interval post-filter; versions side pre-shrunk by the change-collapse; SMJ justified (both sides corpus-derived; real warehouse dims broadcast)",
 }
 
 MARKERS = (
