@@ -1021,3 +1021,98 @@ def j105_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("global_rank").cast("bigint").alias("global_rank"),
         )
     )
+
+
+# --------------------------------------------------------------- d16
+
+
+@query(
+    "d16_weighted_median",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT)
+               AS n_tokens,
+             {_DUCK_QUALITY} AS quality
+      FROM documents
+    ),
+    cum AS (
+      SELECT source, doc_id, quality, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source
+                                      ORDER BY quality, doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_tok,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source) AS BIGINT) AS tot_tok,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_docs
+    FROM f
+    )
+    SELECT source, MIN(n_docs) AS n_docs, MIN(tot_tok) AS total_tokens,
+           MIN(quality) AS tw_median_quality
+    FROM cum
+    WHERE 2 * cum_tok >= tot_tok
+    GROUP BY source
+    """,
+)
+def d16_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-WEIGHTED median quality per source — corpus statistics in
+    the units that matter for training: the median TOKEN's quality,
+    not the median document's (a source of many short clean docs and
+    a few huge junk docs has a good doc-median and a terrible token-
+    median; the token view is what the loss actually sees). Exact, no
+    percentile_approx: order docs by (quality, doc_id), running token
+    cumsum, the weighted median is the quality of the first row where
+    2·cum ≥ total — all integer comparisons against exact BIGINT sums.
+
+    Plan: the per-source ordered cumsum is j94's GROUPED bucketed
+    two-pass prefix sum (value-derived quality band bucket — monotone
+    along the order); per-source totals broadcast back; the median
+    pick is a filter + min_by struct agg. No per-source
+    single-partition window, no sort beyond the bucket-local ones —
+    the few-large-groups regime handled the j94 way. The oracle runs
+    the plain windows; outputs are identical by the prefix-sum
+    contract (operators/prefix.py)."""
+    from json2hbase_spark.operators.text import quality_features
+
+    feats = quality_features(F.col("text"))
+    quality = F.round(
+        F.log(1 + feats["n_tokens"])
+        * (1.0 - feats["digit_ratio"])
+        * (0.5 + feats["stopword_ratio"]),
+        4,
+    )
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        feats["n_tokens"].cast("bigint").alias("n_tokens"),
+        quality.alias("quality"),
+    )
+    # quality ASC this time: bucket must be monotone along (quality ASC)
+    b = F.floor(F.col("quality") * CUMSUM_BUCKETS / F.lit(J94_QUALITY_CEIL)).cast(
+        "long"
+    )
+    bucketed = scored.withColumn(
+        "_bkt", F.least(F.greatest(b, F.lit(0)), F.lit(CUMSUM_BUCKETS - 1))
+    )
+    cum = grouped_bucketed_cumsum(
+        bucketed,
+        ["source"],
+        "_bkt",
+        [F.asc("quality"), F.asc("doc_id")],
+        "n_tokens",
+        "cum_tok",
+    )
+    totals = scored.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("tot_tok"),
+        F.count("*").cast("bigint").alias("n_docs"),
+    )
+    return (
+        cum.join(F.broadcast(totals), "source")
+        .filter(2 * F.col("cum_tok") >= F.col("tot_tok"))
+        .groupBy("source")
+        .agg(
+            F.min("n_docs").alias("n_docs"),
+            F.min("tot_tok").alias("total_tokens"),
+            F.min("quality").alias("tw_median_quality"),
+        )
+    )

@@ -1190,3 +1190,68 @@ def g7_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal").alias("acctbal"),
     )
     return cust.unionByName(supp, allowMissingColumns=True)
+
+
+@query(
+    "e13_cumulative_uniques",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(min(CAST(ts AS DATE)) AS VARCHAR) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY 1
+    ),
+    new_per_day AS (
+      SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM firsts GROUP BY 1
+    )
+    SELECT d.day, d.dau,
+           CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
+           CAST(SUM(COALESCE(n.new_users, 0))
+                OVER (ORDER BY d.day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cumulative_uniques
+    FROM daily d LEFT JOIN new_per_day n ON n.day = d.day
+    """,
+)
+def e13_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users over time — the growth curve every
+    analytics stack draws, and the classic window trap: COUNT(DISTINCT)
+    OVER a running frame is unsupported (and would be O(n²) state
+    anyway). The scalable identity: a user contributes to the
+    cumulative curve exactly once, on their FIRST day — so
+    cumulative_uniques(d) = Σ new_users(day ≤ d), turning a running
+    distinct into a per-user min + a daily count + a running SUM over
+    |days| rows. Per day: DAU (exact distinct), first-time users, and
+    the cumulative unique count.
+
+    Plan: one user-keyed agg (min day — map-side combines), one
+    day-keyed agg, then the running sum runs over the ~|days| daily
+    rows — the whole-table window is over a BOUNDED aggregate (tens of
+    rows per year), the f6/j77 'ordering is the semantics on a tiny
+    table' category, not a data-sized funnel. At 100 TB the same
+    shape holds: events never sort globally, only day-level rows do."""
+    ev = load(spark, sf_dir, "events")
+    day = F.col("ts").cast("date").cast("string")
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    daily = ev.groupBy(day.alias("day")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("dau")
+    )
+    new_per_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").cast("bigint").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        daily.join(new_per_day, "day", "left")
+        .select(
+            "day",
+            "dau",
+            F.coalesce("new_users", F.lit(0)).cast("bigint").alias("new_users"),
+        )
+        .withColumn(
+            "cumulative_uniques", F.sum("new_users").over(w).cast("bigint")
+        )
+    )

@@ -918,6 +918,7 @@ def test_singlepart_justified_set_is_exact(spark, sf_dir):
     from tools.plan_audit import SINGLEPART_JUSTIFIED, _nonscalar_singlepart
 
     assert sorted(SINGLEPART_JUSTIFIED) == [
+        "e13_cumulative_uniques",
         "f6_range_partition",
         "j37_zipf_slope",
         "j50_drift_ks",

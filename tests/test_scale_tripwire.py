@@ -79,6 +79,7 @@ TRIPWIRE_QUERIES = [
     "j103_winnow_pairs",
     "j104_segment_filter",
     "j105_curriculum_order",
+    "d16_weighted_median",
 ]
 MULT = 10
 MAX_RATIO = 12.0

@@ -424,3 +424,28 @@ def test_j105_order_is_contiguous_and_band_major(spark):
         assert min(r.global_rank for r in rs) == hi + 1
         hi = max(r.global_rank for r in rs)
     assert hi == n
+
+
+def test_d16_weighted_median_matches_pure_python(spark):
+    """The exact token-weighted median per source equals a pure-Python
+    recompute from the same (quality, n_tokens) rows."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    rows = registry.QUERIES["j94_source_budget_select"](spark, SF).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append((r.quality, r.doc_id, r.n_tokens))
+    out = {r.source: r for r in registry.QUERIES["d16_weighted_median"](spark, SF).collect()}
+    for src, rs in by_src.items():
+        rs.sort(key=lambda t: (t[0], t[1]))
+        tot = sum(t[2] for t in rs)
+        cum = 0
+        want = None
+        for q, _, n in rs:
+            cum += n
+            if 2 * cum >= tot:
+                want = q
+                break
+        assert out[src].tw_median_quality == want, src
+        assert out[src].total_tokens == tot, src

@@ -88,6 +88,8 @@ AUDIT = {
     "j104_segment_filter": "widened segment explode → codegen regexp scoring → ONE per-doc agg (sort_array(collect_list) reconstruction) — no join, no window; in-group sort bounded by doc length",
     "j105_curriculum_order": "compound monotone bucket (band·B + hex_bucket) prefix sum for global_rank — NO Exchange SinglePartition, NO rangepartitioning (the oracle's global row_number is the anti-plan); band offsets broadcast",
     "c18_scd2_asof_join": "equi join on custkey + interval post-filter; versions side pre-shrunk by the change-collapse; SMJ justified (both sides corpus-derived; real warehouse dims broadcast)",
+    "d16_weighted_median": "grouped bucketed prefix sum (quality-band bucket) + broadcast totals + filter/min agg — exact weighted median with no per-source SinglePartition window",
+    "e13_cumulative_uniques": "user-keyed min agg (map-side combined) + day aggs; running sum over the bounded day domain — the justified SinglePartition category, events never globally sort",
 }
 
 MARKERS = (
@@ -169,6 +171,7 @@ SINGLEPART_JUSTIFIED: dict[str, str] = {
     "j37_zipf_slope": "rank window over the distinct VOCABULARY, types ≪ corpus (millions at 100 TB, not billions of rows)",
     "j84_vocab_coverage": "rank window over the distinct VOCABULARY (docstring: the sort is over types, not the corpus)",
     "j50_drift_ks": "CDF cumsum over the DISTINCT-VALUE domain of n_chars — hundreds of rows at any corpus size",
+    "e13_cumulative_uniques": "running sum over the DAY domain — |days| rows at any corpus size (the events table never sorts; docstring)",
 }
 
 

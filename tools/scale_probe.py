@@ -120,6 +120,8 @@ PROBES = [
     # j105's compound-bucket prefix sum: a regression to a global sort
     # or SinglePartition window shows as the lost-parallelism wall.
     "j105_curriculum_order",
+    # d16 rides the grouped prefix sum (j94's shape) — probe pins it.
+    "d16_weighted_median",
 ]
 
 
