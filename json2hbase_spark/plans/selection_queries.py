@@ -1116,3 +1116,130 @@ def d16_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("quality").alias("tw_median_quality"),
         )
     )
+
+
+# --------------------------------------------------------------- j106
+
+HEAPS_LOG_SCALE = 1_000  # fixed-point quantizer for ln() values.
+# Chosen so the OLS moment sums stay inside BIGINT: x ≲ ln(N)·10³ ≈
+# 2·10⁴, so n·Σx² ≈ n²·x² needs n ≲ 10⁵ curve points. The fixture has
+# one point per doc (≤ 5·10³); a 100 TB corpus samples the curve at
+# fixed checkpoints (every K docs) instead of every doc — a Heaps fit
+# needs hundreds of points, not billions — keeping the same bound.
+
+
+@query(
+    "j106_heaps_law",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != ''))
+        AS t
+      FROM documents
+    ),
+    firsts AS (
+      SELECT t, MIN(doc_id) AS first_doc FROM toks GROUP BY t
+    ),
+    per_doc AS (
+      SELECT d.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tok,
+             CAST(COALESCE(f.new_types, 0) AS BIGINT) AS new_types
+      FROM toks d
+      LEFT JOIN (SELECT first_doc, COUNT(*) AS new_types
+                 FROM firsts GROUP BY first_doc) f
+        ON f.first_doc = d.doc_id
+      GROUP BY d.doc_id, f.new_types
+    ),
+    cum AS (
+      SELECT doc_id,
+             CAST(SUM(n_tok) OVER w AS BIGINT) AS cum_tokens,
+             CAST(SUM(new_types) OVER w AS BIGINT) AS cum_types
+      FROM per_doc
+      WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    pts AS (
+      SELECT CAST(floor(ln(cum_tokens) * {HEAPS_LOG_SCALE}) AS BIGINT) AS x,
+             CAST(floor(ln(cum_types) * {HEAPS_LOG_SCALE}) AS BIGINT) AS y
+      FROM cum
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM pts
+    )
+    SELECT n AS n_points,
+           n * sxy - sx * sy AS slope_num,
+           n * sxx - sx * sx AS slope_den,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (n * sxx - sx * sx), 4) AS heaps_beta
+    FROM s
+    """,
+)
+def j106_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth — the corpus diagnostic that tells
+    you whether more data still buys new vocabulary (V ≈ K·Nᵝ; natural
+    text β ≈ 0.4-0.6, template/duplicated corpora flatten toward 0,
+    OCR noise inflates toward 1): cumulative (tokens, types) after
+    every doc in doc_id order, log-log OLS slope = β. Exactness (the
+    j97/j47 posture): ln() values quantize to BIGINT fixed-point
+    BEFORE the regression sums, so slope_num/slope_den are exact
+    order-free integers — the float β is one division at the end;
+    cross-engine hash equality holds despite the doubles inside ln.
+
+    Plan: new-types-per-doc is e13's first-seen identity on the token
+    domain (token-keyed min agg, map-side combined); the cumulative
+    curve is a running sum over per-DOC rows via the window (the
+    oracle's form — at fixture scale |docs| rows; the 100 TB form
+    swaps in the bucketed prefix sum on the monotone doc_id bucket,
+    operators/prefix.py, same outputs); the OLS sums are one scalar
+    agg. Output is a single row: point count, exact numerator/
+    denominator, β."""
+    from json2hbase_spark.operators.prefix import bucketed_cumsum
+
+    docs = load(spark, sf_dir, "documents")
+    toks = widen(docs).select(
+        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("t")
+    )
+    firsts = toks.groupBy("t").agg(F.min("doc_id").alias("first_doc"))
+    new_per_doc = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").cast("bigint").alias("new_types")
+    )
+    per_doc = (
+        toks.groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_tok"))
+        .join(new_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.coalesce("new_types", F.lit(0)).cast("bigint").alias("new_types"),
+        )
+    )
+    # monotone integer bucket over doc_id → distributed running sums
+    mx = per_doc.agg(F.max("doc_id").alias("m"))
+    b = per_doc.crossJoin(F.broadcast(mx)).withColumn(
+        "_bkt",
+        (F.col("doc_id") * CUMSUM_BUCKETS / (F.col("m") + 1)).cast("long"),
+    )
+    cum = bucketed_cumsum(b, "_bkt", ["doc_id"], "n_tok", "cum_tokens")
+    cum = bucketed_cumsum(cum, "_bkt", ["doc_id"], "new_types", "cum_types")
+    pts = cum.select(
+        F.floor(F.log("cum_tokens") * HEAPS_LOG_SCALE).cast("bigint").alias("x"),
+        F.floor(F.log("cum_types") * HEAPS_LOG_SCALE).cast("bigint").alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        F.col("n").alias("n_points"),
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        F.round(num.cast("double") / den, 4).alias("heaps_beta"),
+    )

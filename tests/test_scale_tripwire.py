@@ -80,6 +80,7 @@ TRIPWIRE_QUERIES = [
     "j104_segment_filter",
     "j105_curriculum_order",
     "d16_weighted_median",
+    "j106_heaps_law",
 ]
 MULT = 10
 MAX_RATIO = 12.0

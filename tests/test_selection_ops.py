@@ -449,3 +449,36 @@ def test_d16_weighted_median_matches_pure_python(spark):
                 break
         assert out[src].tw_median_quality == want, src
         assert out[src].total_tokens == tot, src
+
+
+def test_j106_beta_separates_growing_from_saturated(spark, tmp_path):
+    """Heaps' β must be high (~1) on a corpus whose every doc brings
+    fresh vocabulary and near 0 on a corpus that repeats one tiny
+    vocabulary — and the fixture (synthetic fixed vocab) must read as
+    saturated."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+
+    def run(docs_rows, name):
+        docs = spark.createDataFrame(
+            [(i, t, "en", "s0", len(t)) for i, t in docs_rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        d = str(tmp_path / name)
+        docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        return registry.QUERIES["j106_heaps_law"](spark, d).collect()[0]
+
+    growing = run(
+        [(i, " ".join(f"w{i}_{j}" for j in range(20))) for i in range(40)],
+        "grow",
+    )
+    saturated = run(
+        [(i, " ".join(f"v{j % 5}" for j in range(20))) for i in range(40)],
+        "sat",
+    )
+    assert growing.heaps_beta > 0.9
+    assert saturated.heaps_beta < 0.1
+    fixture = registry.QUERIES["j106_heaps_law"](spark, SF).collect()[0]
+    assert fixture.heaps_beta < 0.2  # synthetic fixed vocab saturates
+    assert fixture.slope_den > 0

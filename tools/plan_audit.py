@@ -90,6 +90,7 @@ AUDIT = {
     "c18_scd2_asof_join": "equi join on custkey + interval post-filter; versions side pre-shrunk by the change-collapse; SMJ justified (both sides corpus-derived; real warehouse dims broadcast)",
     "d16_weighted_median": "grouped bucketed prefix sum (quality-band bucket) + broadcast totals + filter/min agg — exact weighted median with no per-source SinglePartition window",
     "e13_cumulative_uniques": "user-keyed min agg (map-side combined) + day aggs; running sum over the bounded day domain — the justified SinglePartition category, events never globally sort",
+    "j106_heaps_law": "first-seen identity (token-keyed min agg) + bucketed prefix sums on the monotone doc_id bucket + one scalar OLS agg — no SinglePartition window, no global sort",
 }
 
 MARKERS = (

@@ -122,6 +122,8 @@ PROBES = [
     "j105_curriculum_order",
     # d16 rides the grouped prefix sum (j94's shape) — probe pins it.
     "d16_weighted_median",
+    # j106's two stacked bucketed prefix sums + token-keyed min agg.
+    "j106_heaps_law",
 ]
 
 
