@@ -67,17 +67,16 @@ def _driver_verified() -> dict[str, int]:
 
 
 def _fresh_rank(name: str) -> int:
-    """Within the not-yet-recorded set (~111 at round-4 end: the 64
-    never-recorded from rounds 1-3 plus the 47 round-4 additions
-    through j69/i25), order so the 50-entry window covers the
-    streaming family (largest, hardest to re-verify), the k/m escape
-    hatches, and as many of the round-4 corpus operators (j40+) as
-    fit — the window cuts inside the j5x tail, so the remaining j-ops
-    (including the round-4c j62–j69) spill together with the
-    scalar-function bundles (h*) and relational/source tails
-    (a16-a23, b7-b11, c10-c16, d/e/f/g singles) into rounds 5-6.
-    Everything is verified locally every session via
-    tools/oracle_check.py AND tools/determinism_check.py."""
+    """Priority order within the not-yet-recorded set (as of round 7
+    that means each round's new additions — e.g. the 23 round-7 ops
+    j91–j106, b12, a26/a27, c18, d16, e13, i26 — which the 50-entry
+    window picks up first, the verified remainder rotating
+    oldest-record-first behind them). The family order was chosen in
+    round 4 when ~111 ids were unrecorded: streaming first (largest,
+    hardest to re-verify), then the k/m escape hatches, then corpus
+    ops, then the relational/source/function tails. Everything is
+    verified locally every session via tools/oracle_check.py AND
+    tools/determinism_check.py regardless of window position."""
     head = name.split("_", 1)[0]
     if head[0] == "i" or name == "c7_join_asof":
         return 0
