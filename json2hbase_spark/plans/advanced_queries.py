@@ -108,14 +108,20 @@ DUCK_COMP_CTES = (
 
 def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(node, label) assignment of every near-dup-graph node to its
-    component's min doc_id — shared by j20 (cluster stats) and j26
-    (canonical-doc pick)."""
+    component's min doc_id — shared by j20 (cluster stats), j26
+    (canonical-doc pick) and j107 (cluster-safe split)."""
     # materialize the edge set once: every propagation hop references
     # it, and without truncation the shingle-join subtree would be
     # re-evaluated per hop (measured 20.8s -> ~3s at sf0.01). The edge
     # list is the small invariant of the iteration — exactly what you
     # checkpoint at 100 TB too.
     edges = materialize(_dup_edges(spark, sf_dir))
+    return _labels_from_edges(edges)
+
+
+def _labels_from_edges(edges: DataFrame) -> DataFrame:
+    """Min-label propagation over an already-materialized edge table
+    (callers that also need the edges reuse one materialization)."""
     nodes = (
         edges.select(F.col("doc_a").alias("node"))
         .unionByName(edges.select(F.col("doc_b").alias("node")))
@@ -474,4 +480,94 @@ def j26_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             F.col("quality").alias("best_quality"),
         )
+    )
+
+
+EVAL_HEX_CUT = "1a"  # md5 first-2-hex < '1a' → eval: 26/256 ≈ 10.2%
+
+
+@query(
+    "j107_cluster_safe_split",
+    oracle=DUCK_COMP_CTES
+    + f"""
+    , rep AS (
+      SELECT d.doc_id,
+             COALESCE(c.component, d.doc_id) AS rep,
+             (c.doc_id IS NOT NULL) AS clustered
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    split AS (
+      SELECT doc_id, rep, clustered,
+             CASE WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 2) < '{EVAL_HEX_CUT}'
+                  THEN 'eval' ELSE 'train' END AS split
+      FROM rep
+    ),
+    straddle AS (
+      SELECT COUNT(*) AS n FROM edges e
+      JOIN split sa ON sa.doc_id = e.doc_a
+      JOIN split sb ON sb.doc_id = e.doc_b
+      WHERE sa.split != sb.split
+    )
+    SELECT s.split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN s.clustered THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clustered,
+           CAST(COUNT(DISTINCT s.rep) AS BIGINT) AS n_groups,
+           CAST(MIN(st.n) AS BIGINT) AS n_straddling_edges
+    FROM split s, straddle st
+    GROUP BY s.split
+    """,
+)
+def j107_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware leakage-safe train/eval split — the production
+    upgrade of j71's block-key split: the split unit is the NEAR-DUP
+    CLUSTER (j20's connected component; singletons are their own
+    unit), assigned by content hash of the cluster representative, so
+    a doc and its near-duplicates land on the SAME side by
+    construction — eval can never be contaminated by a train
+    near-copy that exact-key splitting misses. The report proves it:
+    n_straddling_edges counts verified near-dup edges crossing the
+    split and must be 0 (pinned by test); per split: docs, clustered
+    docs, distinct split units. Content-hash thresholding (md5 first
+    bytes < 0x{EVAL_HEX_CUT}) keeps the split rerun-identical and
+    engine-agnostic (j83's convention) at ≈10% eval.
+
+    Plan: reuses the banded near-dup edge table (materialized ONCE,
+    shared by the label propagation and the straddle audit), j20's
+    bounded min-label propagation, one left join of labels onto the
+    corpus, and two id-keyed joins of the tiny edge set for the
+    audit. At 100 TB this is the same cost as the dedup everyone
+    already runs plus a label lookup — and it is the only split
+    discipline that survives a dedup-aware eval audit."""
+    edges = materialize(_dup_edges(spark, sf_dir))
+    labels = _labels_from_edges(edges)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    rep = docs.join(
+        labels.select(F.col("node").alias("doc_id"), "label"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("label", "doc_id").alias("rep"),
+        F.col("label").isNotNull().alias("clustered"),
+    )
+    split_col = F.when(
+        F.substring(F.md5(F.col("rep").cast("string")), 1, 2) < EVAL_HEX_CUT,
+        "eval",
+    ).otherwise("train")
+    split = rep.withColumn("split", split_col)
+    sa = split.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sp_a"))
+    sb = split.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sp_b"))
+    straddle = (
+        edges.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("sp_a") != F.col("sp_b"))
+        .agg(F.count("*").cast("bigint").alias("n_straddling_edges"))
+    )
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("clustered").cast("int")).cast("bigint").alias("n_clustered"),
+            F.countDistinct("rep").cast("bigint").alias("n_groups"),
+        )
+        .crossJoin(F.broadcast(straddle))
     )

@@ -429,3 +429,23 @@ def test_c18_exactly_one_version_per_fact(spark):
     assert sum(r.n_orders for r in out) == load(spark, sf, "orders").count()
     for r in out:
         assert 0 <= r.n_match <= r.n_orders
+
+
+def test_j107_no_straddling_edges_and_split_covers_corpus(spark):
+    """The cluster-safe split's defining guarantees: zero verified
+    near-dup edges cross the split, the two sides partition the
+    corpus, and the eval fraction is near the 26/256 hash cut."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.io import load
+
+    registry.load_all_query_modules()
+    sf = "/root/testdata/sf0.01"
+    rows = {r.split: r for r in registry.QUERIES["j107_cluster_safe_split"](spark, sf).collect()}
+    assert set(rows) == {"train", "eval"}
+    total = sum(r.n_docs for r in rows.values())
+    assert total == load(spark, sf, "documents").count()
+    for r in rows.values():
+        assert r.n_straddling_edges == 0
+        assert r.n_clustered >= 0 and r.n_groups <= r.n_docs
+    frac = rows["eval"].n_docs / total
+    assert 0.04 < frac < 0.20  # 26/256 ≈ 0.102, loose band

@@ -81,6 +81,7 @@ TRIPWIRE_QUERIES = [
     "j105_curriculum_order",
     "d16_weighted_median",
     "j106_heaps_law",
+    "j107_cluster_safe_split",
 ]
 MULT = 10
 MAX_RATIO = 12.0

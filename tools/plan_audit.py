@@ -91,6 +91,7 @@ AUDIT = {
     "d16_weighted_median": "grouped bucketed prefix sum (quality-band bucket) + broadcast totals + filter/min agg — exact weighted median with no per-source SinglePartition window",
     "e13_cumulative_uniques": "user-keyed min agg (map-side combined) + day aggs; running sum over the bounded day domain — the justified SinglePartition category, events never globally sort",
     "j106_heaps_law": "first-seen identity (token-keyed min agg) + bucketed prefix sums on the monotone doc_id bucket + one scalar OLS agg — no SinglePartition window, no global sort",
+    "j107_cluster_safe_split": "edge table materialized once, shared by min-label propagation and the straddle audit; corpus-side one left join; audit joins keyed on the tiny edge set",
 }
 
 MARKERS = (

@@ -124,6 +124,9 @@ PROBES = [
     "d16_weighted_median",
     # j106's two stacked bucketed prefix sums + token-keyed min agg.
     "j106_heaps_law",
+    # j107 rides the banded edge set + bounded label hops (j20's
+    # category); a lost band join or an unbounded hop blows the ratio.
+    "j107_cluster_safe_split",
 ]
 
 
