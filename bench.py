@@ -122,7 +122,32 @@ def main() -> None:
         return t >= 3.0 or (name in frozen and t > 2.0 * frozen[name])
 
     reruns: dict[str, list[float]] = {}
-    for name in [n for n, t in times.items() if needs_rerun(n, t)]:
+
+    # First-time queries (no frozen median yet) get the full
+    # median-of-3 treatment unconditionally: the relative >2×-frozen
+    # trigger can't fire for them, so a sub-3 s host stall would land
+    # as the query's "steady-state" time and freeze a too-high median
+    # next round (ADVICE r7). Median (not min) matches the
+    # freeze_medians policy for first-time baselines.
+    for name in sorted(set(times) - set(frozen)):
+        if times[name] < 0:
+            continue
+        runs = [times[name]]
+        for _ in range(2):
+            t = run_once(name)
+            if t < 0:
+                break
+            runs.append(t)
+        if len(runs) == 3:
+            reruns[name] = runs
+            kept = sorted(runs)[1]
+            print(
+                f"# bench first-time median-of-3 {name}: runs={runs} kept={kept}",
+                file=sys.stderr,
+            )
+            times[name] = kept
+
+    for name in [n for n, t in times.items() if needs_rerun(n, t) and n not in reruns]:
         runs = [times[name]]
         # up to two re-runs, stopping early once under both triggers —
         # a genuinely-expensive query reproduces its time on the first

@@ -31,10 +31,11 @@ import atexit
 import contextlib
 import os
 import shutil
-import tempfile
 
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
+
+from json2hbase_spark.scratch import scratch_dir
 
 _VALID = ("local", "checkpoint", "persist")
 
@@ -110,7 +111,7 @@ def materialize(df: DataFrame, strategy: str | None = None) -> DataFrame:
             # sc.setCheckpointDir at submit time. Tracked so
             # cleanup_materialized(remove_checkpoint_dirs=True) can
             # reclaim the files at end-of-session.
-            d = tempfile.mkdtemp(prefix="json2hbase_ckpt_")
+            d = scratch_dir("json2hbase_ckpt_")
             _created_ckpt_dirs.append(d)
             sc.setCheckpointDir(d)
         return df.checkpoint(eager=True)

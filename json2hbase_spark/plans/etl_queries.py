@@ -17,6 +17,7 @@ from json2hbase_spark.io import load
 from json2hbase_spark.operators.flatten import kv_flatten
 from json2hbase_spark.operators.hbase import derive_rowkey, prepare_hbase_cells, region_bucket
 from json2hbase_spark.registry import query
+from json2hbase_spark.scratch import scratch_dir
 
 PEOPLE_JSONL = "/root/repo/fixtures/people.jsonl"
 NATION_CSV = "/root/repo/fixtures/nation.csv"
@@ -144,7 +145,7 @@ def a5_hbase_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = prepare_hbase_cells(kv, n_regions=16).withColumn(
         "region", region_bucket(F.col("rowkey"), 16)
     )
-    out_dir = tempfile.mkdtemp(prefix="json2hbase_sink_")
+    out_dir = scratch_dir("json2hbase_sink_")
     cells.write.mode("overwrite").parquet(out_dir)
     return spark.read.parquet(out_dir)
 
@@ -331,7 +332,7 @@ def a12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB (Hive-era lakes); predicate pushdown and column pruning
     apply the same way as a1's parquet contract."""
     orders = load(spark, sf_dir, "orders")
-    out = tempfile.mkdtemp(prefix="j2h_orc_")
+    out = scratch_dir("j2h_orc_")
     orders.write.mode("overwrite").orc(out)
     back = spark.read.orc(out).filter(F.col("o_orderpriority") == "1-URGENT")
     return back.groupBy("o_orderstatus").agg(
@@ -363,8 +364,8 @@ def a13_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     file count is ceil(bytes/target_size) from the table stats, here
     pinned to 4 for the fixture."""
     docs = load(spark, sf_dir, "documents")
-    frag_dir = tempfile.mkdtemp(prefix="j2h_frag_")
-    compact_dir = tempfile.mkdtemp(prefix="j2h_compact_")
+    frag_dir = scratch_dir("j2h_frag_")
+    compact_dir = scratch_dir("j2h_compact_")
     docs.repartition(64).write.mode("overwrite").parquet(frag_dir)
     fragmented = spark.read.parquet(frag_dir)
     fragmented.repartition(4).write.mode("overwrite").parquet(compact_dir)
@@ -516,7 +517,7 @@ def a16_bucketed_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import uuid
 
-    wh = tempfile.mkdtemp(prefix="j2h_a16_wh_")
+    wh = scratch_dir("j2h_a16_wh_")
     tag = uuid.uuid4().hex[:8]
     prev_bucketing = spark.conf.get("spark.sql.sources.bucketing.enabled", "true")
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
@@ -624,7 +625,7 @@ def a18_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.col("o_orderdate").cast("date").cast("string").alias("o_date"),
     )
-    out = tempfile.mkdtemp(prefix="j2h_a18_xml_")
+    out = scratch_dir("j2h_a18_xml_")
     sel.write.format("xml").option("rowTag", "order").mode("overwrite").save(out)
     back = (
         spark.read.format("xml")
@@ -768,7 +769,7 @@ def a21_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
     import shutil
 
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    out = tempfile.mkdtemp(prefix="j2h_a21_")
+    out = scratch_dir("j2h_a21_")
     try:
         orders = load(spark, sf_dir, "orders").withColumn(
             "o_year", F.year("o_orderdate").cast("int")
@@ -1083,12 +1084,11 @@ def a26_jsonl_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora actually ship.) Schema inference pays one extra pass;
     production readers pass an explicit schema, as the read-back here
     documents."""
-    import os
-    import tempfile
+    from json2hbase_spark.scratch import LAST_STAGED
 
     docs = load(spark, sf_dir, "documents")
-    tag = sf_dir.strip("/").replace("/", "_")
-    path = os.path.join(tempfile.gettempdir(), f"j2h_docs_jsonl_gz_{tag}")
+    path = scratch_dir("j2h_docs_jsonl_gz")
+    LAST_STAGED["a26_jsonl_gzip"] = path
     docs.write.mode("overwrite").option("compression", "gzip").json(path)
     back = spark.read.json(path)
     return back.groupBy("source").agg(
@@ -1135,8 +1135,7 @@ def a27_csv_corrupt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     Corrupt-row columns must be materialized from the raw line (Spark
     requires selecting the corrupt column only after caching or from
     the same scan), which this plan does in one pass per mode."""
-    import os
-    import tempfile
+    from json2hbase_spark.scratch import LAST_STAGED
 
     from pyspark.sql.types import (
         IntegerType,
@@ -1157,8 +1156,8 @@ def a27_csv_corrupt_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad = nation.filter(F.col("n_nationkey") < 5).select(
         F.concat(F.lit("notakey,"), F.col("n_name")).alias("line")
     )
-    tag = sf_dir.strip("/").replace("/", "_")
-    path = os.path.join(tempfile.gettempdir(), f"j2h_csv_corrupt_{tag}")
+    path = scratch_dir("j2h_csv_corrupt")
+    LAST_STAGED["a27_csv_corrupt_recovery"] = path
     good.unionAll(bad).coalesce(1).write.mode("overwrite").text(path)
 
     schema = StructType(

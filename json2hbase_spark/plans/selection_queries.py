@@ -340,8 +340,11 @@ def j97_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (d×d per Arrow batch, same partial-agg merge), and the one-pass
     integer form should switch to two-pass (center on broadcast means)
     so the n·Σxy magnitude stays within int64 — both are constant-
-    factor swaps, not shape changes. The oracle runs the identical
-    quantized arithmetic in DuckDB."""
+    factor swaps, not shape changes. An in-plan assert_true tripwire
+    enforces the int64 bound (n² · qmax² < 2^63, 2% margin) at
+    runtime, so the silent-wrap regime errors instead of corrupting
+    cov_num. The oracle runs the identical quantized arithmetic in
+    DuckDB."""
     emb = load(spark, sf_dir, "embeddings")
     q = widen(emb).select(
         F.transform(
@@ -358,6 +361,23 @@ def j97_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("qi") * F.col("qj")).cast("bigint").alias("sxy"),
         F.sum("qi").cast("bigint").alias("sx"),
         F.sum("qj").cast("bigint").alias("sy"),
+        F.max(F.greatest(F.abs("qi"), F.abs("qj"))).alias("_qmax"),
+    )
+    # Overflow tripwire (ADVICE r7): the one-pass form computes
+    # n·Σxy and Σx·Σy, both bounded by n²·qmax² — Spark's non-ANSI
+    # BIGINT product wraps SILENTLY past 2^63−1 (n ≈ 3M rows for
+    # unit-norm embeddings at COV_SCALE=1000). Assert the bound per
+    # (i,j) row in doubles (2% margin absorbs double rounding); at
+    # corpus sizes that trip it, switch to the two-pass centered form
+    # the docstring describes. 2,080 rows → free.
+    guard = (
+        F.pow(F.col("n").cast("double"), 2) * F.pow(F.col("_qmax").cast("double"), 2)
+        < F.lit(9.0e18)
+    )
+    s = s.where(
+        F.assert_true(
+            guard, F.lit("j97: n²·qmax² near int64 — use the two-pass centered form")
+        ).isNull()
     )
     cov_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     return s.select(
@@ -1128,6 +1148,44 @@ HEAPS_LOG_SCALE = 1_000  # fixed-point quantizer for ln() values.
 # needs hundreds of points, not billions — keeping the same bound.
 
 
+def _heaps_cum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Heaps'-law cumulative curve shared by j106 (OLS slope) and
+    j109 (fixed-budget checkpoints): per-doc token counts and
+    first-seen new-type counts, running-summed in doc_id order via the
+    bucketed two-pass prefix sum (operators/prefix.py — no
+    SinglePartition window, the corpus never globally sorts). Returns
+    one row per doc: (doc_id, n_tok, new_types, cum_tokens,
+    cum_types)."""
+    from json2hbase_spark.operators.prefix import bucketed_cumsum
+
+    docs = load(spark, sf_dir, "documents")
+    toks = widen(docs).select(
+        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("t")
+    )
+    firsts = toks.groupBy("t").agg(F.min("doc_id").alias("first_doc"))
+    new_per_doc = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").cast("bigint").alias("new_types")
+    )
+    per_doc = (
+        toks.groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_tok"))
+        .join(new_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.coalesce("new_types", F.lit(0)).cast("bigint").alias("new_types"),
+        )
+    )
+    # monotone integer bucket over doc_id → distributed running sums
+    mx = per_doc.agg(F.max("doc_id").alias("m"))
+    b = per_doc.crossJoin(F.broadcast(mx)).withColumn(
+        "_bkt",
+        (F.col("doc_id") * CUMSUM_BUCKETS / (F.col("m") + 1)).cast("long"),
+    )
+    cum = bucketed_cumsum(b, "_bkt", ["doc_id"], "n_tok", "cum_tokens")
+    return bucketed_cumsum(cum, "_bkt", ["doc_id"], "new_types", "cum_types")
+
+
 @query(
     "j106_heaps_law",
     oracle=f"""
@@ -1196,34 +1254,7 @@ def j106_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/prefix.py, same outputs); the OLS sums are one scalar
     agg. Output is a single row: point count, exact numerator/
     denominator, β."""
-    from json2hbase_spark.operators.prefix import bucketed_cumsum
-
-    docs = load(spark, sf_dir, "documents")
-    toks = widen(docs).select(
-        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("t")
-    )
-    firsts = toks.groupBy("t").agg(F.min("doc_id").alias("first_doc"))
-    new_per_doc = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
-        F.count("*").cast("bigint").alias("new_types")
-    )
-    per_doc = (
-        toks.groupBy("doc_id")
-        .agg(F.count("*").cast("bigint").alias("n_tok"))
-        .join(new_per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tok",
-            F.coalesce("new_types", F.lit(0)).cast("bigint").alias("new_types"),
-        )
-    )
-    # monotone integer bucket over doc_id → distributed running sums
-    mx = per_doc.agg(F.max("doc_id").alias("m"))
-    b = per_doc.crossJoin(F.broadcast(mx)).withColumn(
-        "_bkt",
-        (F.col("doc_id") * CUMSUM_BUCKETS / (F.col("m") + 1)).cast("long"),
-    )
-    cum = bucketed_cumsum(b, "_bkt", ["doc_id"], "n_tok", "cum_tokens")
-    cum = bucketed_cumsum(cum, "_bkt", ["doc_id"], "new_types", "cum_types")
+    cum = _heaps_cum(spark, sf_dir)
     pts = cum.select(
         F.floor(F.log("cum_tokens") * HEAPS_LOG_SCALE).cast("bigint").alias("x"),
         F.floor(F.log("cum_types") * HEAPS_LOG_SCALE).cast("bigint").alias("y"),
@@ -1242,4 +1273,238 @@ def j106_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         num.alias("slope_num"),
         den.alias("slope_den"),
         F.round(num.cast("double") / den, 4).alias("heaps_beta"),
+    )
+
+
+# --------------------------------------------------------------- j108
+
+from json2hbase_spark.plans.advanced_queries import COMPONENT_HOPS  # noqa: E402
+
+# j103's scored-pair CTE chain (same SQL, one extra containment CTE)
+# feeding the bounded-reach component resolution — the recursive twin
+# of j20's min-label propagation, over winnow pairs instead of
+# Jaccard edges.
+_DUCK_WINNOW_CLUSTERS = f"""WITH RECURSIVE {_DUCK_WINNOW_SEL},
+    nfp AS (
+      SELECT doc_id, COUNT(*) AS n_fp FROM sel GROUP BY doc_id
+    ),
+    rare AS (
+      SELECT fh FROM sel GROUP BY fh
+      HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {FP_MAX_DF}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM sel a JOIN rare r ON r.fh = a.fh
+                 JOIN sel b ON b.fh = a.fh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) >= {PAIR_MIN_SHARED}
+    ),
+    spairs AS (
+      SELECT p.doc_a, p.doc_b, p.n_shared,
+             round(CAST(p.n_shared AS DOUBLE)
+                   / least(na.n_fp, nb.n_fp), 4) AS containment
+      FROM pairs p
+      JOIN nfp na ON na.doc_id = p.doc_a
+      JOIN nfp nb ON nb.doc_id = p.doc_b
+    ),
+    nodes AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM pairs UNION SELECT doc_b FROM pairs
+      )
+    ),
+    bi AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, reached, depth) AS (
+      SELECT doc_id, doc_id, 0 FROM nodes
+      UNION
+      SELECT r.node, bi.dst, r.depth + 1
+      FROM reach r JOIN bi ON bi.src = r.reached
+      WHERE r.depth < {COMPONENT_HOPS}
+    ),
+    comp AS (SELECT node AS doc_id, min(reached) AS cluster
+             FROM reach GROUP BY node),
+    cstats AS (
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM comp GROUP BY cluster
+    ),
+    pstats AS (
+      SELECT c.cluster,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(s.n_shared) AS BIGINT) AS sum_shared,
+             MAX(s.containment) AS max_containment
+      FROM spairs s JOIN comp c ON c.doc_id = s.doc_a
+      GROUP BY c.cluster
+    )
+    SELECT cs.cluster, cs.n_docs, p.n_pairs, p.sum_shared,
+           p.max_containment
+    FROM cstats cs JOIN pstats p ON p.cluster = cs.cluster
+"""
+
+
+@query("j108_winnow_clusters", oracle=_DUCK_WINNOW_CLUSTERS)
+def j108_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing pair→cluster resolution — the MOSS report at CLUSTER
+    granularity: j103's candidate pairs become the edge set of a
+    similarity graph, resolved into connected components by j20's
+    bounded min-label propagation (shared helper, shared hop bound),
+    and each cluster is reported once — members, internal pair count,
+    total shared fingerprints, and the strongest containment inside
+    the cluster. This is the shape reviewers actually consume: "these
+    N docs are one template family", not O(N²) pair rows — and the
+    unit the dedup pipeline acts on (j26 canonical pick, j107
+    cluster-safe split take cluster labels exactly like these).
+
+    Plan: the scored pair table is materialized ONCE (it is the small
+    invariant of the iteration — each propagation hop would otherwise
+    re-run the winnowing window over the full gram stream), label
+    propagation is COMPONENT_HOPS narrow join+min-agg rounds over the
+    tiny edge set, and the report is two bounded hash aggs keyed on
+    the cluster label. SMJ inside the propagation is j20's justified
+    shape (edges vs labels); at 100 TB the pair table is ~duplication
+    density × corpus, orders of magnitude below the gram stream the
+    selection stage already paid for."""
+    from json2hbase_spark.materialize import materialize
+    from json2hbase_spark.plans.advanced_queries import _labels_from_edges
+
+    pairs = materialize(j103_winnow_pairs(spark, sf_dir))
+    labels = _labels_from_edges(
+        pairs.select("doc_a", "doc_b")
+    )  # (node, label = component min doc_id)
+    cstats = labels.groupBy(F.col("label").alias("cluster")).agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    pstats = (
+        pairs.join(labels.select(F.col("node").alias("doc_a"), "label"), "doc_a")
+        .groupBy(F.col("label").alias("cluster"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("n_shared").cast("bigint").alias("sum_shared"),
+            F.max("containment").alias("max_containment"),
+        )
+    )
+    return cstats.join(pstats, "cluster").select(
+        "cluster", "n_docs", "n_pairs", "sum_shared", "max_containment"
+    )
+
+
+# --------------------------------------------------------------- j109
+
+HEAPS_CHECKPOINTS = 10  # fixed token-budget checkpoints (deciles of
+#                         the total token stream)
+
+
+@query(
+    "j109_heaps_checkpoints",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != ''))
+        AS t
+      FROM documents
+    ),
+    firsts AS (
+      SELECT t, MIN(doc_id) AS first_doc FROM toks GROUP BY t
+    ),
+    per_doc AS (
+      SELECT d.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tok,
+             CAST(COALESCE(f.new_types, 0) AS BIGINT) AS new_types
+      FROM toks d
+      LEFT JOIN (SELECT first_doc, COUNT(*) AS new_types
+                 FROM firsts GROUP BY first_doc) f
+        ON f.first_doc = d.doc_id
+      GROUP BY d.doc_id, f.new_types
+    ),
+    cum AS (
+      SELECT doc_id,
+             CAST(SUM(n_tok) OVER w AS BIGINT) AS cum_tokens,
+             CAST(SUM(new_types) OVER w AS BIGINT) AS cum_types
+      FROM per_doc
+      WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    tot AS (SELECT MAX(cum_tokens) AS total FROM cum),
+    banded AS (
+      SELECT CAST((cum_tokens * {HEAPS_CHECKPOINTS} + total - 1) // total
+                  AS BIGINT) AS checkpoint,
+             CAST(MAX(cum_tokens) AS BIGINT) AS cum_tokens,
+             CAST(MAX(cum_types) AS BIGINT) AS cum_types
+      FROM cum, tot GROUP BY 1
+    ),
+    d AS (
+      SELECT checkpoint, cum_tokens, cum_types,
+             cum_tokens - COALESCE(lag(cum_tokens) OVER (ORDER BY checkpoint),
+                                   0) AS delta_tokens,
+             cum_types - COALESCE(lag(cum_types) OVER (ORDER BY checkpoint),
+                                  0) AS delta_types
+      FROM banded
+    )
+    SELECT checkpoint, cum_tokens, cum_types,
+           CAST(delta_tokens AS BIGINT) AS delta_tokens,
+           CAST(delta_types AS BIGINT) AS delta_types,
+           round(CAST(delta_types AS DOUBLE) / delta_tokens, 6)
+             AS marginal_rate
+    FROM d
+    """,
+)
+def j109_heaps_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps' curve at FIXED token budgets — the 100 TB sampling
+    posture j106's docstring promises: instead of one doc-level point
+    per document (billions of rows at corpus scale), report the
+    vocabulary state at {HEAPS_CHECKPOINTS} cumulative-token
+    checkpoints (deciles of the total stream). Per checkpoint: exact
+    cumulative tokens/types at the last document inside the budget,
+    the token/type deltas since the previous checkpoint, and the
+    marginal new-type rate — "does the next 10% of corpus still buy
+    vocabulary?" answered in {HEAPS_CHECKPOINTS} rows. A flattening
+    marginal_rate column IS the diminishing-returns diagnostic data
+    teams act on (stop collecting, or switch sources).
+
+    Plan: reuses j106's distributed cumulative curve (_heaps_cum —
+    token-keyed min agg for first-seen types + bucketed two-pass
+    prefix sums, no global sort); the total is a 1-row broadcast; the
+    checkpoint band is integer arithmetic ((cum·K + total−1) DIV
+    total, exact in both engines); per-band maxima are one hash agg
+    (cum_types is monotone WITH cum_tokens, so max picks the same
+    row). The delta lag runs over ≤{HEAPS_CHECKPOINTS} band rows — a
+    bounded-domain SinglePartition window, enumerated in
+    SINGLEPART_JUSTIFIED (j50's category). All columns exact integers
+    except the final rounded division."""
+    cum = _heaps_cum(spark, sf_dir)
+    tot = cum.agg(F.max("cum_tokens").alias("total"))
+    banded = (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "checkpoint",
+            F.expr(f"(cum_tokens * {HEAPS_CHECKPOINTS} + total - 1) DIV total"),
+        )
+        .groupBy("checkpoint")
+        .agg(
+            F.max("cum_tokens").cast("bigint").alias("cum_tokens"),
+            F.max("cum_types").cast("bigint").alias("cum_types"),
+        )
+    )
+    w = Window.orderBy("checkpoint")
+    d = banded.select(
+        "checkpoint",
+        "cum_tokens",
+        "cum_types",
+        (F.col("cum_tokens") - F.coalesce(F.lag("cum_tokens").over(w), F.lit(0)))
+        .cast("bigint")
+        .alias("delta_tokens"),
+        (F.col("cum_types") - F.coalesce(F.lag("cum_types").over(w), F.lit(0)))
+        .cast("bigint")
+        .alias("delta_types"),
+    )
+    return d.select(
+        "checkpoint",
+        "cum_tokens",
+        "cum_types",
+        "delta_tokens",
+        "delta_types",
+        F.round(F.col("delta_types").cast("double") / F.col("delta_tokens"), 6).alias(
+            "marginal_rate"
+        ),
     )

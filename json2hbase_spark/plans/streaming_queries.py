@@ -31,6 +31,7 @@ from json2hbase_spark.operators.asof import asof_join
 from json2hbase_spark.operators.sessionize import sessionize
 from json2hbase_spark.registry import query
 from json2hbase_spark.session import scoped_stream_confs
+from json2hbase_spark.scratch import scratch_dir
 
 SUM_VALUE = "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)"
 
@@ -40,7 +41,7 @@ def _run_to_memory(writer_df: DataFrame, name: str, output_mode: str) -> None:
         writer_df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .option("checkpointLocation", scratch_dir(f"ckpt_{name}_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -700,7 +701,6 @@ def i14_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob as _glob
     import os
     import shutil
-    import tempfile
 
     from pyspark.sql import Window
 
@@ -708,13 +708,13 @@ def i14_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-run private stage dir (mkdtemp): concurrent runs against the
     # same fixture must not race on a shared deterministic path, and
     # shutil.move (not os.rename) survives tempdirs spanning filesystems
-    stage = tempfile.mkdtemp(prefix="j2h_fb_stage_")
-    state_root = tempfile.mkdtemp(prefix="j2h_fb_state_")
+    stage = scratch_dir("j2h_fb_stage_")
+    state_root = scratch_dir("j2h_fb_state_")
     # two single-file halves → two micro-batches under maxFilesPerTrigger=1
     for i, half in enumerate(
         (ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1))
     ):
-        tmp = tempfile.mkdtemp(prefix="j2h_fb_half_")
+        tmp = scratch_dir("j2h_fb_half_")
         half.coalesce(1).write.mode("overwrite").parquet(tmp)
         part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
         shutil.move(part, os.path.join(stage, f"{i}.parquet"))
@@ -749,7 +749,7 @@ def i14_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     with scoped_stream_confs(spark):
         q = (
             stream.writeStream.foreachBatch(upsert)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_i14_"))
+            .option("checkpointLocation", scratch_dir("ckpt_i14_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -886,8 +886,6 @@ def i17_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     a new query from old state). The state contents must equal the
     batch aggregate over the same data — checked via the count field
     (exact int; the state's float sum stays internal)."""
-    import tempfile
-
     from json2hbase_spark.io import load_events_stream
     from json2hbase_spark.session import scoped_stream_confs
 
@@ -895,7 +893,7 @@ def i17_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = stream.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")
     )
-    ckpt = tempfile.mkdtemp(prefix="j2h_i17_ckpt_")
+    ckpt = scratch_dir("j2h_i17_ckpt_")
     with scoped_stream_confs(spark):
         q = (
             counts.writeStream.format("noop")
@@ -963,7 +961,7 @@ def i18_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             return _TickReader()
 
     spark.dataSource.register(TickSource)
-    ckpt = tempfile.mkdtemp(prefix="j2h_i18_ckpt_")
+    ckpt = scratch_dir("j2h_i18_ckpt_")
     name = f"i18_mem_{ckpt.rsplit('_', 1)[-1]}"
     with scoped_stream_confs(spark):
         # one run per available offset: each start resumes from the
@@ -1161,7 +1159,7 @@ def i21_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _events_confs(spark)
     src = f"{sf_dir}/events.parquet"
-    stage = tempfile.mkdtemp(prefix="j2h_i21_dup_")
+    stage = scratch_dir("j2h_i21_dup_")
     os.symlink(src, os.path.join(stage, "0.parquet"))
     os.symlink(src, os.path.join(stage, "1.parquet"))
     schema = spark.read.parquet(src).schema
@@ -1391,7 +1389,7 @@ def i26_stream_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from json2hbase_spark.operators.text import whitespace_tokens
 
     src = f"{sf_dir}/documents.parquet"
-    stage = tempfile.mkdtemp(prefix="j2h_i26_dup_")
+    stage = scratch_dir("j2h_i26_dup_")
     os.symlink(src, os.path.join(stage, "0.parquet"))
     os.symlink(src, os.path.join(stage, "1.parquet"))
     schema = spark.read.parquet(src).schema

@@ -382,8 +382,9 @@ def test_a26_gzip_files_and_lossless_text(spark, tmp_path):
     registry.load_all_query_modules()
     sf = "/root/testdata/sf0.001"
     registry.QUERIES["a26_jsonl_gzip"](spark, sf).collect()
-    tag = sf.strip("/").replace("/", "_")
-    path = os.path.join(tempfile.gettempdir(), f"j2h_docs_jsonl_gz_{tag}")
+    from json2hbase_spark.scratch import LAST_STAGED
+
+    path = LAST_STAGED["a26_jsonl_gzip"]
     parts = glob.glob(f"{path}/part-*")
     assert parts and all(p.endswith(".json.gz") for p in parts)
     back = spark.read.json(path)

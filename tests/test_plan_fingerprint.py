@@ -46,6 +46,39 @@ def test_plan_fingerprints_match_snapshot(spark):
         "intended, regenerate with `python tools/plan_fingerprint.py`"
     )
     # the global hygiene invariants hold over EVERY query, not just
-    # the snapshot diff: no cartesian products anywhere, Python evals
-    # only in the declared escape hatches
-    assert all(v.get("cartesian", 0) == 0 for v in current.values())
+    # the snapshot diff — all four plan-audit categories are enforced
+    # here against the justified sets in tools/plan_audit.py (the r7
+    # judge finding: a doc-only gate let j107 land with its own audit
+    # flagging an unadjudicated SMJ). A new query outside a justified
+    # set fails CI, same as a snapshot drift.
+    from tools.plan_audit import (
+        PY_EVAL_JUSTIFIED,
+        RANGE_JUSTIFIED,
+        SINGLEPART_JUSTIFIED,
+        SMJ_JUSTIFIED,
+    )
+
+    def offenders(key, justified):
+        return sorted(
+            name for name, fp in current.items()
+            if fp.get(key, 0) and name not in justified
+        )
+
+    assert all(v.get("cartesian", 0) == 0 for v in current.values()), (
+        "CartesianProduct is never justified"
+    )
+    assert not offenders("smj", SMJ_JUSTIFIED), (
+        f"SortMergeJoin outside SMJ_JUSTIFIED: {offenders('smj', SMJ_JUSTIFIED)}"
+    )
+    assert not offenders("row_py_eval", PY_EVAL_JUSTIFIED), (
+        "row-at-a-time Python outside the declared escape hatches: "
+        f"{offenders('row_py_eval', PY_EVAL_JUSTIFIED)}"
+    )
+    assert not offenders("range_part", RANGE_JUSTIFIED), (
+        "global-sort range exchange outside the sort operators: "
+        f"{offenders('range_part', RANGE_JUSTIFIED)}"
+    )
+    assert not offenders("single_part_nonscalar", SINGLEPART_JUSTIFIED), (
+        "non-scalar SinglePartition funnel outside the bounded set: "
+        f"{offenders('single_part_nonscalar', SINGLEPART_JUSTIFIED)}"
+    )

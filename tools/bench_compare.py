@@ -42,6 +42,25 @@ def main() -> None:
     bench = payload["queries"]
     frozen = frozen_medians()
 
+    # join-strategy context for flagged queries: the committed plan
+    # fingerprint records each query's BHJ/SMJ mix, so a DIVERGENT or
+    # SLOW row can be read against "did the join strategy drift?"
+    # without re-planning (the fingerprint CI test catches the drift
+    # itself; this makes the bench report self-contained).
+    try:
+        snap = json.loads((REPO / "plans_fingerprint.json").read_text())
+    except OSError:
+        snap = {}
+
+    def join_mix(name: str) -> str:
+        fp = snap.get(name)
+        if not fp:
+            return ""
+        return (
+            f" [snapshot joins: bhj={fp.get('bhj', 0)} smj={fp.get('smj', 0)}"
+            f" exch={fp.get('exchange', 0)}]"
+        )
+
     # min-of-two divergence check: bench.py keeps the MIN of the two
     # timings for re-measured (≥3 s) queries, which can mask a genuine
     # intermittent cost (recurring spill). Surface any rerun pair whose
@@ -51,6 +70,7 @@ def main() -> None:
             print(
                 f"DIVERGENT  {name}: reruns {runs} differ x{max(runs) / min(runs):.1f}"
                 " — min kept; investigate if it recurs across benches"
+                + join_mix(name)
             )
 
     slow, unfrozen, failed = [], [], []
@@ -67,7 +87,7 @@ def main() -> None:
     for name in failed:
         print(f"FAIL  {name}: bench run errored (-1.0 in bench_full.json)")
     for name, t, f, r in sorted(slow, key=lambda x: -x[3]):
-        print(f"SLOW  {name}: {t:.2f}s vs frozen {f}s  (x{r:.1f})")
+        print(f"SLOW  {name}: {t:.2f}s vs frozen {f}s  (x{r:.1f})" + join_mix(name))
     for name, t in unfrozen:
         print(f"NOFREEZE  {name}: {t:.2f}s (add a median row to BASELINE.md)")
     n = len(bench)

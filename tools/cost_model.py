@@ -110,10 +110,15 @@ WANTED = ("shuffle records written", "shuffle bytes written",
 def measure(spark, name: str, sf: str) -> dict[str, float]:
     """Run `name` with the noop sink; sum the WANTED metrics over every
     SQL execution the query triggered (materialize() included), each
-    accumulator counted once."""
+    accumulator counted once. Also records the final plan's join
+    strategy mix (BHJ/SMJ counts) so strategy drift in an exemplar is
+    a quantified diff next regeneration, not just a fingerprint
+    mismatch (VERDICT r7 #8)."""
     store = spark._jsparkSession.sharedState().statusStore()
     before = store.executionsList().size()
-    registry.QUERIES[name](spark, sf).write.format("noop").mode("overwrite").save()
+    df = registry.QUERIES[name](spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    df.write.format("noop").mode("overwrite").save()
     cleanup_materialized()
     execs = store.executionsList()
     agg = dict.fromkeys(WANTED, 0.0)
@@ -129,6 +134,8 @@ def measure(spark, name: str, sf: str) -> dict[str, float]:
                 continue
             seen.add(aid)
             agg[nm] += _parse_metric(vals.apply(aid))
+    agg["bhj"] = float(plan.count("BroadcastHashJoin"))
+    agg["smj"] = float(plan.count("SortMergeJoin"))
     return agg
 
 
@@ -152,9 +159,10 @@ def section(spark, sf: str) -> list[str]:
             proj = "≈100 TB (semantics)"
         else:
             proj = _fmt_bytes(ratio * TARGET)
+        joins = f"{int(m['bhj'])}/{int(m['smj'])}"
         rows.append(
             f"| {name} | {family} | {_fmt_bytes(inp)} | {int(srec):,} | "
-            f"{_fmt_bytes(sb)} | {width:.0f} B | {ratio:.2f} | {proj} | {why} |"
+            f"{_fmt_bytes(sb)} | {width:.0f} B | {ratio:.2f} | {joins} | {proj} | {why} |"
         )
     out = [
         "## Shuffle cost model (measured at sf0.1, projected to 100 TB)",
@@ -175,8 +183,13 @@ def section(spark, sf: str) -> list[str]:
         "non-event, and only the declared corpus-shuffle ops reach the",
         "same order as the input.",
         "",
-        "| exemplar | family | input read | shuf rows | shuf bytes | B/row | shuf:input | @100 TB | why the payload is what it is |",
-        "| --- | --- | --- | --- | --- | --- | --- | --- | --- |",
+        "The BHJ/SMJ column is the exemplar's join-strategy mix in the",
+        "executed plan (broadcast vs sort-merge counts) — a broadcast",
+        "flipping to sort-merge between regenerations shows up here as a",
+        "quantified diff, alongside the fingerprint CI gate.",
+        "",
+        "| exemplar | family | input read | shuf rows | shuf bytes | B/row | shuf:input | BHJ/SMJ | @100 TB | why the payload is what it is |",
+        "| --- | --- | --- | --- | --- | --- | --- | --- | --- | --- |",
         *rows,
         "",
     ]

@@ -142,6 +142,7 @@ SMJ_JUSTIFIED = {
     "j85_dup_cluster_stats": "j20's label propagation reused verbatim: edges vs labels, both corpus-sized",
     "j87_graph_degree_stats": "degree count over the j20 edge set — the edge materialize carries j20's join shape",
     "j89_hapax_docs": "occurrence stream re-joined to its own vocabulary — both sides grow with the corpus",
+    "j107_cluster_safe_split": "j20's label propagation reused (edges vs labels, both corpus-sized) + the straddle audit's two id-keyed joins of the edge set against the corpus-sized split table — every SMJ side grows with the corpus, none is broadcastable",
 }
 
 

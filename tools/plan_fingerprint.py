@@ -54,11 +54,19 @@ MARKERS = {
     "py_eval": r"BatchEvalPython|ArrowEvalPython|MapInArrow|MapInPandas"
     r"|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas|PythonMapInArrow",
     "generate": r"\bGenerate\b",
+    # the four plan-audit hygiene categories, CI-enforced against the
+    # justified sets in tools/plan_audit.py (tests/test_plan_fingerprint.py):
+    "row_py_eval": r"BatchEvalPython|PythonUDTF",
+    "range_part": r"rangepartitioning",
 }
 
 
 def fingerprint(plan: str) -> dict[str, int]:
-    return {k: len(re.findall(rx, plan)) for k, rx in MARKERS.items()}
+    from tools.plan_audit import _nonscalar_singlepart
+
+    fp = {k: len(re.findall(rx, plan)) for k, rx in MARKERS.items()}
+    fp["single_part_nonscalar"] = _nonscalar_singlepart(plan)
+    return fp
 
 
 def compute_all() -> dict[str, dict[str, int]]:
