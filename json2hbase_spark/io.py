@@ -169,8 +169,16 @@ def load_table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame
     tag = sf_dir.strip("/").replace("/", "_")
     stage = os.path.join(tempfile.gettempdir(), f"json2hbase_stream_{table}_{tag}")
     os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, f"{table}.parquet")
-    _stage_symlink(link, src)
+    if os.path.isdir(src):
+        # a real (directory-shaped) parquet table: the file stream
+        # source lists the stage dir NON-recursively, so a symlinked
+        # subdirectory would read as zero files — link each data file
+        # into the stage dir instead (still no data copy).
+        for f in sorted(os.listdir(src)):
+            if f.endswith(".parquet"):
+                _stage_symlink(os.path.join(stage, f), os.path.join(src, f))
+    else:
+        _stage_symlink(os.path.join(stage, f"{table}.parquet"), src)
     return spark.readStream.schema(raw_schema).parquet(stage)
 
 

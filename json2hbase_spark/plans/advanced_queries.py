@@ -119,6 +119,78 @@ def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _labels_from_edges(edges)
 
 
+def _labels_converged(edges: DataFrame, rounds: int = 8) -> DataFrame:
+    """True connected-component min-labels: min-label propagation with
+    POINTER DOUBLING (each round folds in neighbors' labels AND the
+    label's own label, so reach grows up to ~2^rounds — min-label flow is
+    graph-dependent, and the default 8 is EMPIRICAL with margin: 4
+    rounds fails the convergence tripwire on the sf0.001 winnow-pair
+    graph, 6 fails on the alphabet-rotated ×10 tripwire corpus, 8
+    passes both, and the tripwire below turns any future shortfall
+    into an error, not a wrong answer). Labels are
+    materialized every other round and after the last to keep the
+    lineage flat (tiny jobs over the component node set — the
+    per-iteration checkpoint cadence you'd run at 100 TB).
+
+    Used where the edge graph has NO structural diameter bound (j108's
+    winnow-pair chains — unlike j20's Jaccard blocks, where diameter ≤
+    block size justifies the cheap 3-hop form). An in-plan assert_true
+    ERRORS if any edge still straddles two labels after the rounds, so
+    an unconverged run surfaces as a failure instead of silently-split
+    clusters; the oracle twin is an unbounded (fixpoint) recursive
+    CTE, which is exactly what convergence makes equal."""
+    nodes = (
+        edges.select(F.col("doc_a").alias("node"))
+        .unionByName(edges.select(F.col("doc_b").alias("node")))
+        .distinct()
+    )
+    bi = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for r in range(rounds):
+        nbr = bi.join(
+            labels.select(F.col("node").alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        jump = labels.join(
+            labels.select(F.col("node").alias("label"), F.col("label").alias("jl")),
+            "label",
+        ).select("node", F.col("jl").alias("label"))
+        labels = (
+            labels.unionByName(nbr)
+            .unionByName(jump)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        # flatten lineage every OTHER round (each un-materialized round
+        # adds 3 joins of the label table — two rounds of that is fine,
+        # more makes Catalyst re-plan an exponentially bushy tree), and
+        # ALWAYS after the last (three consumers read the final labels:
+        # the convergence check and both cluster-stat aggs — without
+        # the cut they would each re-execute the whole chain); at
+        # 100 TB this IS the per-iteration checkpoint cadence.
+        if r % 2 == 1 or r == rounds - 1:
+            labels = materialize(labels)
+    la = labels.select(F.col("node").alias("src"), F.col("label").alias("la"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("label").alias("lb"))
+    bad = (
+        bi.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("la") != F.col("lb"))
+        .agg(F.count("*").alias("_nbad"))
+    )
+    return (
+        labels.crossJoin(F.broadcast(bad))
+        .where(
+            F.assert_true(
+                F.col("_nbad") == 0,
+                F.lit("label propagation unconverged — raise `rounds`"),
+            ).isNull()
+        )
+        .drop("_nbad")
+    )
+
+
 def _labels_from_edges(edges: DataFrame) -> DataFrame:
     """Min-label propagation over an already-materialized edge table
     (callers that also need the edges reuse one materialization)."""

@@ -1278,12 +1278,12 @@ def j106_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------- j108
 
-from json2hbase_spark.plans.advanced_queries import COMPONENT_HOPS  # noqa: E402
-
 # j103's scored-pair CTE chain (same SQL, one extra containment CTE)
-# feeding the bounded-reach component resolution — the recursive twin
-# of j20's min-label propagation, over winnow pairs instead of
-# Jaccard edges.
+# feeding the component resolution — the FIXPOINT recursive twin of
+# the converged pointer-doubling propagation (_labels_converged):
+# winnow-pair chains have no structural diameter bound, so unlike
+# j20's block-bounded graph the recursion runs to closure, not to
+# COMPONENT_HOPS.
 _DUCK_WINNOW_CLUSTERS = f"""WITH RECURSIVE {_DUCK_WINNOW_SEL},
     nfp AS (
       SELECT doc_id, COUNT(*) AS n_fp FROM sel GROUP BY doc_id
@@ -1317,12 +1317,11 @@ _DUCK_WINNOW_CLUSTERS = f"""WITH RECURSIVE {_DUCK_WINNOW_SEL},
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION ALL SELECT doc_b, doc_a FROM pairs
     ),
-    reach(node, reached, depth) AS (
-      SELECT doc_id, doc_id, 0 FROM nodes
+    reach(node, reached) AS (
+      SELECT doc_id, doc_id FROM nodes
       UNION
-      SELECT r.node, bi.dst, r.depth + 1
+      SELECT r.node, bi.dst
       FROM reach r JOIN bi ON bi.src = r.reached
-      WHERE r.depth < {COMPONENT_HOPS}
     ),
     comp AS (SELECT node AS doc_id, min(reached) AS cluster
              FROM reach GROUP BY node),
@@ -1348,8 +1347,11 @@ _DUCK_WINNOW_CLUSTERS = f"""WITH RECURSIVE {_DUCK_WINNOW_SEL},
 def j108_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing pair→cluster resolution — the MOSS report at CLUSTER
     granularity: j103's candidate pairs become the edge set of a
-    similarity graph, resolved into connected components by j20's
-    bounded min-label propagation (shared helper, shared hop bound),
+    similarity graph, resolved into TRUE connected components by
+    converged pointer-doubling min-label propagation (winnow-pair
+    chains have no block-diameter bound, so j20's 3-hop form can
+    split a long chain — _labels_converged runs to convergence and
+    ERRORS via an in-plan tripwire if it hasn't),
     and each cluster is reported once — members, internal pair count,
     total shared fingerprints, and the strongest containment inside
     the cluster. This is the shape reviewers actually consume: "these
@@ -1367,12 +1369,12 @@ def j108_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     density × corpus, orders of magnitude below the gram stream the
     selection stage already paid for."""
     from json2hbase_spark.materialize import materialize
-    from json2hbase_spark.plans.advanced_queries import _labels_from_edges
+    from json2hbase_spark.plans.advanced_queries import _labels_converged
 
     pairs = materialize(j103_winnow_pairs(spark, sf_dir))
-    labels = _labels_from_edges(
+    labels = _labels_converged(
         pairs.select("doc_a", "doc_b")
-    )  # (node, label = component min doc_id)
+    )  # (node, label = component min doc_id), convergence-tripwired
     cstats = labels.groupBy(F.col("label").alias("cluster")).agg(
         F.count("*").cast("bigint").alias("n_docs")
     )

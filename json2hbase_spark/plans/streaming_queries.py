@@ -1414,3 +1414,319 @@ def i26_stream_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_unique_chunks").cast("bigint").alias("n_unique_chunks"),
         F.col("n_arrived_chunks").cast("bigint").alias("n_arrived_chunks"),
     )
+
+
+# ---------------------------------------------------------------- i27
+
+
+@query(
+    "i27_stream_scd2_maintain",
+    oracle="""
+    WITH chg AS (
+      SELECT o_custkey AS custkey, o_orderpriority AS priority,
+             o_orderdate::TIMESTAMP AS ts, o_orderkey,
+             lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey)
+               AS prev_priority
+      FROM orders
+    ),
+    starts AS (
+      SELECT custkey, priority, ts, o_orderkey
+      FROM chg
+      WHERE prev_priority IS NULL OR priority != prev_priority
+    ),
+    vers AS (
+      SELECT custkey, priority,
+             row_number() OVER (PARTITION BY custkey
+                                ORDER BY ts, o_orderkey) AS version,
+             CAST(CAST(ts AS DATE) AS VARCHAR) AS eff_from,
+             CAST(CAST(lead(ts) OVER (PARTITION BY custkey
+                                      ORDER BY ts, o_orderkey) AS DATE)
+                  AS VARCHAR) AS eff_to
+      FROM starts
+    )
+    SELECT custkey, priority, CAST(version AS BIGINT) AS version,
+           eff_from, eff_to,
+           (eff_to IS NULL) AS is_current
+    FROM vers
+    """,
+)
+def i27_stream_scd2_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 maintenance — b12's history build kept current
+    across REAL micro-batches via foreachBatch merge (the b12/c18
+    warehouse pair's missing streaming leg): the change log arrives as
+    three in-order time slices (maxFilesPerTrigger=1 → three batches),
+    and each batch merges into the versioned history incrementally —
+    new rows compare against the key's OPEN version's value (exactly
+    the lag-collapse, because in an in-order stream the open version's
+    value always equals the last raw row's), accepted changes close
+    the open version ([eff_from, eff_to) gets its upper bound) and
+    append new versions numbered from the key's previous max. Only
+    AFFECTED keys' open rows are touched per batch; the closed history
+    is carried forward untouched. The final history must hash-equal
+    b12's one-shot batch build over the whole table — proving the
+    merge is associative across batch boundaries.
+
+    In-order is the contract (the staging cuts slice on ts, so rows
+    with equal ts never straddle a batch and per-key (ts, o_orderkey)
+    order is preserved); out-of-order change feeds need the
+    c18-style affected-key REBUILD instead — collapsed state is lossy
+    for retroactive inserts, documented here rather than silently
+    wrong. State versions are swap-by-directory (i14's poor-man's
+    ACID); at 100 TB this is a MERGE into a key-partitioned lakehouse
+    table, and each batch's cost is O(batch + affected keys), not
+    O(history).
+
+    Plan per batch: one shuffle on custkey serves lag + row_number +
+    lead over the batch slice (b12's exchange reuse at batch grain);
+    the open-version lookup and the carry-forward filter are key
+    joins against the state table. The staging min/max collect is the
+    harness (slice boundaries), not the operator plan."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey",
+    )
+    # --- staging harness: three in-order time slices, one file each
+    b = orders.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    lo, hi = b["lo"], b["hi"]
+    span = hi - lo
+    cut1, cut2 = lo + span / 3, lo + 2 * span / 3
+    stage = scratch_dir("j2h_i27_stage_")
+    slices = (
+        orders.filter(F.col("ts") < F.lit(cut1)),
+        orders.filter((F.col("ts") >= F.lit(cut1)) & (F.col("ts") < F.lit(cut2))),
+        orders.filter(F.col("ts") >= F.lit(cut2)),
+    )
+    for i, sl in enumerate(slices):
+        tmp = scratch_dir("j2h_i27_half_")
+        sl.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(stage, f"{i}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    state_root = scratch_dir("j2h_i27_state_")
+    from json2hbase_spark.scratch import LAST_STAGED
+
+    LAST_STAGED["i27_stream_scd2_maintain"] = state_root
+    w = Window.partitionBy("custkey").orderBy("ts", "o_orderkey")
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        versions = sorted(_glob.glob(os.path.join(state_root, "v*")))
+        state = sess.read.parquet(versions[-1]) if versions else None
+        chg = batch_df.withColumn("prev", F.lag("priority").over(w))
+        if state is not None:
+            open_v = state.filter("is_current").select(
+                "custkey",
+                F.col("priority").alias("open_priority"),
+                F.col("version").alias("open_version"),
+            )
+            chg = chg.join(open_v, "custkey", "left")
+        else:
+            chg = chg.withColumn(
+                "open_priority", F.lit(None).cast("string")
+            ).withColumn("open_version", F.lit(None).cast("bigint"))
+        starts = chg.filter(
+            (
+                F.col("prev").isNull()
+                & (
+                    F.col("open_priority").isNull()
+                    | (F.col("priority") != F.col("open_priority"))
+                )
+            )
+            | (F.col("prev").isNotNull() & (F.col("priority") != F.col("prev")))
+        )
+        new_vers = starts.select(
+            "custkey",
+            "priority",
+            (F.coalesce("open_version", F.lit(0)) + F.row_number().over(w))
+            .cast("bigint")
+            .alias("version"),
+            F.col("ts").cast("date").cast("string").alias("eff_from"),
+            F.lead("ts").over(w).cast("date").cast("string").alias("eff_to"),
+        ).withColumn("is_current", F.col("eff_to").isNull())
+        firsts = (
+            starts.groupBy("custkey")
+            .agg(F.min(F.struct("ts", "o_orderkey")).alias("s"))
+            .select("custkey", F.col("s.ts").alias("first_ts"))
+        )
+        if state is not None:
+            closed = (
+                state.filter("is_current")
+                .join(firsts, "custkey")
+                .select(
+                    "custkey",
+                    "priority",
+                    "version",
+                    "eff_from",
+                    F.col("first_ts").cast("date").cast("string").alias("eff_to"),
+                    F.lit(False).alias("is_current"),
+                )
+            )
+            kept = (
+                state.join(firsts, "custkey", "left")
+                .filter(~(F.col("is_current") & F.col("first_ts").isNotNull()))
+                .drop("first_ts")
+            )
+            new_state = kept.unionByName(closed).unionByName(new_vers)
+        else:
+            new_state = new_vers
+        new_state.write.mode("overwrite").parquet(
+            os.path.join(state_root, f"v{batch_id:04d}")
+        )
+
+    schema = spark.read.parquet(stage).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage)
+    )
+    with scoped_stream_confs(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", scratch_dir("ckpt_i27_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    final_dir = sorted(_glob.glob(os.path.join(state_root, "v*")))[-1]
+    return spark.read.parquet(final_dir).select(
+        "custkey", "priority", "version", "eff_from", "eff_to", "is_current"
+    )
+
+
+# ---------------------------------------------------------------- i28
+
+
+@query(
+    "i28_stream_contamination_gate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, lang, i.i AS i,
+             md5(array_to_string(list_slice(w, i.i, i.i + 7), ' ')) AS g
+      FROM toks,
+           LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i) i
+      WHERE len(w) >= 8
+    ),
+    bench AS (SELECT DISTINCT g FROM pos WHERE doc_id < 10),
+    quarantined AS (
+      SELECT DISTINCT p.doc_id FROM pos p JOIN bench b ON b.g = p.g
+      WHERE p.doc_id >= 10
+    )
+    SELECT t.lang,
+           CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT q.doc_id) AS BIGINT) AS n_quarantined
+    FROM toks t LEFT JOIN quarantined q ON q.doc_id = t.doc_id
+    WHERE t.doc_id >= 10
+    GROUP BY t.lang
+    """,
+)
+def i28_stream_contamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING decontamination gate — j23/j111's benchmark-overlap
+    test at ingest time: the (static, tiny) benchmark 8-token-gram
+    set broadcasts against the arriving document stream, any doc
+    sharing a gram is quarantined, and the per-lang pass/quarantine
+    tally lands in complete mode. This is where decontamination
+    belongs in a production pipeline — on the way IN, so a benchmark
+    leak never reaches the training corpus — and the final sink must
+    equal the batch computation over the same corpus (the oracle).
+
+    Plan: the stream side explodes grams per micro-batch (stateless),
+    a stream-static LEFT SEMI join against the broadcast benchmark
+    grams flags hits, dropDuplicates on doc_id bounds the keyed state
+    by QUARANTINED docs only (benchmark hits, ≈0 in a healthy
+    corpus — not corpus-sized like naive stream dedup), and the two
+    complete-mode tallies (|lang| rows each) join batch-side after
+    the run. At 100 TB the benchmark set stays a broadcast literal of
+    the eval suite, the stream side is scan-shaped."""
+    from json2hbase_spark.io import load_table_stream
+    from json2hbase_spark.operators.text import whitespace_tokens
+
+    CONTAM_GRAM, BENCH_CUT = 8, 10
+    # static side: benchmark grams from the at-rest corpus slice
+    bench_docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < BENCH_CUT
+    )
+    bw = bench_docs.select(whitespace_tokens(F.col("text")).alias("w")).filter(
+        F.size("w") >= CONTAM_GRAM
+    )
+    bench = (
+        bw.select(
+            F.explode(
+                F.sequence(F.lit(1), F.size("w") - CONTAM_GRAM + 1)
+            ).alias("i"),
+            "w",
+        )
+        .select(
+            F.md5(F.concat_ws(" ", F.slice("w", F.col("i"), CONTAM_GRAM))).alias("g")
+        )
+        .distinct()
+    )
+
+    stream = load_table_stream(spark, sf_dir, "documents").filter(
+        F.col("doc_id") >= BENCH_CUT
+    )
+    sw = stream.select(
+        "doc_id", "lang", whitespace_tokens(F.col("text")).alias("w")
+    )
+    grams = (
+        sw.filter(F.size("w") >= CONTAM_GRAM)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("w") - CONTAM_GRAM + 1)
+            ).alias("i"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", F.slice("w", F.col("i"), CONTAM_GRAM))).alias("g"),
+        )
+    )
+    q_docs = (
+        grams.join(F.broadcast(bench), "g", "left_semi")
+        .dropDuplicates(["doc_id"])
+        .select("doc_id")
+    )
+    all_tally = sw.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    with scoped_stream_confs(spark):
+        _run_to_memory(all_tally, "i28_all_mem", "complete")
+        q = (
+            q_docs.writeStream.format("memory")
+            .queryName("i28_q_mem")
+            .outputMode("append")
+            .option("checkpointLocation", scratch_dir("ckpt_i28_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    qd = spark.table("i28_q_mem")
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") >= BENCH_CUT)
+    ql = (
+        docs.join(qd, "doc_id", "left_semi")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_quarantined"))
+    )
+    return (
+        spark.table("i28_all_mem")
+        .join(ql, "lang", "left")
+        .select(
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.coalesce("n_quarantined", F.lit(0)).cast("bigint").alias(
+                "n_quarantined"
+            ),
+        )
+    )

@@ -51,4 +51,5 @@ def load_all_query_modules() -> None:
         pipeline_queries,
         curation_queries,
         selection_queries,
+        audit_queries,
     )

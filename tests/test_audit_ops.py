@@ -1,0 +1,144 @@
+"""Semantics tests for the round-8 audit family (plans/audit_queries.py):
+code detection verdicts on planted structure, contamination span
+measurement on a planted overlap, and KL drift direction on
+constructed distributions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F  # noqa: F401
+
+SF = "/root/testdata/sf0.001"
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _docs_dir(spark, tmp_path, name, rows):
+    df = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows], DOC_SCHEMA
+    )
+    d = str(tmp_path / name)
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_j110_verdicts_on_planted_structure(spark, tmp_path):
+    """doc_id%7==0 docs are code-staged and must read 'code';
+    doc_id%7==3 read 'mixed'; the rest 'prose'. Totals reconcile."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    rows = [(i, f"plain words here number {i} " * 3, "s0") for i in range(21)]
+    d = _docs_dir(spark, tmp_path, "codefix", rows)
+    out = registry.QUERIES["j110_code_detect"](spark, d).collect()
+    by = {r.verdict: r for r in out}
+    assert set(by) == {"code", "mixed", "prose"}
+    assert by["code"].n_docs == 3  # ids 0,7,14
+    assert by["mixed"].n_docs == 3  # ids 3,10,17
+    assert by["prose"].n_docs == 15
+    assert sum(r.n_docs for r in out) == 21
+    # planted code shape: 5 lines, 3 statement lines, braces present
+    assert by["code"].sum_lines == 3 * 5
+    assert by["code"].sum_semi == 3 * 3
+    assert by["code"].sum_brace == 3 * 2
+    assert by["prose"].sum_semi == 0 and by["prose"].sum_brace == 0
+    assert abs(by["code"].code_line_frac - 0.6) < 1e-9
+
+
+def test_j111_span_measures_planted_overlap(spark, tmp_path):
+    """A corpus doc embedding an exact 12-token run from a benchmark
+    doc must be flagged with max_span 12; a disjoint doc must not be
+    flagged; a doc with two separate 8-token hits reports the longer
+    island, not their sum."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.plans.audit_queries import BENCH_CUT
+
+    registry.load_all_query_modules()
+    bench_toks = [f"b{i}" for i in range(30)]
+    bench = " ".join(bench_toks)
+    run12 = " ".join(bench_toks[5:17])  # 12-token contiguous run
+    run8a = " ".join(bench_toks[0:8])
+    run8b = " ".join(bench_toks[20:28])
+    pad = lambda tag, n: " ".join(f"{tag}{k}" for k in range(n))  # noqa: E731
+    rows = [
+        (0, bench, "bench"),
+        (BENCH_CUT + 0, pad("x", 10) + " " + run12 + " " + pad("y", 10), "s0"),
+        (BENCH_CUT + 1, pad("z", 40), "s0"),
+        (
+            BENCH_CUT + 2,
+            run8a + " " + pad("q", 12) + " " + run8b,
+            "s0",
+        ),
+    ]
+    d = _docs_dir(spark, tmp_path, "contamfix", rows)
+    out = {r.lang: r for r in registry.QUERIES["j111_contamination_span"](spark, d).collect()}
+    r = out["en"]
+    assert r.n_docs == 3
+    assert r.n_contam == 2
+    assert r.max_span_tokens == 12
+    assert abs(r.avg_max_span - (12 + 8) / 2) < 1e-9
+
+
+def test_j112_kl_direction_and_exactness(spark, tmp_path):
+    """A source drawn from the corpus-majority vocabulary reads
+    near-zero KL; a source with a disjoint private vocabulary reads
+    strongly positive; kl equals kl_num/(n_tokens·SCALE) exactly."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.plans.audit_queries import KL_LOG_SCALE
+
+    registry.load_all_query_modules()
+    common = " ".join(f"w{k % 20}" for k in range(40))
+    rows = [(i, common, "s_match") for i in range(20)]
+    rows += [(100 + i, " ".join(f"rare{i}_{k}" for k in range(40)), "s_drift")
+             for i in range(3)]
+    d = _docs_dir(spark, tmp_path, "klfix", rows)
+    out = {r.source: r for r in registry.QUERIES["j112_source_unigram_kl"](spark, d).collect()}
+    assert out["s_drift"].kl > 1.0  # disjoint vocab: ln(N/N_s) ≈ ln(23/3)
+    assert abs(out["s_match"].kl) < 0.2  # majority source ≈ corpus
+    for r in out.values():
+        assert abs(r.kl - r.kl_num / (r.n_tokens * KL_LOG_SCALE)) < 1e-6
+        assert r.n_types >= 1 and r.n_tokens >= r.n_types
+
+
+def test_j113_sweep_is_monotone_and_reconciles(spark):
+    """Raising the threshold can only shrink survivors; fractions are
+    consistent with the absolute counts; survivor mean quality is
+    nondecreasing in the threshold."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.plans.audit_queries import GATE_THRESHOLDS
+
+    registry.load_all_query_modules()
+    rows = sorted(
+        registry.QUERIES["j113_quality_threshold_sweep"](spark, SF).collect(),
+        key=lambda r: r.thr,
+    )
+    assert [r.thr for r in rows] == [
+        t for t in GATE_THRESHOLDS
+        if any(abs(r.thr - t) < 1e-9 for r in rows)
+    ]
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_docs <= a.n_docs and b.n_tokens <= a.n_tokens
+        assert b.mean_quality >= a.mean_quality - 1e-9
+    for r in rows:
+        assert 0 < r.doc_frac <= 1.0 and 0 < r.token_frac <= 1.0
+        assert abs(r.doc_frac - r.n_docs / (rows[0].n_docs / rows[0].doc_frac)) < 5e-4
+
+
+def test_i28_gate_quarantines_planted_leak(spark, tmp_path):
+    """A corpus doc embedding a benchmark 8-token run is quarantined
+    by the STREAMING gate; a clean doc is not; the tally equals the
+    batch truth."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    bench_toks = [f"b{i}" for i in range(20)]
+    leak = " ".join(bench_toks[4:14])
+    pad = lambda tag, n: " ".join(f"{tag}{k}" for k in range(n))  # noqa: E731
+    rows = [
+        (0, " ".join(bench_toks), "bench"),
+        (10, pad("x", 8) + " " + leak + " " + pad("y", 8), "s0"),
+        (11, pad("z", 30), "s0"),
+        (12, pad("q", 3), "s0"),  # sub-gram-width doc: counted, never flagged
+    ]
+    d = _docs_dir(spark, tmp_path, "i28fix", rows)
+    out = {r.lang: r for r in registry.QUERIES["i28_stream_contamination_gate"](spark, d).collect()}
+    r = out["en"]
+    assert r.n_docs == 3 and r.n_quarantined == 1

@@ -371,8 +371,6 @@ def test_a26_gzip_files_and_lossless_text(spark, tmp_path):
     """The sink actually writes .gz parts, and the round-trip
     preserves full text bytes (hash compare, not just counts)."""
     import glob
-    import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
@@ -450,3 +448,36 @@ def test_j107_no_straddling_edges_and_split_covers_corpus(spark):
         assert r.n_clustered >= 0 and r.n_groups <= r.n_docs
     frac = rows["eval"].n_docs / total
     assert 0.04 < frac < 0.20  # 26/256 ≈ 0.102, loose band
+
+
+def test_i27_incremental_scd2_equals_one_shot(spark):
+    """The streaming SCD2 maintenance must produce the EXACT history
+    b12 builds in one shot (same versions, same validity intervals,
+    same open rows), and must actually have run incrementally — three
+    state versions on disk, one per staged micro-batch."""
+    import glob
+    import os
+
+    from json2hbase_spark import registry
+    from json2hbase_spark.scratch import LAST_STAGED
+
+    registry.load_all_query_modules()
+    sf = "/root/testdata/sf0.001"
+    got = registry.QUERIES["i27_stream_scd2_maintain"](spark, sf)
+    want = registry.QUERIES["b12_scd2_build"](spark, sf)
+    key = lambda r: (r.custkey, r.version)  # noqa: E731
+    got_rows = sorted(got.collect(), key=key)
+    want_rows = sorted(want.collect(), key=key)
+    assert [tuple(r) for r in got_rows] == [tuple(r) for r in want_rows]
+    state_root = LAST_STAGED["i27_stream_scd2_maintain"]
+    assert len(glob.glob(os.path.join(state_root, "v*"))) == 3
+    # per-key sanity: exactly one open version, contiguous intervals
+    by_key = {}
+    for r in got_rows:
+        by_key.setdefault(r.custkey, []).append(r)
+    for vers in by_key.values():
+        assert sum(1 for v in vers if v.is_current) == 1
+        assert vers[-1].eff_to is None and vers[-1].is_current
+        for a, b in zip(vers, vers[1:]):
+            assert a.eff_to == b.eff_from
+            assert b.version == a.version + 1

@@ -920,6 +920,7 @@ def test_singlepart_justified_set_is_exact(spark, sf_dir):
     assert sorted(SINGLEPART_JUSTIFIED) == [
         "e13_cumulative_uniques",
         "f6_range_partition",
+        "j109_heaps_checkpoints",
         "j37_zipf_slope",
         "j50_drift_ks",
         "j77_quality_buckets",

@@ -82,6 +82,16 @@ TRIPWIRE_QUERIES = [
     "d16_weighted_median",
     "j106_heaps_law",
     "j107_cluster_safe_split",
+    # round-8: j108's pair stage is j103's (FP_MAX_DF-capped) and its
+    # label propagation touches only the pair set — a cap loss or a
+    # corpus-sized label join blows the ratio; j109 rides j106's
+    # shared cumulative curve into a 10-row band agg.
+    "j108_winnow_clusters",
+    "j109_heaps_checkpoints",
+    "j110_code_detect",
+    "j111_contamination_span",
+    "j112_source_unigram_kl",
+    "j113_quality_threshold_sweep",
 ]
 MULT = 10
 MAX_RATIO = 12.0

@@ -482,3 +482,113 @@ def test_j106_beta_separates_growing_from_saturated(spark, tmp_path):
     fixture = registry.QUERIES["j106_heaps_law"](spark, SF).collect()[0]
     assert fixture.heaps_beta < 0.2  # synthetic fixed vocab saturates
     assert fixture.slope_den > 0
+
+
+def test_j108_clusters_are_true_components(spark):
+    """j108's clusters must equal the TRUE connected components of the
+    j103 pair graph (Python BFS ground truth — this is the invariant
+    the bounded 3-hop propagation would violate on long chains, which
+    is why j108 uses the converged pointer-doubling form): cluster id
+    = min member, membership = transitive closure, pair/doc tallies
+    reconcile exactly."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.materialize import materialization_scope
+
+    registry.load_all_query_modules()
+    pairs = registry.QUERIES["j103_winnow_pairs"](spark, SF).collect()
+    with materialization_scope():
+        clusters = registry.QUERIES["j108_winnow_clusters"](spark, SF).collect()
+    # ground truth: BFS transitive closure in Python
+    adj: dict[int, set[int]] = {}
+    for r in pairs:
+        adj.setdefault(r.doc_a, set()).add(r.doc_b)
+        adj.setdefault(r.doc_b, set()).add(r.doc_a)
+    label: dict[int, int] = {}
+    for start in adj:
+        if start in label:
+            continue
+        comp, stack = {start}, [start]
+        while stack:
+            for nb in adj[stack.pop()]:
+                if nb not in comp:
+                    comp.add(nb)
+                    stack.append(nb)
+        m = min(comp)
+        for n in comp:
+            label[n] = m
+    want = {}
+    for n, l in label.items():
+        want.setdefault(l, set()).add(n)
+    by_cluster = {r.cluster: r for r in clusters}
+    assert set(by_cluster) == set(want)
+    for cl, members in want.items():
+        assert by_cluster[cl].n_docs == len(members) >= 2
+    # every pair is intra-cluster by construction of true components;
+    # tallies reconcile
+    assert sum(r.n_pairs for r in clusters) == len(pairs)
+    assert sum(r.n_docs for r in clusters) == len(label)
+    assert sum(r.sum_shared for r in clusters) == sum(r.n_shared for r in pairs)
+    assert max(r.max_containment for r in clusters) == max(
+        r.containment for r in pairs
+    )
+
+
+def test_j108_constructed_component(spark, tmp_path):
+    """A chain A-B, B-C of winnow pairs (A and C share nothing
+    directly) must resolve into ONE cluster of 3 docs with 2 pairs —
+    the transitive resolution j103's pair rows can't express."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.materialize import materialization_scope
+
+    registry.load_all_query_modules()
+    seg1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo"
+    seg2 = "lima mike november oscar papa quebec romeo sierra tango uniform xray"
+    pad_a = " ".join(f"a{i}" for i in range(25))
+    pad_c = " ".join(f"c{i}" for i in range(25))
+    docs = [
+        (0, pad_a + " " + seg1),              # A: seg1 only
+        (1, seg1 + " " + seg2),               # B: bridges both
+        (2, seg2 + " " + pad_c),              # C: seg2 only
+        (3, " ".join(f"z{i}" for i in range(40))),  # unrelated
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "chainfix")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    with materialization_scope():
+        rows = registry.QUERIES["j108_winnow_clusters"](spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.cluster == 0 and r.n_docs == 3 and r.n_pairs == 2
+
+
+def test_j109_checkpoints_reconcile_with_corpus(spark):
+    """Checkpoint rows telescope: deltas sum to the final cumulative
+    values, the final cum_types equals the corpus's distinct token
+    count, the final cum_tokens equals the corpus token count, and
+    checkpoints are strictly increasing within 1..HEAPS_CHECKPOINTS."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.io import load
+    from json2hbase_spark.operators.text import whitespace_tokens
+    from json2hbase_spark.plans.selection_queries import HEAPS_CHECKPOINTS
+
+    registry.load_all_query_modules()
+    rows = sorted(
+        registry.QUERIES["j109_heaps_checkpoints"](spark, SF).collect(),
+        key=lambda r: r.checkpoint,
+    )
+    cps = [r.checkpoint for r in rows]
+    assert cps == sorted(set(cps)) and 1 <= cps[0] and cps[-1] == HEAPS_CHECKPOINTS
+    assert sum(r.delta_tokens for r in rows) == rows[-1].cum_tokens
+    assert sum(r.delta_types for r in rows) == rows[-1].cum_types
+    toks = load(spark, SF, "documents").select(
+        F.explode(whitespace_tokens(F.col("text"))).alias("t")
+    )
+    n_tok, n_types = toks.count(), toks.distinct().count()
+    assert rows[-1].cum_tokens == n_tok
+    assert rows[-1].cum_types == n_types
+    # cumulative columns are nondecreasing across checkpoints
+    for a, b in zip(rows, rows[1:]):
+        assert b.cum_tokens > a.cum_tokens and b.cum_types >= a.cum_types

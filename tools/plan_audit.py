@@ -92,6 +92,12 @@ AUDIT = {
     "e13_cumulative_uniques": "user-keyed min agg (map-side combined) + day aggs; running sum over the bounded day domain — the justified SinglePartition category, events never globally sort",
     "j106_heaps_law": "first-seen identity (token-keyed min agg) + bucketed prefix sums on the monotone doc_id bucket + one scalar OLS agg — no SinglePartition window, no global sort",
     "j107_cluster_safe_split": "edge table materialized once, shared by min-label propagation and the straddle audit; corpus-side one left join; audit joins keyed on the tiny edge set",
+    "j108_winnow_clusters": "pair table materialized once; converged pointer-doubling label rounds over the pair set only (checkpointed every other round); convergence assert broadcast onto the output; cluster stats are two bounded hash aggs",
+    "j109_heaps_checkpoints": "j106's shared bucketed-cumsum curve + 1-row total broadcast + integer band arithmetic into one hash agg; the only window is the ≤10-row checkpoint-domain lag (justified SinglePartition)",
+    "j110_code_detect": "ONE exchange in the whole plan: codegen'd split + array-HOF line tests (no UDF, no explode) into a partial-combined hash agg on (source, verdict)",
+    "j111_contamination_span": "benchmark grams broadcast-semi onto the corpus gram stream; island window over FLAGGED positions only; no SMJ, no corpus-wide shuffle beyond the flagged subset",
+    "j112_source_unigram_kl": "explode → three map-side-combined hash aggs; vocab join broadcast at fixture scale (j89's big-big category at corpus scale); totals broadcast; KL numerator is an integer sum",
+    "j113_quality_threshold_sweep": "in-expression threshold-array explode (constant ×10 fan-out) → map-side-combined hash agg on threshold + 1-row totals broadcast — no join against the corpus",
 }
 
 MARKERS = (
@@ -143,6 +149,7 @@ SMJ_JUSTIFIED = {
     "j87_graph_degree_stats": "degree count over the j20 edge set — the edge materialize carries j20's join shape",
     "j89_hapax_docs": "occurrence stream re-joined to its own vocabulary — both sides grow with the corpus",
     "j107_cluster_safe_split": "j20's label propagation reused (edges vs labels, both corpus-sized) + the straddle audit's two id-keyed joins of the edge set against the corpus-sized split table — every SMJ side grows with the corpus, none is broadcastable",
+    "j108_winnow_clusters": "j20's label propagation over the winnow pair table (edges vs labels, both grow with duplication density × corpus) + the cluster-stat joins keyed on the same pair set",
 }
 
 
@@ -175,6 +182,7 @@ SINGLEPART_JUSTIFIED: dict[str, str] = {
     "j84_vocab_coverage": "rank window over the distinct VOCABULARY (docstring: the sort is over types, not the corpus)",
     "j50_drift_ks": "CDF cumsum over the DISTINCT-VALUE domain of n_chars — hundreds of rows at any corpus size",
     "e13_cumulative_uniques": "running sum over the DAY domain — |days| rows at any corpus size (the events table never sorts; docstring)",
+    "j109_heaps_checkpoints": "delta lag over the CHECKPOINT domain — ≤ HEAPS_CHECKPOINTS (10) band rows at any corpus size (docstring)",
 }
 
 

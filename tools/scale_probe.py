@@ -127,6 +127,21 @@ PROBES = [
     # j107 rides the banded edge set + bounded label hops (j20's
     # category); a lost band join or an unbounded hop blows the ratio.
     "j107_cluster_safe_split",
+    # round-8: j108 = j103's capped pair stage + converged label
+    # doubling over the tiny pair set (a lost FP_MAX_DF cap or a
+    # label join gone corpus-sized blows the ratio); j109 rides
+    # j106's shared cumulative curve + one 10-row band agg. i27 is
+    # orders/IO-based — out of this documents-scaling harness.
+    "j108_winnow_clusters",
+    "j109_heaps_checkpoints",
+    # round-8 audit family: j110 map-pass+agg, j111 gram stream +
+    # flagged-island window (j93/j99's category), j112 explode →
+    # vocab-keyed join (j89's shape) — all designed linear.
+    "j110_code_detect",
+    "j111_contamination_span",
+    "j112_source_unigram_kl",
+    # j113 is a constant-factor (×|thresholds|) fan-out map + agg.
+    "j113_quality_threshold_sweep",
 ]
 
 
