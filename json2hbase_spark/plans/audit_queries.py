@@ -25,6 +25,13 @@ from pyspark.sql import functions as F
 
 from json2hbase_spark.io import load, widen
 from json2hbase_spark.operators.text import whitespace_tokens
+from json2hbase_spark.plans.corpus_queries import (
+    QLR_B,
+    QLR_W_AVGLEN,
+    QLR_W_DIGIT,
+    QLR_W_LEN,
+    QLR_W_STOP,
+)
 from json2hbase_spark.registry import query
 
 # ---------------------------------------------------------------- j110
@@ -454,4 +461,104 @@ def j113_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "token_frac"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------- j114
+
+H_GATE = 1.5  # j12-heuristic keep threshold (mid-point of j113's sweep)
+# the frozen LR gate is score >= 0.0 (i24/j35's convention)
+
+
+@query(
+    "j114_quality_disagreement",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tok,
+             CAST(len(list_filter(list_filter(string_split(text, ' '), x -> x != ''),
+                  t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t)))
+                  AS DOUBLE)
+               / greatest(len(list_filter(string_split(text, ' '), x -> x != '')), 1)
+               AS stop_ratio,
+             CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+               / greatest(len(text), 1) AS digit_ratio,
+             CAST(COALESCE(list_aggregate(list_transform(list_filter(string_split(text, ' '),
+                    x -> x != ''), t -> len(t)), 'sum'), 0) AS DOUBLE)
+               / greatest(len(list_filter(string_split(text, ' '), x -> x != '')), 1)
+               AS avg_tok_len
+      FROM documents
+    ),
+    gates AS (
+      SELECT source,
+             (round(ln(1 + n_tok) * (1.0 - digit_ratio)
+                    * (0.5 + stop_ratio), 4) >= {H_GATE}) AS h_keep,
+             ({QLR_B} + {QLR_W_LEN} * (CAST(least(n_tok, 100) AS DOUBLE) / 100.0)
+                  + {QLR_W_STOP} * stop_ratio
+                  + {QLR_W_DIGIT} * digit_ratio
+                  + {QLR_W_AVGLEN} * avg_tok_len >= 0.0) AS m_keep
+      FROM f
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN h_keep AND m_keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_both_keep,
+           CAST(SUM(CASE WHEN NOT h_keep AND NOT m_keep THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_both_drop,
+           CAST(SUM(CASE WHEN h_keep AND NOT m_keep THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_heuristic_only,
+           CAST(SUM(CASE WHEN m_keep AND NOT h_keep THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_model_only,
+           round(CAST(SUM(CASE WHEN h_keep != m_keep THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 4) AS disagreement_rate
+    FROM gates
+    GROUP BY source
+    """,
+)
+def j114_quality_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic-vs-model quality-gate disagreement matrix — the audit
+    a pipeline runs before SWITCHING quality filters (j12's heuristic
+    gate at {H_GATE} vs j55's frozen LR gate at 0.0): per source, the
+    2×2 keep/drop confusion and the disagreement rate. The
+    disagreement cells ARE the review queue — docs the heuristic
+    keeps but the model drops (and vice versa) are exactly where a
+    threshold migration silently changes the corpus; a source whose
+    disagreement rate spikes gets human eyes before the cutover. Both
+    gates are integer/boolean decisions on expressions already proven
+    engine-exact (j12 / j55's cross-engine op-order contract).
+
+    Plan: ONE map pass computes both scores from one shared feature
+    projection (no UDF) into ONE partial-combined hash agg on source
+    — j110's scan-bound shape; at 100 TB this audit is free relative
+    to either gate it compares."""
+    from json2hbase_spark.operators.text import quality_features
+    from json2hbase_spark.plans.corpus_queries import quality_lr_score
+
+    docs = load(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    h_quality = F.round(
+        F.log(1 + feats["n_tokens"])
+        * (1.0 - feats["digit_ratio"])
+        * (0.5 + feats["stopword_ratio"]),
+        4,
+    )
+    h_keep = h_quality >= H_GATE
+    m_keep = quality_lr_score(F.col("text")) >= 0.0
+    g = widen(docs).select(
+        "source", h_keep.alias("h_keep"), m_keep.alias("m_keep")
+    )
+    both = F.col("h_keep") & F.col("m_keep")
+    neither = ~F.col("h_keep") & ~F.col("m_keep")
+    h_only = F.col("h_keep") & ~F.col("m_keep")
+    m_only = F.col("m_keep") & ~F.col("h_keep")
+    disagree = F.col("h_keep") != F.col("m_keep")
+    return g.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(both.cast("int")).cast("bigint").alias("n_both_keep"),
+        F.sum(neither.cast("int")).cast("bigint").alias("n_both_drop"),
+        F.sum(h_only.cast("int")).cast("bigint").alias("n_heuristic_only"),
+        F.sum(m_only.cast("int")).cast("bigint").alias("n_model_only"),
+        F.round(
+            F.sum(disagree.cast("int")).cast("double") / F.count("*"), 4
+        ).alias("disagreement_rate"),
     )

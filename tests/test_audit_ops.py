@@ -142,3 +142,53 @@ def test_i28_gate_quarantines_planted_leak(spark, tmp_path):
     out = {r.lang: r for r in registry.QUERIES["i28_stream_contamination_gate"](spark, d).collect()}
     r = out["en"]
     assert r.n_docs == 3 and r.n_quarantined == 1
+
+
+def test_every_registered_query_has_a_frozen_median():
+    """bench_compare prints NOFREEZE at bench time; this is the CI
+    twin — a new operator must land WITH its BASELINE.md freeze row,
+    or the 2x gate silently doesn't apply to it."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from json2hbase_spark import registry
+    from tools.bench_compare import frozen_medians
+
+    registry.load_all_query_modules()
+    frozen = frozen_medians()
+    missing = sorted(set(registry.QUERIES) - set(frozen))
+    assert not missing, f"queries with no frozen median: {missing}"
+
+
+def test_scratch_dirs_are_private_and_tracked(tmp_path):
+    """scratch_dir returns fresh private dirs under one root; staged
+    paths recorded in LAST_STAGED are real directories."""
+    import os
+
+    from json2hbase_spark.scratch import scratch_dir, scratch_root
+
+    a, b = scratch_dir("t1"), scratch_dir("t1")
+    assert a != b and os.path.isdir(a) and os.path.isdir(b)
+    root = scratch_root()
+    assert a.startswith(root) and b.startswith(root)
+
+
+def test_j114_matrix_reconciles_and_flags_disagreement(spark):
+    """The 2x2 cells partition the docs exactly; disagreement_rate
+    equals (h_only + m_only)/n; the fixture corpus produces at least
+    one disagreement somewhere (the gates are genuinely different
+    functions)."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    rows = registry.QUERIES["j114_quality_disagreement"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r.n_both_keep + r.n_both_drop + r.n_heuristic_only + r.n_model_only
+            == r.n_docs
+        )
+        want = round((r.n_heuristic_only + r.n_model_only) / r.n_docs, 4)
+        assert abs(r.disagreement_rate - want) < 1e-9
+    assert sum(r.n_heuristic_only + r.n_model_only for r in rows) > 0

@@ -92,6 +92,7 @@ TRIPWIRE_QUERIES = [
     "j111_contamination_span",
     "j112_source_unigram_kl",
     "j113_quality_threshold_sweep",
+    "j114_quality_disagreement",
 ]
 MULT = 10
 MAX_RATIO = 12.0

@@ -79,6 +79,10 @@ EXEMPLARS = [
      "only the DISTINCT fingerprint table (~2/(W+1) of grams) shuffles"),
     ("j105_curriculum_order", "compound-bucket global rank (j105/j62)", "linear",
      "one hash exchange of (id, band, 16-byte key); offsets broadcast"),
+    ("j108_winnow_clusters", "converged label propagation (j108/j20)", "linear",
+     "pair-set edges + label tables shuffle per round — pairs ∝ duplication density × corpus (FP_MAX_DF-capped), never corpus²"),
+    ("j111_contamination_span", "benchmark-flagged islands (j111/j23)", "linear",
+     "benchmark grams broadcast; only FLAGGED positions shuffle into the island window"),
 ]
 
 _UNIT = {"B": 1, "KiB": 2**10, "MiB": 2**20, "GiB": 2**30, "TiB": 2**40}

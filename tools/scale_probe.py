@@ -142,6 +142,7 @@ PROBES = [
     "j112_source_unigram_kl",
     # j113 is a constant-factor (×|thresholds|) fan-out map + agg.
     "j113_quality_threshold_sweep",
+    "j114_quality_disagreement",
 ]
 
 
