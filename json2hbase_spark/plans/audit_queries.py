@@ -562,3 +562,78 @@ def j114_quality_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(disagree.cast("int")).cast("double") / F.count("*"), 4
         ).alias("disagreement_rate"),
     )
+
+
+# ---------------------------------------------------------------- j115
+
+SEQ_LEN = 512  # training sequence length (tokens) for the waste audit
+
+
+@query(
+    "j115_packing_waste",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             len(list_filter(string_split(text, ' '), x -> x != '')) AS tokens
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+           CAST(ceil(CAST(SUM(tokens) AS DOUBLE) / {SEQ_LEN}) AS BIGINT)
+             AS concat_sequences,
+           CAST(SUM(CAST(ceil(CAST(tokens AS DOUBLE) / {SEQ_LEN}) AS BIGINT))
+                AS BIGINT) AS boundary_sequences,
+           CAST(SUM(CAST(ceil(CAST(tokens AS DOUBLE) / {SEQ_LEN}) AS BIGINT))
+                * {SEQ_LEN} - SUM(tokens) AS BIGINT) AS boundary_waste,
+           round(CAST(SUM(CAST(ceil(CAST(tokens AS DOUBLE) / {SEQ_LEN})
+                                AS BIGINT)) * {SEQ_LEN} - SUM(tokens) AS DOUBLE)
+                 / (SUM(CAST(ceil(CAST(tokens AS DOUBLE) / {SEQ_LEN})
+                             AS BIGINT)) * {SEQ_LEN}), 4) AS waste_ratio
+    FROM t
+    GROUP BY lang
+    """,
+)
+def j115_packing_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-waste audit — the number behind the concat-vs-respect-
+    boundaries decision every pretraining pipeline makes: packing each
+    doc into its own padded {SEQ_LEN}-token sequences wastes
+    Σ(ceil(tokens/{SEQ_LEN})·{SEQ_LEN} − tokens) padding tokens, while
+    j27's concat-then-chunk wastes only the per-stream tail — per
+    lang: docs, real tokens, sequence counts under BOTH conventions,
+    the boundary-respecting padding bill, and its waste ratio (the
+    fraction of compute spent attending to padding). A corpus of many
+    short docs reads 30-50% here, which is why concat packing (with
+    its cross-document attention caveat) exists at all. Pure integer
+    arithmetic per row; one rounded division at the end.
+
+    Plan: one token-count map pass into ONE partial-combined hash agg
+    on lang — j110's scan-bound shape; every column is an aggregate
+    of per-row integers, so the shuffle is |langs| rows."""
+    docs = load(spark, sf_dir, "documents")
+    t = widen(docs).select(
+        "lang", F.size(whitespace_tokens(F.col("text"))).alias("tokens")
+    )
+    per_doc_seqs = F.ceil(F.col("tokens").cast("double") / SEQ_LEN).cast("bigint")
+    g = t.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("tokens").cast("bigint").alias("total_tokens"),
+        F.sum(per_doc_seqs).cast("bigint").alias("boundary_sequences"),
+    )
+    boundary_waste = (
+        F.col("boundary_sequences") * SEQ_LEN - F.col("total_tokens")
+    ).cast("bigint")
+    return g.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        F.ceil(F.col("total_tokens").cast("double") / SEQ_LEN)
+        .cast("bigint")
+        .alias("concat_sequences"),
+        "boundary_sequences",
+        boundary_waste.alias("boundary_waste"),
+        F.round(
+            boundary_waste.cast("double") / (F.col("boundary_sequences") * SEQ_LEN),
+            4,
+        ).alias("waste_ratio"),
+    )

@@ -1730,3 +1730,72 @@ def i28_stream_contamination_gate(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+# ---------------------------------------------------------------- i29
+
+
+@query(
+    "i29_stream_mixture_monitor",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             len(list_filter(string_split(text, ' '), x -> x != '')) AS tokens
+      FROM documents
+    ),
+    s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(tokens) AS BIGINT) AS n_tokens
+      FROM t GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM s)
+    SELECT s.source, s.n_docs, s.n_tokens,
+           round(CAST(s.n_tokens AS DOUBLE) / tot.total, 4) AS token_share
+    FROM s, tot
+    """,
+)
+def i29_stream_mixture_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING source-mixture monitor — the live dashboard number a
+    managed ingest watches: per-source doc and TOKEN tallies
+    accumulated in complete mode as documents arrive, with each
+    source's share of the total token stream. A source whose share
+    drifts from the designed mixture (j19/j61's targets) is the
+    earliest signal of an upstream crawler change — and it shows up
+    here micro-batches before any quality metric moves. The final
+    tally must equal the batch computation (the oracle).
+
+    Plan: stateless per-batch token counts into a complete-mode
+    |sources|-row aggregate (watermark-free, state bounded by the
+    source domain); the share division runs batch-side on the final
+    |sources|-row table against its own 1-row total — no second
+    streaming query, no corpus-sized state."""
+    from json2hbase_spark.io import load_table_stream
+    from json2hbase_spark.operators.text import whitespace_tokens
+
+    stream = load_table_stream(spark, sf_dir, "documents")
+    tally = (
+        stream.select(
+            "source", F.size(whitespace_tokens(F.col("text"))).alias("tokens")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").alias("n_tokens"),
+        )
+    )
+    with scoped_stream_confs(spark):
+        _run_to_memory(tally, "i29_mem", "complete")
+    s = spark.table("i29_mem")
+    tot = s.agg(F.sum("n_tokens").alias("total"))
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("total"), 4
+            ).alias("token_share"),
+        )
+    )

@@ -192,3 +192,50 @@ def test_j114_matrix_reconciles_and_flags_disagreement(spark):
         want = round((r.n_heuristic_only + r.n_model_only) / r.n_docs, 4)
         assert abs(r.disagreement_rate - want) < 1e-9
     assert sum(r.n_heuristic_only + r.n_model_only for r in rows) > 0
+
+
+def test_j115_waste_arithmetic_is_exact(spark, tmp_path):
+    """Constructed doc lengths make the waste arithmetic checkable by
+    hand: docs of 100/512/513 tokens at SEQ_LEN=512 cost 1+1+2
+    boundary sequences and (412+0+511) padding; concat packing needs
+    ceil(1125/512)=3 sequences."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    rows = [
+        (0, " ".join(f"a{k}" for k in range(100)), "s0"),
+        (1, " ".join(f"b{k}" for k in range(512)), "s0"),
+        (2, " ".join(f"c{k}" for k in range(513)), "s0"),
+    ]
+    d = _docs_dir(spark, tmp_path, "packfix", rows)
+    out = registry.QUERIES["j115_packing_waste"](spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_docs == 3 and r.total_tokens == 1125
+    assert r.concat_sequences == 3
+    assert r.boundary_sequences == 4
+    assert r.boundary_waste == 4 * 512 - 1125 == 923
+    assert abs(r.waste_ratio - round(923 / (4 * 512), 4)) < 1e-9
+
+
+def test_i29_shares_sum_to_one_and_match_batch(spark):
+    """The streaming mixture tallies must reconcile with a direct
+    batch computation and the shares must sum to ~1."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.io import load
+    from json2hbase_spark.operators.text import whitespace_tokens
+
+    registry.load_all_query_modules()
+    got = {r.source: r for r in registry.QUERIES["i29_stream_mixture_monitor"](spark, SF).collect()}
+    want = {
+        r.source: (r.n_docs, r.n_tokens)
+        for r in load(spark, SF, "documents")
+        .select("source", F.size(whitespace_tokens(F.col("text"))).alias("t"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("t").alias("n_tokens"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for s, (nd, nt) in want.items():
+        assert (got[s].n_docs, got[s].n_tokens) == (nd, nt)
+    assert abs(sum(r.token_share for r in got.values()) - 1.0) < 0.01

@@ -93,6 +93,7 @@ TRIPWIRE_QUERIES = [
     "j112_source_unigram_kl",
     "j113_quality_threshold_sweep",
     "j114_quality_disagreement",
+    "j115_packing_waste",
 ]
 MULT = 10
 MAX_RATIO = 12.0

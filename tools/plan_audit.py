@@ -99,6 +99,7 @@ AUDIT = {
     "j112_source_unigram_kl": "explode → three map-side-combined hash aggs; vocab join broadcast at fixture scale (j89's big-big category at corpus scale); totals broadcast; KL numerator is an integer sum",
     "j113_quality_threshold_sweep": "in-expression threshold-array explode (constant ×10 fan-out) → map-side-combined hash agg on threshold + 1-row totals broadcast — no join against the corpus",
     "j114_quality_disagreement": "both gate scores computed in ONE shared feature projection (no UDF) into ONE partial-combined hash agg on source — j110's scan-bound shape",
+    "j115_packing_waste": "token-count map pass into ONE partial-combined hash agg on lang — every output column an aggregate of per-row integers; |langs|-row shuffle",
 }
 
 MARKERS = (

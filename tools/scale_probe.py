@@ -143,6 +143,7 @@ PROBES = [
     # j113 is a constant-factor (×|thresholds|) fan-out map + agg.
     "j113_quality_threshold_sweep",
     "j114_quality_disagreement",
+    "j115_packing_waste",
 ]
 
 
