@@ -637,3 +637,175 @@ def j115_packing_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("waste_ratio"),
     )
+
+
+# ---------------------------------------------------------------- j116
+
+
+@query(
+    "j116_contamination_redact",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM documents
+      WHERE doc_id >= {BENCH_CUT}
+    ),
+    pos AS (
+      SELECT doc_id, lang, i.i AS p, w[i.i] AS token
+      FROM toks, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) i
+    ),
+    grams AS (
+      SELECT t.doc_id, i.i AS g_start,
+             md5(array_to_string(list_slice(t.w, i.i, i.i + {CONTAM_GRAM} - 1),
+                                 ' ')) AS g
+      FROM toks t,
+           LATERAL (SELECT unnest(range(1, len(t.w) - {CONTAM_GRAM} + 2)) AS i) i
+      WHERE len(t.w) >= {CONTAM_GRAM}
+    ),
+    bench AS (
+      SELECT DISTINCT md5(array_to_string(list_slice(w, i.i,
+                                                     i.i + {CONTAM_GRAM} - 1),
+                                          ' ')) AS g
+      FROM (SELECT list_filter(string_split(text, ' '), x -> x != '') AS w
+            FROM documents WHERE doc_id < {BENCH_CUT}) b,
+           LATERAL (SELECT unnest(range(1, len(b.w) - {CONTAM_GRAM} + 2)) AS i) i
+      WHERE len(b.w) >= {CONTAM_GRAM}
+    ),
+    covered AS (
+      SELECT DISTINCT gr.doc_id, c.c AS p
+      FROM grams gr JOIN bench be ON be.g = gr.g,
+           LATERAL (SELECT unnest(range(gr.g_start,
+                                        gr.g_start + {CONTAM_GRAM})) AS c) c
+    ),
+    kept AS (
+      SELECT p.doc_id, p.lang, p.p, p.token
+      FROM pos p LEFT JOIN covered c ON c.doc_id = p.doc_id AND c.p = p.p
+      WHERE c.p IS NULL
+    ),
+    per_doc AS (
+      SELECT t.doc_id, t.lang,
+             len(t.w) AS n_before,
+             COALESCE(k.n_after, 0) AS n_after,
+             COALESCE(k.clean, '') AS clean
+      FROM toks t
+      LEFT JOIN (SELECT doc_id, COUNT(*) AS n_after,
+                        string_agg(token, ' ' ORDER BY p) AS clean
+                 FROM kept GROUP BY doc_id) k
+        ON k.doc_id = t.doc_id
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_after < n_before THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_redacted,
+           CAST(SUM(n_before) AS BIGINT) AS tokens_before,
+           CAST(SUM(n_after) AS BIGINT) AS tokens_after,
+           CAST(SUM(n_before - n_after) AS BIGINT) AS tokens_removed,
+           MIN(md5(clean)) AS min_clean_md5
+    FROM per_doc
+    GROUP BY lang
+    """,
+)
+def j116_contamination_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination REMOVAL — the apply step after j111's
+    measurement (the j58-for-contamination): every corpus token
+    covered by a benchmark-matching {CONTAM_GRAM}-gram is cut, the
+    document is reconstructed from the surviving tokens in position
+    order, and the per-lang report carries the exact token budget
+    spent (before/after/removed) plus a min(md5(clean)) byte-proof
+    that BOTH engines rebuilt identical texts — removal correctness
+    is proven at the byte level, not just counted (j100/j104's
+    convention). Span-level removal keeps the surrounding document —
+    the middle option j111's span report exists to justify (doc-drop
+    wastes the clean 95%, keep leaks the benchmark).
+
+    Plan: the benchmark gram set broadcasts onto the corpus gram
+    stream (j111's shape); covered positions explode from matched
+    gram starts only (≪ corpus); the keep-filter is a position
+    anti-join; reconstruction is one per-doc ordered string_agg —
+    Spark side as array_join over a sorted collect_list struct, the
+    in-group sort bounded by doc length (j104's reconstruction). At
+    100 TB everything but the per-doc regroup rides the scan, and
+    the regroup is the same shuffle any per-doc transform pays."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") >= BENCH_CUT)
+    toks = widen(docs).select(
+        "doc_id", "lang", whitespace_tokens(F.col("text")).alias("w")
+    )
+    pos = toks.select(
+        "doc_id", "lang", F.posexplode("w").alias("p0", "token")
+    ).select("doc_id", "lang", (F.col("p0") + 1).alias("p"), "token")
+    gsrc = toks.filter(F.size("w") >= CONTAM_GRAM)
+    grams = gsrc.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("w") - CONTAM_GRAM + 1)).alias(
+            "g_start"
+        ),
+        "w",
+    ).select(
+        "doc_id",
+        "g_start",
+        F.md5(F.concat_ws(" ", F.slice("w", F.col("g_start"), CONTAM_GRAM))).alias(
+            "g"
+        ),
+    )
+    bench_docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < BENCH_CUT
+    )
+    bw = bench_docs.select(whitespace_tokens(F.col("text")).alias("w")).filter(
+        F.size("w") >= CONTAM_GRAM
+    )
+    bench = (
+        bw.select(
+            F.explode(F.sequence(F.lit(1), F.size("w") - CONTAM_GRAM + 1)).alias(
+                "i"
+            ),
+            "w",
+        )
+        .select(
+            F.md5(F.concat_ws(" ", F.slice("w", F.col("i"), CONTAM_GRAM))).alias("g")
+        )
+        .distinct()
+    )
+    covered = (
+        grams.join(F.broadcast(bench), "g", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("g_start"), F.col("g_start") + CONTAM_GRAM - 1)
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    kept = pos.join(covered, ["doc_id", "p"], "left_anti")
+    k = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_after"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "token"))),
+                lambda x: x["token"],
+            ),
+            " ",
+        ).alias("clean"),
+    )
+    per_doc = (
+        toks.select("doc_id", "lang", F.size("w").alias("n_before"))
+        .join(k, "doc_id", "left")
+        .select(
+            "lang",
+            "n_before",
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+            F.coalesce("clean", F.lit("")).alias("clean"),
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum((F.col("n_after") < F.col("n_before")).cast("int"))
+        .cast("bigint")
+        .alias("n_redacted"),
+        F.sum("n_before").cast("bigint").alias("tokens_before"),
+        F.sum("n_after").cast("bigint").alias("tokens_after"),
+        F.sum(F.col("n_before") - F.col("n_after"))
+        .cast("bigint")
+        .alias("tokens_removed"),
+        F.min(F.md5("clean")).alias("min_clean_md5"),
+    )

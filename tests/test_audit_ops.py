@@ -239,3 +239,37 @@ def test_i29_shares_sum_to_one_and_match_batch(spark):
     for s, (nd, nt) in want.items():
         assert (got[s].n_docs, got[s].n_tokens) == (nd, nt)
     assert abs(sum(r.token_share for r in got.values()) - 1.0) < 0.01
+
+
+def test_j116_redaction_removes_exactly_the_planted_run(spark, tmp_path):
+    """A doc embedding a 12-token benchmark run loses exactly those 12
+    tokens (the covered positions are the union of the overlapping
+    gram windows) and the reconstruction equals the hand-built clean
+    text; a disjoint doc is untouched."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.plans.audit_queries import BENCH_CUT
+
+    registry.load_all_query_modules()
+    bench_toks = [f"b{i}" for i in range(30)]
+    run12 = bench_toks[5:17]
+    pre = [f"x{k}" for k in range(10)]
+    post = [f"y{k}" for k in range(10)]
+    rows = [
+        (0, " ".join(bench_toks), "bench"),
+        (BENCH_CUT, " ".join(pre + run12 + post), "s0"),
+        (BENCH_CUT + 1, " ".join(f"z{k}" for k in range(25)), "s0"),
+    ]
+    d = _docs_dir(spark, tmp_path, "redactfix", rows)
+    out = {r.lang: r for r in registry.QUERIES["j116_contamination_redact"](spark, d).collect()}
+    r = out["en"]
+    assert r.n_docs == 2 and r.n_redacted == 1
+    assert r.tokens_before == 32 + 25
+    assert r.tokens_removed == 12
+    assert r.tokens_after == 20 + 25
+    # byte-proof: min md5 over {clean contaminated doc, untouched doc}
+    import hashlib
+
+    clean1 = " ".join(pre + post)
+    clean2 = " ".join(f"z{k}" for k in range(25))
+    want = min(hashlib.md5(c.encode()).hexdigest() for c in (clean1, clean2))
+    assert r.min_clean_md5 == want

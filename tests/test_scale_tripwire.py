@@ -94,6 +94,7 @@ TRIPWIRE_QUERIES = [
     "j113_quality_threshold_sweep",
     "j114_quality_disagreement",
     "j115_packing_waste",
+    "j116_contamination_redact",
 ]
 MULT = 10
 MAX_RATIO = 12.0

@@ -100,6 +100,7 @@ AUDIT = {
     "j113_quality_threshold_sweep": "in-expression threshold-array explode (constant ×10 fan-out) → map-side-combined hash agg on threshold + 1-row totals broadcast — no join against the corpus",
     "j114_quality_disagreement": "both gate scores computed in ONE shared feature projection (no UDF) into ONE partial-combined hash agg on source — j110's scan-bound shape",
     "j115_packing_waste": "token-count map pass into ONE partial-combined hash agg on lang — every output column an aggregate of per-row integers; |langs|-row shuffle",
+    "j116_contamination_redact": "benchmark grams broadcast-semi onto the corpus gram stream (j111's shape); covered positions explode from MATCHED gram starts only; keep-filter is a position anti-join; reconstruction is one per-doc ordered regroup (j104's shape)",
 }
 
 MARKERS = (

@@ -144,6 +144,7 @@ PROBES = [
     "j113_quality_threshold_sweep",
     "j114_quality_disagreement",
     "j115_packing_waste",
+    "j116_contamination_redact",
 ]
 
 
