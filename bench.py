@@ -169,6 +169,57 @@ def main() -> None:
         )
         times[name] = kept
 
+    # Host-burst SEGMENT defense (VERDICT r8): three rounds running,
+    # sustained multi-second load bursts have hit a contiguous stretch
+    # of the alphabetical run order (r8: j103..j108 all diverged
+    # ×2.5-3.6 across their own immediate reruns, landing two false
+    # bench-gate breaches). Immediate reruns don't help when the burst
+    # outlives them — so when ≥3 divergent-rerun queries land within a
+    # short span of the run order, treat it as a host burst: cool down
+    # once, then give every divergent query in that span ONE more run
+    # and keep the min. Bounded (one sleep, ≤ len(segment) extra runs)
+    # and inert on a clean host (divergence >factor across a query's
+    # own reruns is noise by definition — a plan regression reproduces
+    # its time).
+    order = sorted(times)
+    pos = {n: i for i, n in enumerate(order)}
+    divergent = sorted(
+        (
+            n
+            for n, runs in reruns.items()
+            if len(runs) >= 2 and min(runs) > 0 and max(runs) / min(runs) > 2.0
+        ),
+        key=pos.get,
+    )
+    segments: list[list[str]] = []
+    cur: list[str] = []
+    for n in divergent:
+        if cur and pos[n] - pos[cur[-1]] > 5:
+            segments.append(cur)
+            cur = []
+        cur.append(n)
+    if cur:
+        segments.append(cur)
+    burst = [n for seg in segments if len(seg) >= 3 for n in seg]
+    if burst:
+        print(
+            f"# bench host-burst segment detected: {burst} — 30 s cool-down,"
+            " one extra run each",
+            file=sys.stderr,
+        )
+        time.sleep(30)
+        for name in burst:
+            t = run_once(name)
+            if t < 0:
+                continue
+            reruns[name].append(t)
+            kept = min(times[name], t)
+            print(
+                f"# bench post-burst re-measure {name}: {t} kept={kept}",
+                file=sys.stderr,
+            )
+            times[name] = kept
+
     total = round(sum(t for t in times.values() if t >= 0), 3)
     payload = {
         "metric": "all_queries_wall_clock",

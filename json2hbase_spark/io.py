@@ -174,9 +174,24 @@ def load_table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame
         # source lists the stage dir NON-recursively, so a symlinked
         # subdirectory would read as zero files — link each data file
         # into the stage dir instead (still no data copy).
-        for f in sorted(os.listdir(src)):
-            if f.endswith(".parquet"):
-                _stage_symlink(os.path.join(stage, f), os.path.join(src, f))
+        want = {f for f in os.listdir(src) if f.endswith(".parquet")}
+    else:
+        want = {f"{table}.parquet"}
+    # The stage dir is deterministic and persists across runs: a
+    # re-generated fixture changes Spark part-file names every write,
+    # so entries from the PREVIOUS generation (dangling links, or a
+    # file-shaped '<table>.parquet' link from a prior source shape)
+    # would make the stream fail on dangling files or read the table
+    # twice (ADVICE r8). Drop anything not in the current source set.
+    for f in os.listdir(stage):
+        if f.endswith(".parquet") and f not in want:
+            try:
+                os.unlink(os.path.join(stage, f))
+            except OSError:
+                pass
+    if os.path.isdir(src):
+        for f in sorted(want):
+            _stage_symlink(os.path.join(stage, f), os.path.join(src, f))
     else:
         _stage_symlink(os.path.join(stage, f"{table}.parquet"), src)
     return spark.readStream.schema(raw_schema).parquet(stage)

@@ -809,3 +809,129 @@ def j116_contamination_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("tokens_removed"),
         F.min(F.md5("clean")).alias("min_clean_md5"),
     )
+
+
+# ---------------------------------------------------------------- j118
+
+
+# first-fit position in the running bin-load list; DuckDB's
+# list_position returns **0** (not NULL) when nothing matches, so the
+# no-fit branch tests = 0. The in-place bin update uses the indexed
+# two-arg lambda, NOT list slicing: a slice bound that can go negative
+# (loads[1:pos-1] at pos=0) means "from the end" in DuckDB and makes
+# the state list GROW ~2x per iteration — a silent exponential blowup
+# inside the recursion (found the hard way in round 9).
+_FFD_POS = (
+    "list_position(list_transform(f.loads, q -> q + o.tokens <= {cap}), true)"
+)
+
+_DUCK_FFD = f"""
+    WITH RECURSIVE t AS (
+      SELECT lang, doc_id,
+             len(list_filter(string_split(text, ' '), x -> x != '')) AS tokens
+      FROM documents
+    ),
+    ord AS (
+      SELECT lang, doc_id, tokens,
+             row_number() OVER (PARTITION BY lang ORDER BY tokens DESC, doc_id)
+               AS rn
+      FROM t
+    ),
+    n AS (SELECT lang, CAST(max(rn) AS BIGINT) AS n FROM ord GROUP BY lang),
+    ffd(lang, rn, loads, bins) AS (
+      SELECT o.lang, CAST(1 AS BIGINT), [CAST(o.tokens AS BIGINT)],
+             [CAST(1 AS BIGINT)]
+      FROM ord o WHERE o.rn = 1
+      UNION ALL
+      SELECT f.lang, f.rn + 1,
+             CASE WHEN {_FFD_POS.format(cap=SEQ_LEN)} = 0
+                  THEN list_append(f.loads, CAST(o.tokens AS BIGINT))
+                  ELSE list_transform(
+                         f.loads,
+                         (l, i) -> CASE WHEN i = {_FFD_POS.format(cap=SEQ_LEN)}
+                                        THEN l + o.tokens ELSE l END) END,
+             list_append(f.bins,
+                         CAST(CASE WHEN {_FFD_POS.format(cap=SEQ_LEN)} = 0
+                                   THEN len(f.loads) + 1
+                                   ELSE {_FFD_POS.format(cap=SEQ_LEN)}
+                              END AS BIGINT))
+      FROM ffd f
+      JOIN ord o ON o.lang = f.lang AND o.rn = f.rn + 1
+    ),
+    last AS (
+      SELECT f.lang AS lang, f.bins AS bins
+      FROM ffd f JOIN n ON n.lang = f.lang AND f.rn = n.n
+    ),
+    asg AS (
+      SELECT lang, unnest(bins) AS bin_id, generate_subscripts(bins, 1) AS rn
+      FROM last
+    )
+    SELECT a.lang, CAST(a.bin_id AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(o.tokens) AS BIGINT) AS bin_tokens,
+           CAST({SEQ_LEN} - SUM(o.tokens) AS BIGINT) AS slack
+    FROM asg a JOIN ord o ON o.lang = a.lang AND o.rn = a.rn
+    GROUP BY a.lang, a.bin_id
+"""
+
+
+@query("j118_pack_ffd", oracle=_DUCK_FFD)
+def j118_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NO-STRADDLE sequence packing — the decision j115's waste audit
+    feeds: true first-fit-decreasing bin packing of documents into
+    {SEQ_LEN}-token training sequences that respect document
+    boundaries (no cross-document attention), per language. j27 is
+    the concat-then-chunk convention (docs straddle); j115 prices the
+    two conventions; this op PRODUCES the boundary-respecting
+    packing: per (lang, bin) the docs packed, tokens used, and slack
+    (padding bill). FFD order is the total order (tokens DESC,
+    doc_id) — deterministic in both engines; a doc longer than
+    {SEQ_LEN} opens its own overflow bin (no fit exists), surfacing
+    as negative slack rather than being silently dropped.
+
+    Plan: FFD is inherently sequential (each placement depends on all
+    earlier loads), so this is a DECLARED k-family escape hatch: one
+    applyInPandas per language group — Arrow-batched, vectorized I/O,
+    sequential only within the group. At 100 TB a single language
+    does not fit one task; the production form runs the identical
+    kernel per bounded shard (lang × size-banded sub-shard, each a
+    few hundred MB — packing quality is within ~1% of global FFD
+    because FFD's approximation ratio is shard-local, 11/9·OPT+1),
+    which changes bin ids but not the audit semantics; the per-lang
+    grouping here is what makes the run bit-reproducible against the
+    sequential oracle (a recursive-CTE FFD carrying the bin-load
+    list as iteration state — fixpoint twin of the pandas loop)."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", "doc_id", F.size(whitespace_tokens(F.col("text"))).alias("tokens")
+    )
+
+    def ffd(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["tokens", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        loads: list[int] = []
+        bins: list[int] = []
+        for t in pdf["tokens"]:
+            t = int(t)
+            for i, l in enumerate(loads):
+                if l + t <= SEQ_LEN:
+                    loads[i] = l + t
+                    bins.append(i + 1)
+                    break
+            else:
+                loads.append(t)
+                bins.append(len(loads))
+        pdf = pdf.assign(bin_id=bins)
+        return pdf[["lang", "bin_id", "tokens"]]
+
+    packed = toks.groupBy("lang").applyInPandas(
+        ffd, "lang string, bin_id long, tokens long"
+    )
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("tokens").cast("bigint").alias("bin_tokens"),
+        (F.lit(SEQ_LEN) - F.sum("tokens")).cast("bigint").alias("slack"),
+    )

@@ -2858,3 +2858,135 @@ def j102_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dup).cast("bigint").alias("n_dup_chunks"),
         F.round(F.sum(dup).cast("double") / F.count("*"), 4).alias("dup_chunk_frac"),
     )
+
+
+# --------------------------------------------------------------- j117
+
+
+def _duck_cross_source_clusters_oracle() -> str:
+    # j48's fully-hash-checked CTE chain up to the verified pair set,
+    # then a FIXPOINT recursive component resolution (j108's oracle
+    # posture over j48's edges) and the per-source-set rollup.
+    base = _duck_md5_minhash_oracle()
+    head = base[: base.index("SELECT c.doc_a")]
+    return (
+        "WITH RECURSIVE "
+        + head.strip().removeprefix("WITH")
+        + f""",
+    vp AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b
+      WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            / (len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles))) >= 0.5
+    ),
+    nodes AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM vp UNION SELECT doc_b FROM vp
+      )
+    ),
+    bi AS (
+      SELECT doc_a AS src, doc_b AS dst FROM vp
+      UNION ALL SELECT doc_b, doc_a FROM vp
+    ),
+    reach(node, reached) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT r.node, bi.dst FROM reach r JOIN bi ON bi.src = r.reached
+    ),
+    comp AS (SELECT node AS doc_id, min(reached) AS cluster
+             FROM reach GROUP BY node),
+    csrc AS (
+      SELECT c.cluster,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             array_to_string(list_sort(list(DISTINCT d.source)), ',')
+               AS source_set
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+      GROUP BY c.cluster
+    ),
+    cpair AS (
+      SELECT c.cluster, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM vp p JOIN comp c ON c.doc_id = p.doc_a
+      GROUP BY c.cluster
+    )
+    SELECT s.source_set,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(s.n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_pairs) AS BIGINT) AS n_pairs,
+           CAST(MAX(s.n_docs) AS BIGINT) AS max_cluster_docs
+    FROM csrc s JOIN cpair p ON p.cluster = s.cluster
+    GROUP BY s.source_set
+    """
+    )
+
+
+@query("j117_cross_source_clusters", oracle=_duck_cross_source_clusters_oracle())
+def j117_cross_source_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-dup CLUSTERS — the cluster-grain upgrade of
+    j101's pair matrix: j48's banded-and-verified md5-MinHash edges
+    (exact Jaccard ≥ 0.5, fully hash-checked) are resolved into TRUE
+    connected components (j108's converged pointer-doubling
+    propagation with its tripwire), each cluster is labeled with its
+    SOURCE SET (the sorted distinct sources of its members), and the
+    report rolls up per source set: how many mirror families span
+    exactly this set of sources, how many docs and verified pairs
+    they hold, and the largest family. j101 answers "which source
+    PAIRS mirror each other"; this answers the question dedup policy
+    actually needs — "which source COMBINATIONS are one family", the
+    unit j26's canonical pick and crawl-priority decisions act on
+    (a 3-source family is one decision, not 3 pair cells).
+
+    Plan: reuses j48/j49's shared pipeline (materialized shingle
+    table, banded candidate join — never all-pairs) + the verified
+    pair set materialized once as the propagation's edge invariant;
+    label propagation is _labels_converged's stats-based
+    broadcast-or-SMJ rounds with adaptive early-exit; the source
+    attach is one id-keyed join of the tiny component table against
+    the corpus; the rollups are two bounded hash aggs (≤ |clusters|
+    rows, then ≤ 2^|sources| source-set rows, in practice a handful).
+    At 100 TB: the same banded dedup everyone already runs + the
+    per-iteration checkpoint cadence (SCALE.md, j108's argument)."""
+    from json2hbase_spark.plans.advanced_queries import _labels_converged
+
+    sh, cand = _md5_minhash_parts(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jacc = inter.cast("double") / union
+    vp = materialize(
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jacc", jacc)
+        .filter(F.col("jacc") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    labels = _labels_converged(vp)
+    csrc = (
+        labels.join(docs.select(F.col("doc_id").alias("node"), "source"), "node")
+        .groupBy(F.col("label").alias("cluster"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.concat_ws(",", F.array_sort(F.collect_set("source"))).alias(
+                "source_set"
+            ),
+        )
+    )
+    cpair = (
+        vp.join(labels.select(F.col("node").alias("doc_a"), "label"), "doc_a")
+        .groupBy(F.col("label").alias("cluster"))
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
+    return (
+        csrc.join(cpair, "cluster")
+        .groupBy("source_set")
+        .agg(
+            F.count("*").cast("bigint").alias("n_clusters"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("n_pairs").cast("bigint").alias("n_pairs"),
+            F.max("n_docs").cast("bigint").alias("max_cluster_docs"),
+        )
+    )

@@ -341,10 +341,11 @@ def j97_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer form should switch to two-pass (center on broadcast means)
     so the n·Σxy magnitude stays within int64 — both are constant-
     factor swaps, not shape changes. An in-plan assert_true tripwire
-    enforces the int64 bound (n² · qmax² < 2^63, 2% margin) at
-    runtime, so the silent-wrap regime errors instead of corrupting
-    cov_num. The oracle runs the identical quantized arithmetic in
-    DuckDB."""
+    enforces the int64 bound on the DIFFERENCE (2·n²·qmax² < 2^63 —
+    the two subtracted terms can have opposite signs, so each term
+    alone being under 2^63 is not enough) at runtime, so the
+    silent-wrap regime errors instead of corrupting cov_num. The
+    oracle runs the identical quantized arithmetic in DuckDB."""
     emb = load(spark, sf_dir, "embeddings")
     q = widen(emb).select(
         F.transform(
@@ -363,16 +364,19 @@ def j97_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qj").cast("bigint").alias("sy"),
         F.max(F.greatest(F.abs("qi"), F.abs("qj"))).alias("_qmax"),
     )
-    # Overflow tripwire (ADVICE r7): the one-pass form computes
-    # n·Σxy and Σx·Σy, both bounded by n²·qmax² — Spark's non-ANSI
-    # BIGINT product wraps SILENTLY past 2^63−1 (n ≈ 3M rows for
-    # unit-norm embeddings at COV_SCALE=1000). Assert the bound per
-    # (i,j) row in doubles (2% margin absorbs double rounding); at
-    # corpus sizes that trip it, switch to the two-pass centered form
-    # the docstring describes. 2,080 rows → free.
+    # Overflow tripwire (ADVICE r7, tightened r9): the one-pass form
+    # computes n·Σxy and Σx·Σy, EACH bounded by n²·qmax² — but
+    # cov_num SUBTRACTS them, and with opposite signs (anti-correlated
+    # dimensions) |n·Σxy| + |Σx·Σy| can reach 2·n²·qmax², so the bound
+    # that keeps the difference inside int64 is 2·n²·qmax² < 2^63,
+    # i.e. n²·qmax² < ~4.6e18 (4.5e18 keeps the 2% double-rounding
+    # margin). Spark's non-ANSI BIGINT arithmetic wraps SILENTLY past
+    # 2^63−1 (n ≈ 2M rows for unit-norm embeddings at COV_SCALE=1000).
+    # At corpus sizes that trip it, switch to the two-pass centered
+    # form the docstring describes. 2,080 rows → free.
     guard = (
         F.pow(F.col("n").cast("double"), 2) * F.pow(F.col("_qmax").cast("double"), 2)
-        < F.lit(9.0e18)
+        < F.lit(4.5e18)
     )
     s = s.where(
         F.assert_true(
@@ -541,7 +545,17 @@ _DUCK_WINNOW_SEL = f"""pos AS (
 
 def _winnow_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared winnowing pipeline: the DISTINCT selected fingerprints
-    (doc_id, n_chars, fh) — j99's selection stage, reused by j103."""
+    (doc_id, n_chars, fh) — j99's selection stage, reused by j103.
+
+    MATERIALIZED before returning (r9): every consumer fans out into
+    2-4 branches (per-doc counts, document frequency, the pair
+    self-join), and without the cut each branch re-runs the
+    char-gram md5 + sliding-window-min subtree — the expensive part
+    of the whole winnow family (measured 5.9 s → 3.0 s warm for j103
+    at sf0.1). Same 100 TB posture as j108's pair table: the
+    selection output is ~n_chars/W rows per doc, orders of magnitude
+    below the gram stream it distills, and is exactly what you'd
+    checkpoint before a multi-consumer fan-out."""
     docs = load(spark, sf_dir, "documents")
     pos = (
         widen(docs.filter(F.col("n_chars") >= WINNOW_K + WINNOW_W - 1))
@@ -568,7 +582,9 @@ def _winnow_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("i")
         .rowsBetween(-(WINNOW_W - 1), Window.currentRow)
     )
-    return (
+    from json2hbase_spark.materialize import materialize
+
+    return materialize(
         pos.withColumn("sel_key", F.min("key").over(w))
         .filter(F.col("i") >= WINNOW_W)
         .select("doc_id", "n_chars", F.substring("sel_key", 1, 16).alias("fh"))
@@ -1362,9 +1378,10 @@ def j108_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the scored pair table is materialized ONCE (it is the small
     invariant of the iteration — each propagation hop would otherwise
     re-run the winnowing window over the full gram stream), label
-    propagation is COMPONENT_HOPS narrow join+min-agg rounds over the
-    tiny edge set, and the report is two bounded hash aggs keyed on
-    the cluster label. SMJ inside the propagation is j20's justified
+    propagation is up to 8 pointer-doubling join+min-agg rounds over
+    the tiny edge set with an adaptive early-exit once no edge
+    straddles two labels (see _labels_converged), and the report is
+    two bounded hash aggs keyed on the cluster label. SMJ inside the propagation is j20's justified
     shape (edges vs labels); at 100 TB the pair table is ~duplication
     density × corpus, orders of magnitude below the gram stream the
     selection stage already paid for."""
@@ -1509,4 +1526,81 @@ def j109_heaps_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("delta_types").cast("double") / F.col("delta_tokens"), 6).alias(
             "marginal_rate"
         ),
+    )
+
+
+# --------------------------------------------------------------- j119
+
+# Deterministic NFC-relevant dirt (j100's synthesize-the-input
+# pattern — the fixture text is pure ASCII, where NFC is a no-op):
+# each doc gets a decomposed "e + COMBINING ACUTE" and "A + COMBINING
+# RING" suffix, which NFC must compose to é / Å — exactly one
+# code point removed per pair, so the changed-char budget is known.
+# BMP-only on purpose: Java's length() counts UTF-16 units, DuckDB's
+# len() counts code points — they agree only below U+10000.
+_NFC_DIRT = " Cafe\u0301 A\u030a"  # decomposed on purpose
+
+
+@query(
+    "j119_nfc_normalize",
+    oracle=f"""
+    WITH messy AS (
+      SELECT lang, text || '{_NFC_DIRT}' AS raw FROM documents
+    ),
+    norm AS (
+      SELECT lang, raw, nfc_normalize(raw) AS clean FROM messy
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN clean != raw THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_changed,
+           CAST(SUM(len(raw) - len(clean)) AS BIGINT) AS chars_removed,
+           CAST(SUM(len(clean)) AS BIGINT) AS sum_clean_len,
+           MIN(md5(clean)) AS min_clean_md5
+    FROM norm GROUP BY lang
+    """,
+)
+def j119_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization — the one normalization step
+    Spark has no built-in for (j100's documented gap, now closed):
+    compose decomposed sequences (e + U+0301 → é) so byte-identical
+    text hashes identically in dedup (j1/j48 keys), tokenizes
+    identically, and matches DuckDB/utf8proc byte-for-byte. Each doc
+    gets a deterministic decomposed suffix (the fixture is ASCII-
+    clean), and the per-lang report proves the normalizer: every doc
+    composes, the removed-code-point budget is exact (2 per doc), and
+    min(md5(clean)) hash-verifies the full normalized BYTES against
+    DuckDB's independent utf8proc implementation — a real
+    cross-library NFC conformance check, not a self-comparison.
+
+    Plan: the dirt concat is codegen'd; normalization runs as ONE
+    Arrow-batched mapInPandas using pandas' vectorized
+    Series.str.normalize (unicodedata under the hood — no row-at-a-
+    time Python UDF); lengths, change flags, md5 and the per-lang
+    hash agg all run JVM-side after the batch returns. At 100 TB:
+    scan → Arrow pipe → |langs|-row exchange; the Python stage is
+    compute-light (NFC quick-check passes >99% of real text without
+    allocation), and this is the documented production posture for
+    j100: native pass for high-frequency dirt first, NFC here."""
+    import pandas as pd  # noqa: F401 — typing aid; pandas ships with the engine
+
+    docs = load(spark, sf_dir, "documents")
+    messy = widen(docs).select(
+        "lang", F.concat(F.col("text"), F.lit(_NFC_DIRT)).alias("raw")
+    )
+
+    def nfc(batches):
+        for pdf in batches:
+            yield pdf.assign(clean=pdf["raw"].str.normalize("NFC"))
+
+    norm = messy.mapInPandas(nfc, "lang string, raw string, clean string")
+    changed = F.when(F.col("clean") != F.col("raw"), 1).otherwise(0)
+    return norm.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(changed).cast("bigint").alias("docs_changed"),
+        F.sum(F.length("raw") - F.length("clean")).cast("bigint").alias(
+            "chars_removed"
+        ),
+        F.sum(F.length("clean")).cast("bigint").alias("sum_clean_len"),
+        F.min(F.md5("clean")).alias("min_clean_md5"),
     )

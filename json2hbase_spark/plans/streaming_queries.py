@@ -1799,3 +1799,95 @@ def i29_stream_mixture_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token_share"),
         )
     )
+
+
+# ---------------------------------------------------------------- i30
+
+
+def _i30_oracle() -> str:
+    # identical oracle to batch j113 — the stream/batch equivalence
+    # contract: the accumulated complete-mode tally must hash-match
+    # the one-pass batch computation.
+    from json2hbase_spark import registry as _registry
+    from json2hbase_spark.plans import audit_queries  # noqa: F401 — registers j113
+
+    return _registry.ORACLES["j113_quality_threshold_sweep"]
+
+
+@query("i30_stream_threshold_sweep", oracle=None)
+def i30_stream_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING quality-gate threshold sweep — j113's calibration
+    table maintained LIVE as documents arrive: for every candidate
+    gate threshold, the surviving doc count, surviving token budget,
+    and survivor mean quality accumulate in complete mode per
+    micro-batch, so the operator answering "what does each gate
+    setting cost in tokens?" is current mid-ingest instead of
+    requiring a batch pass over the corpus so far. The final tally
+    must equal batch j113 exactly (same oracle SQL) — the
+    stream/batch equivalence contract of i25/i29.
+
+    Plan: a stateless per-doc scoring map (the j12 formula, rounded
+    to 4 then summed as exact DECIMAL(18,4) — functions/exact.py's
+    convention, so the accumulated mean is order-free and bit-equal
+    to batch), fanned out ×|thresholds|+1 by an in-expression literal
+    explode (the +1 is a thr=-1 sentinel lane carrying the corpus
+    totals through the SAME aggregation, so no second streaming
+    query); complete-mode state is |thresholds|+1 rows regardless of
+    corpus size. The fraction divisions run batch-side on the final
+    tiny table. At 100 TB of stream: per-batch work is scan-bound,
+    the shuffle carries |thresholds|+1 partial rows per partition."""
+    from json2hbase_spark.io import load_table_stream
+    from json2hbase_spark.operators.text import quality_features
+    from json2hbase_spark.plans.audit_queries import GATE_THRESHOLDS
+
+    stream = load_table_stream(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    quality = F.round(
+        F.log(1 + feats["n_tokens"])
+        * (1.0 - feats["digit_ratio"])
+        * (0.5 + feats["stopword_ratio"]),
+        4,
+    )
+    f = stream.select(
+        feats["n_tokens"].cast("bigint").alias("n_tok"), quality.alias("quality")
+    )
+    thr = F.explode(
+        F.array(*[F.lit(float(t)) for t in [-1.0, *GATE_THRESHOLDS]])
+    ).alias("thr")
+    sweep = f.select("n_tok", "quality", thr).filter(
+        (F.col("thr") == -1.0) | (F.col("quality") >= F.col("thr"))
+    )
+    tally = sweep.groupBy("thr").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum(F.col("quality").cast("decimal(18,4)")).alias("q_sum"),
+    )
+    with scoped_stream_confs(spark):
+        _run_to_memory(tally, "i30_mem", "complete")
+    s = spark.table("i30_mem")
+    tot = s.filter(F.col("thr") == -1.0).select(
+        F.col("n_docs").alias("tot_docs"), F.col("n_tokens").alias("tot_tokens")
+    )
+    return (
+        s.filter(F.col("thr") != -1.0)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "thr",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(F.col("q_sum").cast("double") / F.col("n_docs"), 4).alias(
+                "mean_quality"
+            ),
+            F.round(F.col("n_docs").cast("double") / F.col("tot_docs"), 4).alias(
+                "doc_frac"
+            ),
+            F.round(F.col("n_tokens").cast("double") / F.col("tot_tokens"), 4).alias(
+                "token_frac"
+            ),
+        )
+    )
+
+
+from json2hbase_spark import registry as _registry_mod  # noqa: E402
+
+_registry_mod.ORACLES["i30_stream_threshold_sweep"] = _i30_oracle()

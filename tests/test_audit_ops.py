@@ -273,3 +273,68 @@ def test_j116_redaction_removes_exactly_the_planted_run(spark, tmp_path):
     clean2 = " ".join(f"z{k}" for k in range(25))
     want = min(hashlib.md5(c.encode()).hexdigest() for c in (clean1, clean2))
     assert r.min_clean_md5 == want
+
+
+def test_j118_ffd_matches_python_truth_and_respects_capacity(spark):
+    """The distributed FFD packing equals a sequential Python FFD over
+    the same (tokens DESC, doc_id) order; no multi-doc bin exceeds
+    SEQ_LEN; oversize singletons carry negative slack; tallies
+    reconcile with the corpus token count."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.io import load
+    from json2hbase_spark.operators.text import whitespace_tokens
+    from json2hbase_spark.plans.audit_queries import SEQ_LEN
+    from pyspark.sql import functions as F
+
+    registry.load_all_query_modules()
+    rows = registry.QUERIES["j118_pack_ffd"](spark, SF).collect()
+    toks = (
+        load(spark, SF, "documents")
+        .select("lang", "doc_id", F.size(whitespace_tokens(F.col("text"))).alias("t"))
+        .collect()
+    )
+    bylang: dict[str, list[tuple[int, int]]] = {}
+    for r in toks:
+        bylang.setdefault(r.lang, []).append((r.t, r.doc_id))
+    want: dict[tuple[str, int], list[int]] = {}
+    for lang, lst in bylang.items():
+        lst.sort(key=lambda x: (-x[0], x[1]))
+        loads: list[int] = []
+        for t, _ in lst:
+            for i in range(len(loads)):
+                if loads[i] + t <= SEQ_LEN:
+                    loads[i] += t
+                    bid = i + 1
+                    break
+            else:
+                loads.append(t)
+                bid = len(loads)
+            cell = want.setdefault((lang, bid), [0, 0])
+            cell[0] += 1
+            cell[1] += t
+    got = {(r.lang, r.bin_id): [r.n_docs, r.bin_tokens] for r in rows}
+    assert got == want
+    for r in rows:
+        assert r.slack == SEQ_LEN - r.bin_tokens
+        if r.n_docs > 1:
+            assert r.bin_tokens <= SEQ_LEN  # no-straddle invariant
+    total = sum(t for t, _ in (x for lst in bylang.values() for x in lst))
+    assert sum(r.bin_tokens for r in rows) == total
+
+
+def test_i30_stream_sweep_equals_batch_j113(spark):
+    """The complete-mode streaming calibration table must equal the
+    one-pass batch j113 row-for-row (the stream/batch equivalence
+    contract)."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    batch = {
+        r.thr: r.asDict()
+        for r in registry.QUERIES["j113_quality_threshold_sweep"](spark, SF).collect()
+    }
+    stream = {
+        r.thr: r.asDict()
+        for r in registry.QUERIES["i30_stream_threshold_sweep"](spark, SF).collect()
+    }
+    assert stream == batch

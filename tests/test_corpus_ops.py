@@ -594,3 +594,52 @@ def test_j101_source_matrix_diagonal_and_mirror(spark, tmp_path):
     assert all("s3" not in k for k in out)
     for r in out.values():
         assert 0.5 <= r.avg_jacc <= r.max_jacc <= 1.0
+
+
+def test_j117_source_set_clusters_resolve_transitively(spark, tmp_path):
+    """A 3-source mirror family (near-identical docs in s0/s1/s2) must
+    collapse to ONE cluster with source_set 's0,s1,s2' — the
+    transitive resolution j101's pair cells can't express; a
+    within-source template pair rolls up under its own single-source
+    set; unique text appears nowhere."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.materialize import materialization_scope
+
+    registry.load_all_query_modules()
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "in spain falls mainly on the plain and every good boy does fine"
+    )
+    tmpl = (
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+        "eiusmod tempor incididunt ut labore et dolore magna aliqua"
+    )
+    uniq = (
+        "zyx wvu tsr qpo nml kji hgf edc ba quite unlike anything else "
+        "in this corpus by construction with different character grams"
+    )
+    rows = [
+        (0, base + " tail one", "en", "s0"),
+        (1, base + " tail two", "en", "s1"),
+        (2, base + " tail six", "en", "s2"),
+        (3, tmpl + " alpha", "en", "s4"),
+        (4, tmpl + " betaa", "en", "s4"),
+        (5, uniq, "en", "s5"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, l, s, len(t)) for i, t, l, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "xsrc")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    with materialization_scope():
+        out = {
+            r.source_set: r
+            for r in registry.QUERIES["j117_cross_source_clusters"](spark, d).collect()
+        }
+    fam = out["s0,s1,s2"]
+    assert fam.n_clusters == 1 and fam.n_docs == 3 == fam.max_cluster_docs
+    assert fam.n_pairs == 3  # complete triangle of verified pairs
+    tpl = out["s4"]
+    assert tpl.n_clusters == 1 and tpl.n_docs == 2 and tpl.n_pairs == 1
+    assert all("s5" not in k for k in out)

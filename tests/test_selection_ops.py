@@ -592,3 +592,59 @@ def test_j109_checkpoints_reconcile_with_corpus(spark):
     # cumulative columns are nondecreasing across checkpoints
     for a, b in zip(rows, rows[1:]):
         assert b.cum_tokens > a.cum_tokens and b.cum_types >= a.cum_types
+
+
+def test_j119_nfc_composes_known_budget_and_matches_python(spark, tmp_path):
+    """Every doc's injected decomposed suffix composes under NFC
+    (2 code points removed per doc on an ASCII corpus); a doc whose
+    BODY is decomposed loses extra code points; min_clean_md5 equals
+    a hashlib/unicodedata ground truth — pinning byte-level agreement
+    between the pandas normalizer and an independent implementation."""
+    import hashlib
+    import unicodedata
+
+    from json2hbase_spark import registry
+    from json2hbase_spark.plans.selection_queries import _NFC_DIRT
+
+    registry.load_all_query_modules()
+    decomposed_body = "resume\u0301 and nai\u0308ve text here"
+    rows = [
+        (0, "plain ascii body one", "en", "s0"),
+        (1, "plain ascii body two", "en", "s0"),
+        (2, decomposed_body, "fr", "s0"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, l, s, len(t)) for i, t, l, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "nfcfix")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r.lang: r for r in registry.QUERIES["j119_nfc_normalize"](spark, d).collect()}
+    en, fr = out["en"], out["fr"]
+    assert en.n_docs == 2 and en.docs_changed == 2 and en.chars_removed == 4
+    assert fr.n_docs == 1 and fr.docs_changed == 1 and fr.chars_removed == 2 + 2
+    for lang, r in out.items():
+        texts = [t for _, t, l, _ in rows if l == lang]
+        want = min(
+            hashlib.md5(
+                unicodedata.normalize("NFC", t + _NFC_DIRT).encode()
+            ).hexdigest()
+            for t in texts
+        )
+        assert r.min_clean_md5 == want
+        assert r.sum_clean_len == sum(
+            len(unicodedata.normalize("NFC", t + _NFC_DIRT)) for t in texts
+        )
+
+
+def test_j119_fixture_budget_is_exact(spark):
+    """On the ASCII fixture corpus the only NFC work is the injected
+    dirt: exactly 2 code points per doc, every doc changed."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    rows = registry.QUERIES["j119_nfc_normalize"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.docs_changed == r.n_docs
+        assert r.chars_removed == 2 * r.n_docs

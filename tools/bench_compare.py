@@ -61,15 +61,18 @@ def main() -> None:
             f" exch={fp.get('exchange', 0)}]"
         )
 
-    # min-of-two divergence check: bench.py keeps the MIN of the two
-    # timings for re-measured (≥3 s) queries, which can mask a genuine
-    # intermittent cost (recurring spill). Surface any rerun pair whose
-    # two runs diverge by more than the gate factor.
+    # rerun divergence check: bench.py's reruns dict holds BOTH
+    # policies — re-measured outliers keep the MIN, first-time queries
+    # (no frozen median yet) keep the MEDIAN of 3 — and either can
+    # mask a genuine intermittent cost (recurring spill). Surface any
+    # rerun set whose runs diverge by more than the gate factor,
+    # labeled with which keep-policy applied (ADVICE r8).
     for name, runs in sorted(payload.get("reruns", {}).items()):
         if len(runs) >= 2 and min(runs) > 0 and max(runs) / min(runs) > args.factor:
+            policy = "median kept (first-time)" if name not in frozen else "min kept"
             print(
                 f"DIVERGENT  {name}: reruns {runs} differ x{max(runs) / min(runs):.1f}"
-                " — min kept; investigate if it recurs across benches"
+                f" — {policy}; investigate if it recurs across benches"
                 + join_mix(name)
             )
 
