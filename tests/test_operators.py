@@ -481,3 +481,40 @@ def test_i27_incremental_scd2_equals_one_shot(spark):
         for a, b in zip(vers, vers[1:]):
             assert a.eff_to == b.eff_from
             assert b.version == a.version + 1
+
+
+def test_load_table_stream_survives_fixture_regeneration(spark, tmp_path):
+    """ADVICE r8: the deterministic stage dir persists across runs, so
+    a regenerated fixture (new Spark part-file names each write; or a
+    shape flip file↔directory) must not leave dangling or duplicate
+    links behind — the stream must read exactly the CURRENT rows."""
+    from json2hbase_spark.io import load_table_stream
+    from json2hbase_spark.scratch import scratch_dir
+
+    d = str(tmp_path / "regen")
+
+    def write_docs(n, start=0):
+        spark.createDataFrame(
+            [(start + i, f"text {start + i}", "en", "s0", 10) for i in range(n)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).repartition(2).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    def read_all(tag):
+        q = (
+            load_table_stream(spark, d, "documents")
+            .writeStream.format("memory")
+            .queryName(tag)
+            .outputMode("append")
+            .option("checkpointLocation", scratch_dir(f"ckpt_{tag}_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r.doc_id for r in spark.table(tag).collect()}
+
+    write_docs(4)
+    assert read_all("regen_a") == {0, 1, 2, 3}
+    # regenerate: same logical table, brand-new part-file names
+    write_docs(3, start=100)
+    got = read_all("regen_b")
+    assert got == {100, 101, 102}, f"stale stage links leaked rows: {got}"

@@ -95,6 +95,13 @@ TRIPWIRE_QUERIES = [
     "j114_quality_disagreement",
     "j115_packing_waste",
     "j116_contamination_redact",
+    # round-9: j117 composes the two probed pair shapes (j48's banded
+    # candidates + j108's converged propagation — a lost band key or a
+    # broken early-exit both land here); j118 is one applyInPandas per
+    # lang over linear rows; j119 is a map pass into a |langs| agg.
+    "j117_cross_source_clusters",
+    "j118_pack_ffd",
+    "j119_nfc_normalize",
 ]
 MULT = 10
 MAX_RATIO = 12.0
@@ -260,3 +267,43 @@ def test_embed_dedup_blocking_stays_bucketed(spark, scaled_emb_dir):
         f"({base:.2f}s → {scaled:.2f}s) — the bucket join may have "
         f"degenerated to all-pairs (designed envelope ≤×16 pairs, measured ≤×2.3 time)"
     )
+
+
+# Round-9 (VERDICT r8 #8): the streaming curation family probed at ×10
+# volume. Two properties per op: (a) wall-clock stays far below
+# quadratic (same MAX_RATIO bound as the batch family — the per-batch
+# work is map + bounded agg, so a blowup means a stream-side pair
+# stage appeared), and (b) for the complete-mode monitors the OUTPUT
+# DOMAIN — which equals the streaming state row count for a
+# complete-mode aggregate — must not grow with corpus volume (state
+# bounded by the source/lang/threshold domain, never by docs).
+STREAM_TRIPWIRE = [
+    ("i24_stream_model_filter", False),
+    ("i25_stream_corpus_digest", False),
+    ("i26_stream_chunk_dedup", False),
+    ("i28_stream_contamination_gate", True),
+    ("i29_stream_mixture_monitor", True),
+    ("i30_stream_threshold_sweep", True),
+]
+
+
+@pytest.mark.parametrize("name,domain_bounded", STREAM_TRIPWIRE)
+def test_streaming_family_stays_linear(spark, scaled_docs_dir, name, domain_bounded):
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    base = _best_of_two(spark, name, "/root/testdata/sf0.01")
+    scaled = _best_of_two(spark, name, scaled_docs_dir)
+    ratio = scaled / max(base, 1e-6)
+    assert ratio < MAX_RATIO, (
+        f"{name}: ×{MULT} stream volume took ×{ratio:.1f} wall-clock "
+        f"({base:.2f}s → {scaled:.2f}s) — per-batch work may have "
+        f"acquired a corpus-sized stage (linear ≈ ×{MULT})"
+    )
+    if domain_bounded:
+        n1 = registry.QUERIES[name](spark, "/root/testdata/sf0.01").count()
+        n10 = registry.QUERIES[name](spark, scaled_docs_dir).count()
+        assert n10 <= max(n1, 1) * 2, (
+            f"{name}: complete-mode output rows grew {n1} → {n10} at ×{MULT} "
+            "volume — streaming state is no longer domain-bounded"
+        )

@@ -145,6 +145,12 @@ PROBES = [
     "j114_quality_disagreement",
     "j115_packing_waste",
     "j116_contamination_redact",
+    # round-9 additions: j117 composes j48's banded pairs with j108's
+    # converged propagation; j118 is per-lang applyInPandas FFD; j119
+    # is an Arrow map pass into a |langs| agg.
+    "j117_cross_source_clusters",
+    "j118_pack_ffd",
+    "j119_nfc_normalize",
 ]
 
 
