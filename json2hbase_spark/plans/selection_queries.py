@@ -289,6 +289,30 @@ def j96_prefix_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 COV_SCALE = 1_000  # fixed-point quantizer: q = floor(x · 1000)
 
 
+def _cov_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared exact covariance terms over the quantized embedding
+    pairs (i ≤ j): (i, j, n, Σqiqj, Σqi, Σqj, max|q|) as order-free
+    BIGINTs — j97's aggregation, reused by j121's power iteration."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = widen(emb).select(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * COV_SCALE).cast("long"),
+        ).alias("q")
+    )
+    p1 = q.select("q", F.posexplode("q").alias("i", "qi"))
+    p2 = p1.select("i", "qi", F.posexplode("q").alias("j", "qj")).filter(
+        F.col("j") >= F.col("i")
+    )
+    return p2.groupBy("i", "j").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("qi") * F.col("qj")).cast("bigint").alias("sxy"),
+        F.sum("qi").cast("bigint").alias("sx"),
+        F.sum("qj").cast("bigint").alias("sy"),
+        F.max(F.greatest(F.abs("qi"), F.abs("qj"))).alias("_qmax"),
+    )
+
+
 @query(
     "j97_embed_covariance",
     oracle=f"""
@@ -346,24 +370,7 @@ def j97_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     alone being under 2^63 is not enough) at runtime, so the
     silent-wrap regime errors instead of corrupting cov_num. The
     oracle runs the identical quantized arithmetic in DuckDB."""
-    emb = load(spark, sf_dir, "embeddings")
-    q = widen(emb).select(
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * COV_SCALE).cast("long"),
-        ).alias("q")
-    )
-    p1 = q.select("q", F.posexplode("q").alias("i", "qi"))
-    p2 = p1.select("i", "qi", F.posexplode("q").alias("j", "qj")).filter(
-        F.col("j") >= F.col("i")
-    )
-    s = p2.groupBy("i", "j").agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum(F.col("qi") * F.col("qj")).cast("bigint").alias("sxy"),
-        F.sum("qi").cast("bigint").alias("sx"),
-        F.sum("qj").cast("bigint").alias("sy"),
-        F.max(F.greatest(F.abs("qi"), F.abs("qj"))).alias("_qmax"),
-    )
+    s = _cov_terms(spark, sf_dir)
     # Overflow tripwire (ADVICE r7, tightened r9): the one-pass form
     # computes n·Σxy and Σx·Σy, EACH bounded by n²·qmax² — but
     # cov_num SUBTRACTS them, and with opposite signs (anti-correlated
@@ -1603,4 +1610,382 @@ def j119_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.length("clean")).cast("bigint").alias("sum_clean_len"),
         F.min(F.md5("clean")).alias("min_clean_md5"),
+    )
+
+
+# --------------------------------------------------------------- j120
+
+KCENTER_K = 6  # centers selected by farthest-point traversal
+KC_SCALE = 1000  # embedding quantizer (j97's posture)
+_KC_D = 64  # embedding dimensionality (fixture contract, TESTDATA.md)
+
+
+def _duck_kcenter_oracle() -> str:
+    """Unrolled farthest-point traversal (j21's unrolled-CTE posture):
+    center 0 is the min vec_id; center k is the point maximizing the
+    exact integer min-squared-distance to centers 0..k-1 (ties to the
+    smaller vec_id). All arithmetic is quantized BIGINT, so both
+    engines select identical points."""
+    sq = (
+        f"CAST(list_sum(list_transform(range(1, {_KC_D + 1}), "
+        "i -> (p.q[i] - c.q[i]) * (p.q[i] - c.q[i]))) AS BIGINT)"
+    )
+    parts = [
+        f"""q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * {KC_SCALE})
+                                      AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(0 AS INT) AS center_order, vec_id, q,
+             CAST(0 AS BIGINT) AS sq_dist
+      FROM q WHERE vec_id = (SELECT min(vec_id) FROM q)
+    ),
+    cents0 AS (SELECT * FROM c0)"""
+    ]
+    for k in range(1, KCENTER_K):
+        parts.append(
+            f"""m{k} AS (
+      SELECT p.vec_id, p.q, min({sq}) AS d
+      FROM q p, cents{k - 1} c GROUP BY p.vec_id, p.q
+    ),
+    c{k} AS (
+      SELECT CAST({k} AS INT) AS center_order, vec_id, q, d AS sq_dist
+      FROM m{k} ORDER BY d DESC, vec_id LIMIT 1
+    ),
+    cents{k} AS (SELECT * FROM cents{k - 1} UNION ALL SELECT * FROM c{k})"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT center_order, vec_id, sq_dist FROM cents{KCENTER_K - 1}"
+    )
+
+
+@query("j120_kcenter_coreset", oracle=_duck_kcenter_oracle())
+def j120_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity coreset by farthest-point traversal (greedy k-center,
+    the 2-approximation) over the corpus embedding table — the
+    selection pass behind diversity sampling, exemplar picking for
+    labeling budgets, and coverage-radius diagnostics ("how far is
+    the farthest document from its nearest exemplar?"). Center 0 is
+    the min vec_id (deterministic seed); center k maximizes the exact
+    min-squared-distance to the chosen set, ties to the smaller
+    vec_id. Output: {KCENTER_K} rows (selection order, vec_id, the
+    selection-time distance — a nonincreasing sequence that IS the
+    coverage-radius curve).
+
+    Exactness trick (j97/j21's posture): embeddings quantize to
+    BIGINT first, every distance is an order-free integer HOF fold
+    (≤64·(2·{KC_SCALE})² « 2^63), so the argmax — and therefore the
+    whole traversal — is bit-identical in both engines; the oracle
+    unrolls the {KCENTER_K} steps as CTEs (j21's pattern).
+
+    Plan: NO driver-side math (j21's discipline), in the INCREMENTAL
+    running-min form (the textbook distributed k-center state): the
+    per-point state (vec_id, q, min-distance-to-chosen-set) is
+    materialized per step; each step is ONE broadcast of the single
+    newest center folded in via least(), then a 1-row max(struct)
+    argmax — never a re-scan against the whole center table (the
+    naive form re-paid k distance evaluations per point at step k;
+    measured ~2× wall-clock at fixture scale). At 100 TB each step is
+    one scan of the state + one scalar exchange; K steps total, K
+    fixed and small. The classic scale upgrade (pre-clustered
+    candidate pools per partition) changes the candidate set, not
+    this plan shape."""
+    from json2hbase_spark.io import load, widen
+    from json2hbase_spark.materialize import materialize
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = materialize(
+        widen(emb).select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * KC_SCALE).cast("long"),
+            ).alias("q"),
+        )
+    )
+    sqd = F.aggregate(
+        F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+    def fold_center(state: DataFrame, center: DataFrame) -> DataFrame:
+        """state (vec_id, q, mind) with the new center's distance
+        folded in via least() — one broadcast pass."""
+        return state.crossJoin(F.broadcast(center.select(F.col("q").alias("cq")))).select(
+            "vec_id", "q", F.least("mind", sqd).alias("mind")
+        )
+
+    seed = q.orderBy("vec_id").limit(1)
+    picks = seed.select(
+        F.lit(0).cast("int").alias("center_order"),
+        "vec_id",
+        F.lit(0).cast("bigint").alias("sq_dist"),
+    )
+    state = materialize(
+        fold_center(q.select("vec_id", "q", F.lit(None).cast("long").alias("mind")), seed)
+    )
+    for k in range(1, KCENTER_K):
+        pick = (
+            state.agg(
+                F.max(F.struct(F.col("mind"), (-F.col("vec_id")).alias("nv"))).alias("s")
+            ).select(
+                (-F.col("s.nv")).alias("vec_id"),
+                F.col("s.mind").cast("bigint").alias("sq_dist"),
+            )
+        )
+        newc = materialize(pick.join(q, "vec_id"))
+        picks = picks.unionByName(
+            newc.select(
+                F.lit(k).cast("int").alias("center_order"), "vec_id", "sq_dist"
+            )
+        )
+        if k < KCENTER_K - 1:
+            state = materialize(fold_center(state, newc))
+    return picks.select("center_order", "vec_id", "sq_dist")
+
+
+# --------------------------------------------------------------- j121
+
+POWER_ITERS = 5  # matvec iterations, unrolled in the oracle (j21's posture)
+MATPOW_SQUARINGS = 4  # iterate with A^(2^4)=A^16: 5 matvecs ≈ 80 plain ones
+_PI_S = 1_000  # per-iteration vector renormalization scale
+_PI_A = 1_000_000  # matrix entry scale between squarings
+# Overflow margins with the rescale discipline: matrix entries are
+# renormalized to ≤ {_PI_A} after construction and after every
+# squaring, so a matmul term is ≤ 1e12 and its 64-term sum ≤ 6.4e13;
+# a matvec term is ≤ 1e9 and its sum ≤ 6.4e10 — both orders of
+# magnitude inside int64. The construction itself carries j97's
+# silent-wrap guard (2·n²·qmax² < 2^63 per upper-triangle row).
+
+_DUCK_COV_S = f"""
+    q AS (
+      SELECT list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * {COV_SCALE}) AS BIGINT))
+               AS q
+      FROM embeddings
+    ),
+    p AS (
+      SELECT i.i AS i, j.j AS j,
+             q.q[i.i + 1] AS qi, q.q[j.j + 1] AS qj
+      FROM q,
+           LATERAL (SELECT unnest(range(len(q.q))) AS i) i,
+           LATERAL (SELECT unnest(range(len(q.q))) AS j) j
+      WHERE j.j >= i.i
+    ),
+    s AS (
+      SELECT i, j,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(qi * qj) AS BIGINT) AS sxy,
+             CAST(SUM(qi) AS BIGINT) AS sx,
+             CAST(SUM(qj) AS BIGINT) AS sy
+      FROM p GROUP BY i, j
+    )"""
+
+
+def _duck_power_oracle() -> str:
+    parts = [
+        _DUCK_COV_S,
+        # a0/r*/m* are MATERIALIZED: DuckDB inlines plain CTEs, and
+        # each is referenced by every later unrolled stage — without
+        # the hint the corpus-sized pair aggregation underneath
+        # re-evaluates once per reference (measured 25 s → 0.2 s at
+        # sf0.001).
+        """a0 AS MATERIALIZED (
+      SELECT i, j, n * sxy - sx * sy AS cov FROM s
+      UNION ALL
+      SELECT j, i, n * sxy - sx * sy FROM s WHERE i != j
+    ),
+    e0 AS (SELECT greatest(CAST(max(abs(cov)) AS BIGINT) // """
+        + str(_PI_A)
+        + """, 1) AS d FROM a0),
+    m0 AS MATERIALIZED (
+      SELECT i, j, CAST(floor(CAST(cov AS DOUBLE) / d) AS BIGINT) AS cov
+      FROM a0, e0
+    )""",
+    ]
+    for t in range(1, MATPOW_SQUARINGS + 1):
+        parts.append(
+            f"""sq{t} AS (
+      SELECT x.i AS i, y.j AS j, CAST(SUM(x.cov * y.cov) AS BIGINT) AS cov
+      FROM m{t - 1} x JOIN m{t - 1} y ON x.j = y.i GROUP BY x.i, y.j
+    ),
+    e{t} AS (SELECT greatest(CAST(max(abs(cov)) AS BIGINT) // {_PI_A}, 1) AS d
+             FROM sq{t}),
+    m{t} AS MATERIALIZED (
+      SELECT i, j, CAST(floor(CAST(cov AS DOUBLE) / d) AS BIGINT) AS cov
+      FROM sq{t}, e{t}
+    )"""
+        )
+    A = f"m{MATPOW_SQUARINGS}"
+    parts.append(
+        f"v0 AS (SELECT DISTINCT i AS dim, CAST({_PI_S} AS BIGINT) AS v FROM {A})"
+    )
+    for t in range(1, POWER_ITERS + 1):
+        parts.append(
+            f"""w{t} AS (
+      SELECT a.i AS dim, CAST(SUM(a.cov * v.v) AS BIGINT) AS w
+      FROM {A} a JOIN v{t - 1} v ON v.dim = a.j GROUP BY a.i
+    ),
+    d{t} AS (SELECT greatest(CAST(max(abs(w)) AS BIGINT) // {_PI_S}, 1) AS d
+             FROM w{t}),
+    v{t} AS MATERIALIZED (
+      SELECT dim, CAST(floor(CAST(w AS DOUBLE) / d) AS BIGINT) AS v
+      FROM w{t}, d{t}
+    )"""
+        )
+    last = POWER_ITERS
+    parts.append(
+        f"""wmax AS (SELECT CAST(max(abs(w)) AS BIGINT) AS w_max FROM w{last}),
+    sgn AS (SELECT CASE WHEN v >= 0 THEN 1 ELSE -1 END AS sg
+            FROM v{last} ORDER BY abs(v) DESC, dim ASC LIMIT 1)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(f.dim AS INT) AS dim,
+           CAST(f.v * sgn.sg AS BIGINT) AS v,
+           wmax.w_max
+    FROM v{last} f, sgn, wmax"""
+    )
+
+
+@query("j121_embed_top_eigvec", oracle=_duck_power_oracle())
+def j121_embed_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the corpus embedding cloud by POWER
+    ITERATION over j97's exact integer covariance — the anisotropy
+    diagnostic ("is the embedding space collapsing onto one axis?")
+    and the input to common-direction removal (the all-but-the-top
+    post-processing trick) and 1-D PCA ordering. {POWER_ITERS} fixed
+    matvec iterations; after each, the vector renormalizes to scale
+    {_PI_S} by integer division; the final sign is fixed by making
+    the largest-|component| coordinate positive (ties to the lower
+    dim). Output: 64 rows (dim, eigvec component at scale {_PI_S},
+    plus the final iterate's max|A·v| — the unnormalized eigenvalue
+    proxy in rescaled-matrix units, an exact BIGINT shared by every
+    row).
+
+    CONVERGENCE by matrix-power acceleration: a flat spectrum (the
+    fixture reads λ2/λ1 ≈ 0.93, which plain power iteration needs
+    ~65 steps to separate) is handled by iterating with A^(2^
+    {MATPOW_SQUARINGS}) = A^16 — {MATPOW_SQUARINGS} in-plan squarings
+    of the 64×64 matrix, each a d³ join+agg over ≤d² rows, with the
+    entries renormalized to scale {_PI_A} after construction and
+    after every squaring. {POWER_ITERS} matvecs against A^16 ≈ 80
+    plain iterations: (0.93)^80 ≈ 0.003 residual.
+
+    Exactness: the covariance entries are j97's order-free exact
+    BIGINTs (n·Σxy − Σx·Σy, silent-wrap guarded per row); the rescale
+    discipline bounds every matmul term at {_PI_A}²·d ≈ 6.4e13 and
+    every matvec term at {_PI_A}·{_PI_S}·d ≈ 6.4e10 — orders of
+    magnitude inside int64 — so every iterate is bit-identical in
+    both engines (the one double step, floor(x/d), applies
+    IEEE-identical operations to identical inputs). The oracle
+    unrolls squarings AND iterations as CTEs (j21's pattern).
+
+    Plan: the covariance is one pair-explode hash agg (j97's shape —
+    shuffle bounded at d(d+1)/2 rows regardless of corpus size); each
+    squaring/matvec is a bounded join + agg over ≤d² rows,
+    materialized per step (the per-iteration checkpoint cadence). At
+    100 TB only the covariance pass touches the corpus; the iteration
+    cost is O(d³·{MATPOW_SQUARINGS} + d²·{POWER_ITERS}) — constant."""
+    from json2hbase_spark.materialize import materialize
+
+    s = _cov_terms(spark, sf_dir)
+    # j97's silent-wrap guard: the two subtracted construction terms
+    # can reach 2·n²·qmax² with opposite signs.
+    guard = (
+        F.pow(F.col("n").cast("double"), 2) * F.pow(F.col("_qmax").cast("double"), 2)
+        < F.lit(4.5e18)
+    )
+    s = s.where(
+        F.assert_true(
+            guard, F.lit("j121: n²·qmax² near int64 — two-pass centered form needed")
+        ).isNull()
+    )
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cov")
+    upper = s.select("i", "j", cov)
+    a_raw = upper.unionByName(
+        s.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), cov
+        )
+    )
+
+    def rescaled(m: DataFrame) -> DataFrame:
+        d = m.agg(
+            F.greatest(
+                F.expr(f"max(abs(cov)) DIV {_PI_A}"), F.lit(1).cast("long")
+            ).alias("d")
+        )
+        return m.crossJoin(F.broadcast(d)).select(
+            "i",
+            "j",
+            F.floor(F.col("cov").cast("double") / F.col("d"))
+            .cast("bigint")
+            .alias("cov"),
+        )
+
+    a = materialize(rescaled(a_raw))
+    for _ in range(MATPOW_SQUARINGS):
+        sq = (
+            a.alias("x")
+            .join(a.alias("y"), F.col("x.j") == F.col("y.i"))
+            .groupBy(F.col("x.i").alias("i"), F.col("y.j").alias("j"))
+            .agg(F.sum(F.col("x.cov") * F.col("y.cov")).cast("bigint").alias("cov"))
+        )
+        a = materialize(rescaled(sq))
+    v = materialize(
+        a.select(F.col("i").alias("dim"))
+        .distinct()
+        .select("dim", F.lit(_PI_S).cast("long").alias("v"))
+    )
+    w = None
+    for _ in range(POWER_ITERS):
+        w = materialize(
+            a.join(v.select(F.col("dim").alias("j"), "v"), "j")
+            .groupBy(F.col("i").alias("dim"))
+            .agg(F.sum(F.col("cov") * F.col("v")).cast("bigint").alias("w"))
+        )
+        d = w.agg(
+            F.greatest(
+                F.expr(f"max(abs(w)) DIV {_PI_S}"), F.lit(1).cast("long")
+            ).alias("d")
+        )
+        v = materialize(
+            w.crossJoin(F.broadcast(d)).select(
+                "dim",
+                F.floor(F.col("w").cast("double") / F.col("d"))
+                .cast("bigint")
+                .alias("v"),
+            )
+        )
+    wmax = w.agg(F.max(F.abs("w")).cast("bigint").alias("w_max"))
+    sgn = (
+        v.agg(
+            F.max(
+                F.struct(
+                    F.abs("v").alias("av"),
+                    (-F.col("dim")).alias("nd"),
+                    F.col("v").alias("vv"),
+                )
+            ).alias("m")
+        )
+        .select(
+            F.when(F.col("m.vv") >= 0, F.lit(1)).otherwise(F.lit(-1)).alias("sg")
+        )
+    )
+    return (
+        v.crossJoin(F.broadcast(sgn))
+        .crossJoin(F.broadcast(wmax))
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            (F.col("v") * F.col("sg")).cast("bigint").alias("v"),
+            "w_max",
+        )
     )

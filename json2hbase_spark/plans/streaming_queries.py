@@ -1891,3 +1891,72 @@ def i30_stream_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 from json2hbase_spark import registry as _registry_mod  # noqa: E402
 
 _registry_mod.ORACLES["i30_stream_threshold_sweep"] = _i30_oracle()
+
+
+# ---------------------------------------------------------------- i31
+
+
+def _i31_oracle() -> str:
+    # identical oracle to batch j115 — the stream/batch equivalence
+    # contract for the live padding bill.
+    from json2hbase_spark import registry as _registry
+    from json2hbase_spark.plans import audit_queries  # noqa: F401 — registers j115
+
+    return _registry.ORACLES["j115_packing_waste"]
+
+
+@query("i31_stream_packing_monitor", oracle=None)
+def i31_stream_packing_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING packing-waste monitor — j115's concat-vs-boundaries
+    padding bill maintained LIVE per language as documents arrive:
+    the three additive ingredients (doc count, real tokens, boundary
+    sequence count Σceil(tok/SEQ_LEN)) accumulate in complete mode;
+    the derived columns (concat sequences, boundary waste, waste
+    ratio) are arithmetic over the final |langs|-row table. An ingest
+    whose waste ratio drifts up is filling with short docs — visible
+    here micro-batches before a packing job runs. Tally ≡ batch j115
+    (same oracle SQL), the i25/i29/i30 equivalence contract.
+
+    Plan: stateless per-doc token counts into a complete-mode
+    |langs|-row aggregate (watermark-free, domain-bounded state);
+    every accumulated column is an integer sum, so the stream total
+    is exactly the batch total regardless of batch boundaries; the
+    one float (waste ratio) is derived batch-side at the end."""
+    from json2hbase_spark.io import load_table_stream
+    from json2hbase_spark.operators.text import whitespace_tokens
+    from json2hbase_spark.plans.audit_queries import SEQ_LEN
+
+    stream = load_table_stream(spark, sf_dir, "documents")
+    t = stream.select(
+        "lang", F.size(whitespace_tokens(F.col("text"))).alias("tokens")
+    )
+    per_doc_seqs = F.ceil(F.col("tokens").cast("double") / SEQ_LEN).cast("bigint")
+    tally = t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens").alias("total_tokens"),
+        F.sum(per_doc_seqs).alias("boundary_sequences"),
+    )
+    with scoped_stream_confs(spark):
+        _run_to_memory(tally, "i31_mem", "complete")
+    g = spark.table("i31_mem")
+    boundary_waste = (
+        F.col("boundary_sequences") * SEQ_LEN - F.col("total_tokens")
+    ).cast("bigint")
+    return g.select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        F.ceil(F.col("total_tokens").cast("double") / SEQ_LEN)
+        .cast("bigint")
+        .alias("concat_sequences"),
+        F.col("boundary_sequences").cast("bigint").alias("boundary_sequences"),
+        boundary_waste.alias("boundary_waste"),
+        F.round(
+            boundary_waste.cast("double")
+            / (F.col("boundary_sequences") * SEQ_LEN),
+            4,
+        ).alias("waste_ratio"),
+    )
+
+
+_registry_mod.ORACLES["i31_stream_packing_monitor"] = _i31_oracle()

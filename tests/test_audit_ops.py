@@ -338,3 +338,20 @@ def test_i30_stream_sweep_equals_batch_j113(spark):
         for r in registry.QUERIES["i30_stream_threshold_sweep"](spark, SF).collect()
     }
     assert stream == batch
+
+
+def test_i31_stream_packing_equals_batch_j115(spark):
+    """The complete-mode streaming padding bill must equal the batch
+    j115 table row-for-row."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    batch = {
+        r.lang: r.asDict()
+        for r in registry.QUERIES["j115_packing_waste"](spark, SF).collect()
+    }
+    stream = {
+        r.lang: r.asDict()
+        for r in registry.QUERIES["i31_stream_packing_monitor"](spark, SF).collect()
+    }
+    assert stream == batch

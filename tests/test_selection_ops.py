@@ -648,3 +648,110 @@ def test_j119_fixture_budget_is_exact(spark):
     for r in rows:
         assert r.docs_changed == r.n_docs
         assert r.chars_removed == 2 * r.n_docs
+
+
+def test_j120_kcenter_matches_python_truth(spark):
+    """The distributed farthest-point traversal must select exactly
+    the points a sequential exact-integer implementation selects
+    (same seed, same tie-break), with a nonincreasing coverage
+    curve."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.io import load
+    from json2hbase_spark.materialize import materialization_scope
+    from json2hbase_spark.plans.selection_queries import KC_SCALE, KCENTER_K
+
+    registry.load_all_query_modules()
+    import math
+
+    pts = {
+        r.vec_id: [int(math.floor(float(x) * KC_SCALE)) for x in r.embedding]
+        for r in load(spark, SF, "embeddings").collect()
+    }
+    seed = min(pts)
+    chosen = [(0, seed, 0)]
+    cent = [pts[seed]]
+    for k in range(1, KCENTER_K):
+        best = None
+        for vid, q in pts.items():
+            d = min(sum((a - b) * (a - b) for a, b in zip(q, c)) for c in cent)
+            key = (-d, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, d)
+        chosen.append((k, best[1], best[2]))
+        cent.append(pts[best[1]])
+    with materialization_scope():
+        rows = sorted(
+            registry.QUERIES["j120_kcenter_coreset"](spark, SF).collect(),
+            key=lambda r: r.center_order,
+        )
+    assert [(r.center_order, r.vec_id, r.sq_dist) for r in rows] == chosen
+    dists = [r.sq_dist for r in rows[1:]]
+    assert dists == sorted(dists, reverse=True)
+
+
+def test_j121_power_iteration_matches_python_truth(spark):
+    """The in-plan power iteration must be bit-identical to a
+    sequential exact-integer implementation (same quantization, same
+    renormalization, same sign fix), and the result must align with
+    numpy's top eigenvector of the same integer covariance."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.io import load
+    from json2hbase_spark.materialize import materialization_scope
+    from json2hbase_spark.plans.selection_queries import (
+        COV_SCALE,
+        MATPOW_SQUARINGS,
+        POWER_ITERS,
+        _PI_A,
+        _PI_S,
+    )
+
+    registry.load_all_query_modules()
+    import math
+
+    import numpy as np
+
+    Q = [
+        [int(math.floor(float(x) * COV_SCALE)) for x in r.embedding]
+        for r in load(spark, SF, "embeddings").collect()
+    ]
+    n, d = len(Q), len(Q[0])
+    cov = [[0] * d for _ in range(d)]
+    sx = [sum(q[i] for q in Q) for i in range(d)]
+    for i in range(d):
+        for j in range(i, d):
+            sxy = sum(q[i] * q[j] for q in Q)
+            cov[i][j] = cov[j][i] = n * sxy - sx[i] * sx[j]
+
+    def rescale(m):
+        dd = max(max(abs(x) for row in m for x in row) // _PI_A, 1)
+        return [[int(math.floor(x / dd)) for x in row] for row in m]
+
+    A = rescale(cov)
+    for _ in range(MATPOW_SQUARINGS):
+        A = rescale(
+            [
+                [sum(A[i][k] * A[k][j] for k in range(d)) for j in range(d)]
+                for i in range(d)
+            ]
+        )
+    v = [_PI_S] * d
+    w = None
+    for _ in range(POWER_ITERS):
+        w = [sum(A[i][j] * v[j] for j in range(d)) for i in range(d)]
+        dd = max(max(abs(x) for x in w) // _PI_S, 1)
+        v = [int(math.floor(x / dd)) for x in w]
+    top = min(range(d), key=lambda i: (-abs(v[i]), i))
+    sg = 1 if v[top] >= 0 else -1
+    want = {i: v[i] * sg for i in range(d)}
+    w_max = max(abs(x) for x in w)
+    with materialization_scope():
+        rows = registry.QUERIES["j121_embed_top_eigvec"](spark, SF).collect()
+    assert len(rows) == d
+    assert {r.dim: r.v for r in rows} == want
+    assert all(r.w_max == w_max for r in rows)
+    # direction sanity: cosine vs numpy's exact top eigenvector > 0.99
+    evals, evecs = np.linalg.eigh(np.array(cov, dtype=float))
+    top_np = evecs[:, -1]
+    got = np.array([want[i] for i in range(d)], dtype=float)
+    cos = abs(got @ top_np) / (np.linalg.norm(got) * np.linalg.norm(top_np))
+    assert cos > 0.99
