@@ -1620,16 +1620,21 @@ KC_SCALE = 1000  # embedding quantizer (j97's posture)
 _KC_D = 64  # embedding dimensionality (fixture contract, TESTDATA.md)
 
 
-def _duck_kcenter_oracle() -> str:
+_DUCK_KC_SQ = (
+    f"CAST(list_sum(list_transform(range(1, {_KC_D + 1}), "
+    "i -> (p.q[i] - c.q[i]) * (p.q[i] - c.q[i]))) AS BIGINT)"
+)
+
+
+def _duck_kcenter_parts() -> list[str]:
     """Unrolled farthest-point traversal (j21's unrolled-CTE posture):
     center 0 is the min vec_id; center k is the point maximizing the
     exact integer min-squared-distance to centers 0..k-1 (ties to the
     smaller vec_id). All arithmetic is quantized BIGINT, so both
-    engines select identical points."""
-    sq = (
-        f"CAST(list_sum(list_transform(range(1, {_KC_D + 1}), "
-        "i -> (p.q[i] - c.q[i]) * (p.q[i] - c.q[i]))) AS BIGINT)"
-    )
+    engines select identical points. Returns the CTE part list up to
+    cents{{K-1}} — shared by j120 (the selection report) and j123
+    (the coverage assignment)."""
+    sq = _DUCK_KC_SQ
     parts = [
         f"""q AS (
       SELECT vec_id,
@@ -1657,9 +1662,13 @@ def _duck_kcenter_oracle() -> str:
     ),
     cents{k} AS (SELECT * FROM cents{k - 1} UNION ALL SELECT * FROM c{k})"""
         )
+    return parts
+
+
+def _duck_kcenter_oracle() -> str:
     return (
         "WITH "
-        + ",\n    ".join(parts)
+        + ",\n    ".join(_duck_kcenter_parts())
         + f"\n    SELECT center_order, vec_id, sq_dist FROM cents{KCENTER_K - 1}"
     )
 
@@ -1695,6 +1704,23 @@ def j120_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed and small. The classic scale upgrade (pre-clustered
     candidate pools per partition) changes the candidate set, not
     this plan shape."""
+    q, centers = _kcenter_traverse(spark, sf_dir)
+    return centers.select("center_order", "vec_id", "sq_dist")
+
+
+_KC_SQD = lambda qcol, ccol: F.aggregate(  # noqa: E731 — shared distance fold
+    F.zip_with(qcol, ccol, lambda a, b: (a - b) * (a - b)),
+    F.lit(0).cast("long"),
+    lambda acc, x: acc + x,
+)
+
+
+def _kcenter_traverse(spark: SparkSession, sf_dir: str):
+    """The shared farthest-point traversal: returns (q, centers) —
+    the materialized quantized point table (vec_id, q) and the
+    materialized selected-center table (center_order, vec_id, q,
+    sq_dist). j120 reports the selection; j123 assigns the corpus to
+    it."""
     from json2hbase_spark.io import load, widen
     from json2hbase_spark.materialize import materialize
 
@@ -1708,24 +1734,23 @@ def j120_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q"),
         )
     )
-    sqd = F.aggregate(
-        F.zip_with("q", "cq", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    sqd = _KC_SQD("q", "cq")
 
     def fold_center(state: DataFrame, center: DataFrame) -> DataFrame:
-        """state (vec_id, q, mind) with the new center's distance
-        folded in via least() — one broadcast pass."""
+        # state (vec_id, q, mind) with the new center's distance
+        # folded in via least() — one broadcast pass.
         return state.crossJoin(F.broadcast(center.select(F.col("q").alias("cq")))).select(
             "vec_id", "q", F.least("mind", sqd).alias("mind")
         )
 
     seed = q.orderBy("vec_id").limit(1)
-    picks = seed.select(
-        F.lit(0).cast("int").alias("center_order"),
-        "vec_id",
-        F.lit(0).cast("bigint").alias("sq_dist"),
+    centers = materialize(
+        seed.select(
+            F.lit(0).cast("int").alias("center_order"),
+            "vec_id",
+            "q",
+            F.lit(0).cast("bigint").alias("sq_dist"),
+        )
     )
     state = materialize(
         fold_center(q.select("vec_id", "q", F.lit(None).cast("long").alias("mind")), seed)
@@ -1739,15 +1764,17 @@ def j120_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("s.mind").cast("bigint").alias("sq_dist"),
             )
         )
-        newc = materialize(pick.join(q, "vec_id"))
-        picks = picks.unionByName(
-            newc.select(
-                F.lit(k).cast("int").alias("center_order"), "vec_id", "sq_dist"
+        newc = materialize(
+            pick.join(q, "vec_id").select(
+                F.lit(k).cast("int").alias("center_order"), "vec_id", "q", "sq_dist"
             )
         )
+        # lazy union — every branch is already materialized (seed and
+        # each newc), so the final centers table needs no extra cut
+        centers = centers.unionByName(newc)
         if k < KCENTER_K - 1:
             state = materialize(fold_center(state, newc))
-    return picks.select("center_order", "vec_id", "sq_dist")
+    return q, centers
 
 
 # --------------------------------------------------------------- j121
@@ -1788,7 +1815,7 @@ _DUCK_COV_S = f"""
     )"""
 
 
-def _duck_power_oracle() -> str:
+def _duck_power_parts() -> list[str]:
     parts = [
         _DUCK_COV_S,
         # a0/r*/m* are MATERIALIZED: DuckDB inlines plain CTEs, and
@@ -1845,9 +1872,14 @@ def _duck_power_oracle() -> str:
     sgn AS (SELECT CASE WHEN v >= 0 THEN 1 ELSE -1 END AS sg
             FROM v{last} ORDER BY abs(v) DESC, dim ASC LIMIT 1)"""
     )
+    return parts
+
+
+def _duck_power_oracle() -> str:
+    last = POWER_ITERS
     return (
         "WITH "
-        + ",\n    ".join(parts)
+        + ",\n    ".join(_duck_power_parts())
         + f"""
     SELECT CAST(f.dim AS INT) AS dim,
            CAST(f.v * sgn.sg AS BIGINT) AS v,
@@ -1895,6 +1927,21 @@ def j121_embed_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized per step (the per-iteration checkpoint cadence). At
     100 TB only the covariance pass touches the corpus; the iteration
     cost is O(d³·{MATPOW_SQUARINGS} + d²·{POWER_ITERS}) — constant."""
+    v, wmax = _power_eigvec(spark, sf_dir)
+    return (
+        v.crossJoin(F.broadcast(wmax)).select(
+            F.col("dim").cast("int").alias("dim"),
+            F.col("v").cast("bigint").alias("v"),
+            "w_max",
+        )
+    )
+
+
+def _power_eigvec(spark: SparkSession, sf_dir: str):
+    """Shared accelerated power iteration (j121's engine): returns
+    (v_signed, wmax) — the 64-row signed eigvec table (dim, v) at
+    scale _PI_S and a 1-row (w_max) table. Reused by j122's
+    common-direction removal."""
     from json2hbase_spark.materialize import materialize
 
     s = _cov_terms(spark, sf_dir)
@@ -1980,12 +2027,189 @@ def j121_embed_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("m.vv") >= 0, F.lit(1)).otherwise(F.lit(-1)).alias("sg")
         )
     )
-    return (
-        v.crossJoin(F.broadcast(sgn))
-        .crossJoin(F.broadcast(wmax))
-        .select(
-            F.col("dim").cast("int").alias("dim"),
-            (F.col("v") * F.col("sg")).cast("bigint").alias("v"),
-            "w_max",
+    v_signed = materialize(
+        v.crossJoin(F.broadcast(sgn)).select(
+            "dim", (F.col("v") * F.col("sg")).cast("bigint").alias("v")
         )
+    )
+    return v_signed, wmax
+
+
+# --------------------------------------------------------------- j122
+
+
+def _duck_common_dir_oracle() -> str:
+    last = POWER_ITERS
+    parts = _duck_power_parts()
+    parts.append(
+        f"""evl AS (
+      SELECT list(e.v * sgn.sg ORDER BY e.dim) AS v
+      FROM v{last} e, sgn GROUP BY sgn.sg
+    ),
+    vv AS (SELECT CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT)
+             AS vv FROM evl),
+    ql AS (
+      SELECT label,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * {COV_SCALE})
+                                      AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    dots AS (
+      SELECT label,
+             CAST(list_sum(list_transform(ql.q, x -> x * x)) AS BIGINT) AS qq,
+             CAST(list_sum(list_transform(range(1, 65),
+                                          i -> ql.q[i] * evl.v[i])) AS BIGINT)
+               AS qv
+      FROM ql, evl
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + """
+    SELECT CAST(d.label AS INT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(d.qq) AS BIGINT) AS sum_qq,
+           round(CAST(SUM(CAST(d.qv * d.qv AS DECIMAL(38,0))) AS DOUBLE)
+                 / (CAST(vv.vv AS DOUBLE) * CAST(SUM(d.qq) AS DOUBLE)),
+                 6) AS share_top
+    FROM dots d, vv GROUP BY d.label, vv.vv"""
+    )
+
+
+@query("j122_common_dir_removal", oracle=_duck_common_dir_oracle())
+def j122_common_dir_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-direction energy audit — j121's top eigenvector APPLIED
+    (the detect→apply pattern of j111→j116): for every embedding,
+    the energy its projection onto the corpus' dominant direction
+    carries, rolled up per label as share_top = Σ(q·v)² / (|v|²·Σ|q|²)
+    — by Pythagoras exactly the fraction of squared norm that
+    "remove the top component" (the all-but-the-top anisotropy fix)
+    would delete. A label whose share_top is high rides the common
+    axis (its cosine similarities are inflated corpus-wide); the
+    table says which labels the removal will move most, BEFORE
+    rewriting any vectors.
+
+    Exactness: q and v are the established quantized integers; q·v
+    and q·q are order-free BIGINT HOF folds (|q·v| ≤ 64e6, (q·v)² ≤
+    4.2e15); the (q·v)² per-label sum crosses the wire as an exact
+    DECIMAL(38,0) (functions/exact.py's convention); the one double
+    division happens after all exact sums. Oracle = j121's unrolled
+    CTE chain + the projection arithmetic.
+
+    Plan: the eigvec collapses to ONE 64-element array broadcast into
+    a per-row codegen'd fold — the corpus pass is scan-bound with a
+    |labels|-row exchange; the eigvec itself costs j121's constant
+    post-covariance iteration. At 100 TB: one corpus scan on top of
+    the covariance pass the anisotropy audit already paid."""
+    from json2hbase_spark.io import load, widen
+
+    v_signed, _ = _power_eigvec(spark, sf_dir)
+    evl = v_signed.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "v"))), lambda x: x["v"]
+        ).alias("v")
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    ql = widen(emb).select(
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * COV_SCALE).cast("long"),
+        ).alias("q"),
+    )
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    dots = ql.crossJoin(F.broadcast(evl)).select(
+        "label",
+        fold(F.zip_with("q", "q", lambda a, b: a * b)).alias("qq"),
+        fold(F.zip_with("q", "v", lambda a, b: a * b)).alias("qv"),
+    )
+    vv = evl.select(
+        fold(F.zip_with("v", "v", lambda a, b: a * b)).cast("bigint").alias("vv")
+    )
+    return (
+        dots.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum("qq").cast("bigint").alias("sum_qq"),
+            F.sum((F.col("qv") * F.col("qv")).cast("decimal(38,0)")).alias("_top"),
+        )
+        .crossJoin(F.broadcast(vv))
+        .select(
+            F.col("label").cast("int").alias("label"),
+            "n_vecs",
+            "sum_qq",
+            F.round(
+                F.col("_top").cast("double")
+                / (F.col("vv").cast("double") * F.col("sum_qq").cast("double")),
+                6,
+            ).alias("share_top"),
+        )
+    )
+
+
+# --------------------------------------------------------------- j123
+
+
+def _duck_coreset_coverage_oracle() -> str:
+    parts = _duck_kcenter_parts()
+    parts.append(
+        f"""dists AS (
+      SELECT p.vec_id, c.center_order, {_DUCK_KC_SQ} AS d
+      FROM q p, cents{KCENTER_K - 1} c
+    ),
+    asg AS (
+      SELECT vec_id, center_order, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d, center_order) AS rn
+        FROM dists) t WHERE rn = 1
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + """
+    SELECT center_order,
+           CAST(COUNT(*) AS BIGINT) AS n_assigned,
+           CAST(MAX(d) AS BIGINT) AS max_sq_dist,
+           CAST(SUM(d) AS BIGINT) AS sum_sq_dist,
+           round(CAST(SUM(d) AS DOUBLE) / COUNT(*), 4) AS mean_sq_dist
+    FROM asg GROUP BY center_order"""
+    )
+
+
+@query("j123_coreset_coverage", oracle=_duck_coreset_coverage_oracle())
+def j123_coreset_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreset coverage report — j120's selection APPLIED: every
+    corpus embedding assigned to its nearest chosen exemplar (exact
+    integer distances, ties to the earlier-selected center), rolled
+    up per center: occupancy, the cell's worst-case distance (the
+    per-cell coverage radius — its max over centers is the k-center
+    objective), and the exact-integer mean. This is the table that
+    says whether the coreset actually covers the corpus (one center
+    hoarding 90% of points means K is too small) and which exemplar
+    each new labeling dollar should go to.
+
+    Plan: ONE broadcast crossJoin of the corpus against the
+    {KCENTER_K}-row center table (never point×point), a min(struct)
+    argmin per point, and a K-row hash agg. At 100 TB this is the
+    standard assign step everyone already runs after any exemplar
+    selection — scan-bound, one bounded exchange."""
+    q, centers = _kcenter_traverse(spark, sf_dir)
+    d = q.crossJoin(
+        F.broadcast(centers.select("center_order", F.col("q").alias("cq")))
+    ).select("vec_id", "center_order", _KC_SQD("q", "cq").alias("d"))
+    asg = (
+        d.groupBy("vec_id")
+        .agg(F.min(F.struct(F.col("d"), F.col("center_order"))).alias("s"))
+        .select(F.col("s.center_order").alias("center_order"), F.col("s.d").alias("d"))
+    )
+    return asg.groupBy("center_order").agg(
+        F.count("*").cast("bigint").alias("n_assigned"),
+        F.max("d").cast("bigint").alias("max_sq_dist"),
+        F.sum("d").cast("bigint").alias("sum_sq_dist"),
+        F.round(F.sum("d").cast("double") / F.count("*"), 4).alias("mean_sq_dist"),
     )

@@ -755,3 +755,73 @@ def test_j121_power_iteration_matches_python_truth(spark):
     got = np.array([want[i] for i in range(d)], dtype=float)
     cos = abs(got @ top_np) / (np.linalg.norm(got) * np.linalg.norm(top_np))
     assert cos > 0.99
+
+
+def test_j122_share_top_is_projection_energy(spark):
+    """share_top must equal the fraction of squared norm carried by
+    the dominant direction: bounded in (0,1), and within a small
+    tolerance of the same quantity computed with numpy's exact top
+    eigenvector (the op's vector is cos>0.99-aligned, so the energy
+    shares agree to first order)."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.io import load
+    from json2hbase_spark.materialize import materialization_scope
+    from json2hbase_spark.plans.selection_queries import COV_SCALE
+
+    registry.load_all_query_modules()
+    import math
+
+    import numpy as np
+
+    rows = load(spark, SF, "embeddings").collect()
+    Q = np.array(
+        [[math.floor(float(x) * COV_SCALE) for x in r.embedding] for r in rows],
+        dtype=float,
+    )
+    labels = np.array([r.label for r in rows])
+    n = len(Q)
+    cov = n * (Q.T @ Q) - np.outer(Q.sum(0), Q.sum(0))
+    _, evecs = np.linalg.eigh(cov)
+    v = evecs[:, -1]
+    with materialization_scope():
+        out = {
+            r.label: r
+            for r in registry.QUERIES["j122_common_dir_removal"](spark, SF).collect()
+        }
+    assert sum(r.n_vecs for r in out.values()) == n
+    for lab, r in out.items():
+        mask = labels == lab
+        want = float(((Q[mask] @ v) ** 2).sum() / (Q[mask] ** 2).sum())
+        assert 0.0 < r.share_top < 1.0
+        assert abs(r.share_top - want) < 0.05, (lab, r.share_top, want)
+        assert r.sum_qq == int((Q[mask] ** 2).sum())
+
+
+def test_j123_coverage_reconciles_with_selection(spark):
+    """Every vector lands in exactly one cell; each center covers at
+    least itself (distance 0 in its own cell); the global coverage
+    radius after K picks is bounded by the K-th selection distance
+    (the defining property of farthest-point traversal)."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.io import load
+    from json2hbase_spark.materialize import materialization_scope
+    from json2hbase_spark.plans.selection_queries import KCENTER_K
+
+    registry.load_all_query_modules()
+    n = load(spark, SF, "embeddings").count()
+    with materialization_scope():
+        picks = sorted(
+            registry.QUERIES["j120_kcenter_coreset"](spark, SF).collect(),
+            key=lambda r: r.center_order,
+        )
+        cells = {
+            r.center_order: r
+            for r in registry.QUERIES["j123_coreset_coverage"](spark, SF).collect()
+        }
+    assert set(cells) == set(range(KCENTER_K))
+    assert sum(r.n_assigned for r in cells.values()) == n
+    for r in cells.values():
+        assert r.n_assigned >= 1
+        assert r.max_sq_dist >= r.mean_sq_dist - 1e-9
+    radius = max(r.max_sq_dist for r in cells.values())
+    assert radius <= picks[-1].sq_dist
