@@ -101,6 +101,13 @@ AUDIT = {
     "j114_quality_disagreement": "both gate scores computed in ONE shared feature projection (no UDF) into ONE partial-combined hash agg on source — j110's scan-bound shape",
     "j115_packing_waste": "token-count map pass into ONE partial-combined hash agg on lang — every output column an aggregate of per-row integers; |langs|-row shuffle",
     "j116_contamination_redact": "benchmark grams broadcast-semi onto the corpus gram stream (j111's shape); covered positions explode from MATCHED gram starts only; keep-filter is a position anti-join; reconstruction is one per-doc ordered regroup (j104's shape)",
+    "j117_cross_source_clusters": "j48's banded candidate join + verified pairs materialized once; _labels_converged rounds (broadcast under BROADCAST_EDGE_LIMIT, SMJ above); one id-keyed source attach; two bounded rollup aggs",
+    "j118_pack_ffd": "token-count map pass → ONE FlatMapGroupsInPandas per lang (the declared sequential FFD kernel) → partial-combined hash agg on (lang, bin); no join, no corpus shuffle beyond the lang regroup",
+    "j119_nfc_normalize": "codegen'd dirt concat → ONE Arrow MapInPandas (vectorized NFC) → JVM-side lengths/md5 into a |langs|-row hash agg; no row-Python, no join",
+    "j120_kcenter_coreset": "quantize scan materialized once; per step ONE broadcast of the single newest center folded into the running min-distance state + a 1-row max(struct) argmax — never a point×point stage",
+    "j121_embed_top_eigvec": "j97's pair-explode covariance agg (shuffle ≤ d(d+1)/2 rows) → 4 in-plan matrix squarings + 5 matvecs over ≤d²-row tables, each materialized; all post-covariance exchanges dimension-bounded",
+    "j122_common_dir_removal": "eigvec collapsed to ONE broadcast 64-element array folded per row (codegen HOF, no UDF); DECIMAL(38,0) exact energy sums into a |labels|-row agg",
+    "j123_coreset_coverage": "corpus × K-row center table broadcast crossJoin (never point×point) → min(struct) argmin per point → K-row hash agg",
 }
 
 MARKERS = (
