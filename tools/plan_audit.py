@@ -194,7 +194,11 @@ SINGLEPART_JUSTIFIED: dict[str, str] = {
     "j50_drift_ks": "CDF cumsum over the DISTINCT-VALUE domain of n_chars — hundreds of rows at any corpus size",
     "e13_cumulative_uniques": "running sum over the DAY domain — |days| rows at any corpus size (the events table never sorts; docstring)",
     "j109_heaps_checkpoints": "delta lag over the CHECKPOINT domain — ≤ HEAPS_CHECKPOINTS (10) band rows at any corpus size (docstring)",
-    "j121_embed_top_eigvec": "every post-covariance table is DIMENSION-bounded (≤ d² = 4,096 rows, d fixed at 64) at any corpus size — the funnel input never grows with the corpus (docstring)",
+    # NOTE: j121's iteration funnels sit BEHIND per-step materialize()
+    # boundaries (each over dimension-bounded ≤ d² tables, docstring)
+    # — the returned plan carries none, so no entry is needed here;
+    # tests/test_plans_scale.py::test_singlepart_justified_set_is_exact
+    # keeps this set exact.
 }
 
 
