@@ -2129,3 +2129,80 @@ def m7_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") >= 2)
     )
+
+
+# ---------------------------------------------------------------- j124
+
+
+@query(
+    "j124_pack_manifest",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, doc_id,
+             len(list_filter(string_split(text, ' '), x -> x != '')) AS tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT lang, doc_id, tokens,
+             SUM(tokens) OVER (PARTITION BY lang ORDER BY tokens DESC, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS running
+      FROM t
+    ),
+    packed AS (
+      SELECT lang, doc_id, tokens, running,
+             CAST(ceil(CAST(running AS DOUBLE) / {PACK_BUDGET}) AS BIGINT)
+               AS pack_id
+      FROM r
+    )
+    SELECT lang, pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tokens) AS BIGINT) AS pack_tokens,
+           CAST(MAX(running) AS BIGINT) AS end_offset,
+           md5(string_agg(doc_id, ',' ORDER BY running, doc_id)) AS docs_md5
+    FROM packed GROUP BY lang, pack_id
+    """,
+)
+def j124_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack MANIFEST — j27's packing materialized as the artifact a
+    data loader actually consumes: per (lang, pack) the member count,
+    token payload, the pack's END OFFSET in the per-language concat
+    token stream (what the chunker seeks to), and an md5 over the
+    ordered member doc_id list — the byte-proof that two runs (or two
+    engines) filled every pack with the same documents in the same
+    order, j100/j116's min-md5 posture applied to pack composition.
+    j27 reports pack COUNTS; j115/j118 price and produce alternative
+    packings; this pins the exact reproducible composition of the
+    default concat-then-chunk layout.
+
+    Plan: j27's single windowed running sum per language (one
+    shuffle), then one hash agg on (lang, pack) whose only non-sum
+    column is an ordered-list md5 — the member list is bounded by the
+    pack budget (≥1-token docs ⇒ ≤{PACK_BUDGET} members), so the agg
+    state is bounded per group. Fill order (tokens DESC, doc_id) is a
+    total order, making the manifest deterministic; the md5 input
+    orders by (running, doc_id), which equals fill order including
+    zero-token-doc ties."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", "doc_id", F.size(whitespace_tokens(F.col("text"))).alias("tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("tokens"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn("running", F.sum("tokens").over(w)).withColumn(
+        "pack_id",
+        F.ceil(F.col("running").cast("double") / PACK_BUDGET).cast("bigint"),
+    )
+    ordered_ids = F.transform(
+        F.array_sort(F.collect_list(F.struct("running", "doc_id"))),
+        lambda x: x["doc_id"].cast("string"),
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("tokens").cast("bigint").alias("pack_tokens"),
+        F.max("running").cast("bigint").alias("end_offset"),
+        F.md5(F.concat_ws(",", ordered_ids)).alias("docs_md5"),
+    )

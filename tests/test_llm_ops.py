@@ -305,3 +305,48 @@ def test_minhash_wide_signature_families_are_fresh(spark):
     # are the unseeded pair — narrow signatures unchanged)
     sig64 = minhash_from_stream(stream, "id", "_s", num_hashes=64).collect()[0].sig
     assert sig[:64] == sig64
+
+
+def test_j124_manifest_reconciles_with_j27_and_hashes_fill_order(spark, sf_dir):
+    """The manifest's per-pack tallies equal j27's packing exactly;
+    end offsets telescope to the per-language token totals; docs_md5
+    equals a python recompute of the fill-order member list."""
+    import hashlib
+
+    from json2hbase_spark import registry
+    from json2hbase_spark.io import load
+    from json2hbase_spark.operators.text import whitespace_tokens
+    from json2hbase_spark.plans.llm_queries import PACK_BUDGET
+
+    registry.load_all_query_modules()
+    man = {
+        (r.lang, r.pack_id): r
+        for r in registry.QUERIES["j124_pack_manifest"](spark, sf_dir).collect()
+    }
+    j27 = {
+        (r.lang, r.pack_id): r
+        for r in registry.QUERIES["j27_pack_sequences"](spark, sf_dir).collect()
+    }
+    assert set(man) == set(j27)
+    for k, r in man.items():
+        assert (r.n_docs, r.pack_tokens) == (j27[k].n_docs, j27[k].pack_tokens)
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("lang", "doc_id", F.size(whitespace_tokens(F.col("text"))).alias("t"))
+        .collect()
+    )
+    bylang: dict[str, list] = {}
+    for r in toks:
+        bylang.setdefault(r.lang, []).append((r.t, r.doc_id))
+    for lang, lst in bylang.items():
+        lst.sort(key=lambda x: (-x[0], x[1]))
+        running, members = 0, {}
+        for t, did in lst:
+            running += t
+            pack = -(-running // PACK_BUDGET)
+            members.setdefault(pack, []).append(did)
+        total = running
+        assert max(r.end_offset for k, r in man.items() if k[0] == lang) == total
+        for pack, ids in members.items():
+            want = hashlib.md5(",".join(str(i) for i in ids).encode()).hexdigest()
+            assert man[(lang, pack)].docs_md5 == want, (lang, pack)
