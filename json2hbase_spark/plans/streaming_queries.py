@@ -1960,3 +1960,91 @@ def i31_stream_packing_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _registry_mod.ORACLES["i31_stream_packing_monitor"] = _i31_oracle()
+
+
+# ---------------------------------------------------------------- i32
+
+
+def _i32_oracle() -> str:
+    # identical oracle to batch j123 — the stream/batch equivalence
+    # contract for the live coverage report.
+    from json2hbase_spark import registry as _registry
+    from json2hbase_spark.plans import selection_queries  # noqa: F401 — registers j123
+
+    return _registry.ORACLES["j123_coreset_coverage"]
+
+
+@query("i32_stream_coreset_monitor", oracle=None)
+def i32_stream_coreset_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING coreset coverage monitor — j123 maintained LIVE: the
+    exemplar set is fixed (j120's batch traversal over the reference
+    corpus), and arriving embeddings are assigned to their nearest
+    exemplar per micro-batch; per-center occupancy, worst-case cell
+    distance and distance sum accumulate in complete mode. A cell
+    whose max distance starts climbing means NEW data is drifting
+    away from every chosen exemplar — the earliest "the coreset no
+    longer covers the stream" signal, visible micro-batches before
+    any batch re-selection runs. Final tally ≡ batch j123 (same
+    oracle SQL) — the i25/i29/i30/i31 equivalence contract.
+
+    Plan: the K centers collapse to ONE array-of-structs literal-like
+    broadcast row (ordered by center_order, so the HOF argmin's
+    strict-less fold reproduces j123's lowest-center tie rule); the
+    per-row assignment is a stateless nested HOF fold (distance
+    zip_with inside the argmin aggregate — no UDF, no per-doc state);
+    complete-mode state is K rows regardless of stream length. At
+    100 TB of stream: scan-bound per batch, one K-row exchange."""
+    from json2hbase_spark.io import load_table_stream
+    from json2hbase_spark.plans.selection_queries import KC_SCALE, _kcenter_traverse
+
+    _, centers = _kcenter_traverse(spark, sf_dir)
+    cent_row = centers.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("center_order").alias("o"), F.col("q").alias("cq")))
+        ).alias("cs")
+    )
+    stream = load_table_stream(spark, sf_dir, "embeddings")
+    q = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * KC_SCALE).cast("long")
+    )
+    dist = lambda c: F.aggregate(  # noqa: E731 — exact integer sq-dist
+        F.zip_with(F.col("q"), c["cq"], lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    best = F.aggregate(
+        F.col("cs"),
+        F.struct(
+            F.lit(None).cast("long").alias("d"), F.lit(-1).cast("int").alias("o")
+        ),
+        lambda acc, c: F.when(
+            acc["d"].isNull() | (dist(c) < acc["d"]),
+            F.struct(dist(c).alias("d"), c["o"].alias("o")),
+        ).otherwise(acc),
+    )
+    assigned = (
+        stream.select(q.alias("q"))
+        .crossJoin(F.broadcast(cent_row))
+        .select(best.alias("b"))
+        .select(F.col("b.o").alias("center_order"), F.col("b.d").alias("d"))
+    )
+    tally = assigned.groupBy("center_order").agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.max("d").alias("max_sq_dist"),
+        F.sum("d").alias("sum_sq_dist"),
+    )
+    with scoped_stream_confs(spark):
+        _run_to_memory(tally, "i32_mem", "complete")
+    g = spark.table("i32_mem")
+    return g.select(
+        "center_order",
+        F.col("n_assigned").cast("bigint").alias("n_assigned"),
+        F.col("max_sq_dist").cast("bigint").alias("max_sq_dist"),
+        F.col("sum_sq_dist").cast("bigint").alias("sum_sq_dist"),
+        F.round(
+            F.col("sum_sq_dist").cast("double") / F.col("n_assigned"), 4
+        ).alias("mean_sq_dist"),
+    )
+
+
+_registry_mod.ORACLES["i32_stream_coreset_monitor"] = _i32_oracle()

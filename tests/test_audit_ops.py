@@ -355,3 +355,87 @@ def test_i31_stream_packing_equals_batch_j115(spark):
         for r in registry.QUERIES["i31_stream_packing_monitor"](spark, SF).collect()
     }
     assert stream == batch
+
+
+def test_i32_stream_coverage_equals_batch_j123(spark):
+    """The complete-mode streaming coverage tally must equal batch
+    j123 row-for-row (fixed exemplars, same assignment tie rule)."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.materialize import materialization_scope
+
+    registry.load_all_query_modules()
+    with materialization_scope():
+        batch = {
+            r.center_order: r.asDict()
+            for r in registry.QUERIES["j123_coreset_coverage"](spark, SF).collect()
+        }
+        stream = {
+            r.center_order: r.asDict()
+            for r in registry.QUERIES["i32_stream_coreset_monitor"](spark, SF).collect()
+        }
+    assert stream == batch
+
+
+def test_j125_sharded_ffd_matches_truth_and_prices_shardability(spark, tmp_path):
+    """On a corpus spanning several size bands: the sharded packing
+    equals a per-(lang, band) python FFD; its total bin count is ≥
+    the global j118 packing (sharding can only lose) and ≤ the
+    per-shard Σ(ceil(tokens/SEQ_LEN) + 1) bound (each shard wastes at
+    most one partial bin beyond its token lower bound)."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.plans.audit_queries import (
+        FFD_BAND_CAP,
+        FFD_BAND_WIDTH,
+        SEQ_LEN,
+    )
+
+    registry.load_all_query_modules()
+    rows = []
+    did = 0
+    for lang in ("en", "de"):
+        for size in (40, 90, 150, 200, 300, 420, 500, 700):
+            for _ in range(3):
+                rows.append((did, " ".join(f"w{did}x{k}" for k in range(size)), lang))
+                did += 1
+    df = spark.createDataFrame(
+        [(i, t, l, "s0", len(t)) for i, t, l in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "ffdbands")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    sharded = registry.QUERIES["j125_pack_ffd_sharded"](spark, d).collect()
+    global_ = registry.QUERIES["j118_pack_ffd"](spark, d).collect()
+    # python truth per (lang, band)
+    want: dict[tuple, list[int]] = {}
+    toks = [(l, i, len(t.split())) for i, t, l in rows]
+    bylb: dict[tuple, list] = {}
+    for l, i, t in toks:
+        band = min(t // FFD_BAND_WIDTH, FFD_BAND_CAP)
+        bylb.setdefault((l, band), []).append((t, i))
+    cells: dict[tuple, list[int]] = {}
+    for (l, band), lst in bylb.items():
+        lst.sort(key=lambda x: (-x[0], x[1]))
+        loads: list[int] = []
+        for t, _ in lst:
+            for k in range(len(loads)):
+                if loads[k] + t <= SEQ_LEN:
+                    loads[k] += t
+                    bid = k + 1
+                    break
+            else:
+                loads.append(t)
+                bid = len(loads)
+            cell = cells.setdefault((l, band, bid), [0, 0])
+            cell[0] += 1
+            cell[1] += t
+    got = {(r.lang, r.band, r.bin_id): [r.n_docs, r.bin_tokens] for r in sharded}
+    assert got == cells
+    n_sharded = len(sharded)
+    n_global = len(global_)
+    assert n_sharded >= n_global
+    bound = 0
+    for (l, band), lst in bylb.items():
+        tot = sum(t for t, _ in lst if t <= SEQ_LEN)
+        oversize = sum(1 for t, _ in lst if t > SEQ_LEN)
+        bound += -(-tot // SEQ_LEN) + 1 + oversize
+    assert n_sharded <= bound
