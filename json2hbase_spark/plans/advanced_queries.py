@@ -375,17 +375,36 @@ def kmeans_assign(
         F.col("vec_id").cast("int").alias("cluster"),
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("c"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cluster"))
-    for it in range(iters):
-        assigned = (
-            vecs.crossJoin(F.broadcast(centroids))
-            .withColumn("d", sqdist(F.col("v"), F.col("c")))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "v", "cluster")
+
+    def assign(cents: DataFrame) -> DataFrame:
+        # argmin by (d, cluster) as ONE map-side-combinable hash agg:
+        # min(struct(d, cluster, v)) — cluster ids are distinct per
+        # vec, so the struct order is total and v merely rides along.
+        # Bit-identical to the former row_number-over-(d, cluster)
+        # window but with no per-vector sort (r9: the window's
+        # Exchange+Sort per iteration was pure overhead at every
+        # scale — an argmin is an aggregation, not an ordering).
+        return (
+            vecs.crossJoin(F.broadcast(cents))
+            .groupBy("vec_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        sqdist(F.col("v"), F.col("c")).alias("d"),
+                        F.col("cluster").alias("cluster"),
+                        F.col("v").alias("v"),
+                    )
+                ).alias("s")
+            )
+            .select(
+                "vec_id", F.col("s.v").alias("v"), F.col("s.cluster").alias("cluster")
+            )
         )
+
+    for it in range(iters):
         centroids = materialize(
-            assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
+            assign(centroids)
+            .select("cluster", F.posexplode("v").alias("pos", "val"))
             .groupBy("cluster", "pos")
             .agg(F.expr(QCENT_AVG.format(v="val")).alias("cv"))
             .groupBy("cluster")
@@ -395,13 +414,7 @@ def kmeans_assign(
                 ).alias("c")
             )
         )
-    return (
-        vecs.crossJoin(F.broadcast(centroids))
-        .withColumn("d", sqdist(F.col("v"), F.col("c")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cluster")
-    )
+    return assign(centroids)
 
 
 @query("j21_kmeans", oracle=_kmeans_oracle(3))
