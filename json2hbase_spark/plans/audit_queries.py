@@ -1058,3 +1058,97 @@ def j125_pack_ffd_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tokens").cast("bigint").alias("bin_tokens"),
         (F.lit(SEQ_LEN) - F.sum("tokens")).cast("bigint").alias("slack"),
     )
+
+
+# ---------------------------------------------------------------- j126
+
+SEQLEN_CANDIDATES = [256, 512, 1024, 2048]
+
+
+@query(
+    "j126_seqlen_sweep",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             len(list_filter(string_split(text, ' '), x -> x != '')) AS tokens
+      FROM documents
+    ),
+    sw AS (
+      SELECT lang, tokens, L.L AS seq_len
+      FROM t CROSS JOIN (SELECT unnest({SEQLEN_CANDIDATES!r}) AS L) L
+    )
+    SELECT lang, CAST(seq_len AS BIGINT) AS seq_len,
+           CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+           CAST(ceil(CAST(SUM(tokens) AS DOUBLE) / seq_len) AS BIGINT)
+             AS concat_sequences,
+           CAST(SUM(CAST(ceil(CAST(tokens AS DOUBLE) / seq_len) AS BIGINT))
+                AS BIGINT) AS boundary_sequences,
+           CAST(SUM(CAST(ceil(CAST(tokens AS DOUBLE) / seq_len) AS BIGINT))
+                * seq_len - SUM(tokens) AS BIGINT) AS boundary_waste,
+           round(CAST(SUM(CAST(ceil(CAST(tokens AS DOUBLE) / seq_len)
+                                AS BIGINT)) * seq_len - SUM(tokens) AS DOUBLE)
+                 / (SUM(CAST(ceil(CAST(tokens AS DOUBLE) / seq_len)
+                             AS BIGINT)) * seq_len), 4) AS waste_ratio,
+           CAST(SUM(CASE WHEN tokens > seq_len THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oversize
+    FROM sw GROUP BY lang, seq_len
+    """,
+)
+def j126_seqlen_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length CALIBRATION sweep — j115's padding bill fanned
+    over the candidate training sequence lengths
+    {SEQLEN_CANDIDATES} (j113's sweep posture applied to the packing
+    decision): per (lang, seq_len), both sequence counts, the
+    boundary-respecting padding bill and its waste ratio, plus the
+    docs that would OVERFLOW the length (need truncation/splitting —
+    the cost axis j115's single-length audit can't show). Choosing a
+    training sequence length trades padding waste (shrinks as L
+    drops) against cross-document attention/truncation (grows as L
+    drops); this table is the waste side of that trade for every
+    candidate in one pass.
+
+    Plan: one token-count map pass fanned ×{len(SEQLEN_CANDIDATES)}
+    by an in-expression literal explode (j113's broadcast-free
+    shape) into ONE partial-combined hash agg on (lang, seq_len) —
+    scan-bound, |langs|·|candidates| output rows, all-integer until
+    the final rounded division."""
+    docs = load(spark, sf_dir, "documents")
+    t = widen(docs).select(
+        "lang", F.size(whitespace_tokens(F.col("text"))).alias("tokens")
+    )
+    sw = t.select(
+        "lang",
+        "tokens",
+        F.explode(
+            F.array(*[F.lit(c).cast("long") for c in SEQLEN_CANDIDATES])
+        ).alias("seq_len"),
+    )
+    per_doc_seqs = F.ceil(F.col("tokens").cast("double") / F.col("seq_len")).cast(
+        "bigint"
+    )
+    g = sw.groupBy("lang", "seq_len").agg(
+        F.sum("tokens").cast("bigint").alias("total_tokens"),
+        F.sum(per_doc_seqs).cast("bigint").alias("boundary_sequences"),
+        F.sum(F.when(F.col("tokens") > F.col("seq_len"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oversize"),
+    )
+    boundary_waste = (
+        F.col("boundary_sequences") * F.col("seq_len") - F.col("total_tokens")
+    ).cast("bigint")
+    return g.select(
+        "lang",
+        "seq_len",
+        "total_tokens",
+        F.ceil(F.col("total_tokens").cast("double") / F.col("seq_len"))
+        .cast("bigint")
+        .alias("concat_sequences"),
+        "boundary_sequences",
+        boundary_waste.alias("boundary_waste"),
+        F.round(
+            boundary_waste.cast("double")
+            / (F.col("boundary_sequences") * F.col("seq_len")),
+            4,
+        ).alias("waste_ratio"),
+        "n_oversize",
+    )

@@ -439,3 +439,41 @@ def test_j125_sharded_ffd_matches_truth_and_prices_shardability(spark, tmp_path)
         oversize = sum(1 for t, _ in lst if t > SEQ_LEN)
         bound += -(-tot // SEQ_LEN) + 1 + oversize
     assert n_sharded <= bound
+
+
+def test_j126_sweep_reconciles_with_j115_and_is_monotone(spark):
+    """The seq_len=512 lane must equal j115 exactly (same arithmetic);
+    within a lang, boundary_sequences and n_oversize are nonincreasing
+    in seq_len while concat_sequences strictly shrinks (or ties) —
+    the monotonicity that makes the sweep a calibration curve."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    sweep = registry.QUERIES["j126_seqlen_sweep"](spark, SF).collect()
+    j115 = {r.lang: r for r in registry.QUERIES["j115_packing_waste"](spark, SF).collect()}
+    at512 = {r.lang: r for r in sweep if r.seq_len == 512}
+    assert set(at512) == set(j115)
+    for lang, r in at512.items():
+        b = j115[lang]
+        assert (
+            r.total_tokens,
+            r.concat_sequences,
+            r.boundary_sequences,
+            r.boundary_waste,
+            r.waste_ratio,
+        ) == (
+            b.total_tokens,
+            b.concat_sequences,
+            b.boundary_sequences,
+            b.boundary_waste,
+            b.waste_ratio,
+        )
+    bylang: dict[str, list] = {}
+    for r in sweep:
+        bylang.setdefault(r.lang, []).append(r)
+    for lang, rs in bylang.items():
+        rs.sort(key=lambda r: r.seq_len)
+        for a, b in zip(rs, rs[1:]):
+            assert b.boundary_sequences <= a.boundary_sequences
+            assert b.concat_sequences <= a.concat_sequences
+            assert b.n_oversize <= a.n_oversize
