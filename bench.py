@@ -75,6 +75,15 @@ def main() -> None:
         "j58_span_remove",
         "j72_source_overlap",
         "m4_image_resize",
+        # round-10 adjudication of the j107 cold-run spike (BASELINE.md
+        # "j107 first-touch profile"): the spike is DATA-INDEPENDENT
+        # codegen/JIT (14.9 s cold at sf0.001 vs 12.2 s at sf0.1;
+        # steady state 2.3 s) and j107 alphabetically LEADS the
+        # _dup_edges/label-propagation family, so it pays the whole
+        # family's first-touch in bench order — warm it like the other
+        # codegen-heavy families (also warms j20/j26/j108's shared
+        # edge+propagation kernels)
+        "j107_cluster_safe_split",
     ):
         registry.QUERIES[warm](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
@@ -213,9 +222,24 @@ def main() -> None:
             if t < 0:
                 continue
             reruns[name].append(t)
-            kept = min(times[name], t)
+            if name in frozen:
+                # frozen queries follow the documented min-keep rerun
+                # policy (steady state vs a frozen median)
+                kept = min(times[name], t)
+                policy = "min"
+            else:
+                # first-time queries must land a MEDIAN (that value
+                # becomes next round's frozen baseline — keeping a min
+                # here would freeze a min under the 'median kept
+                # (first-time)' label, ADVICE r9): recompute over ALL
+                # recorded runs including the post-burst one
+                import statistics
+
+                kept = round(statistics.median(reruns[name]), 3)
+                policy = "median"
             print(
-                f"# bench post-burst re-measure {name}: {t} kept={kept}",
+                f"# bench post-burst re-measure {name}: {t} kept={kept}"
+                f" ({policy})",
                 file=sys.stderr,
             )
             times[name] = kept

@@ -141,8 +141,13 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         _stream_schema_cache[cache_key] = raw_schema
     # the file stream source wants a directory; stage the single-file
     # fixture behind a per-sf temp dir (symlink — no data copy)
+    # Key the stage dir on source generation (mtime/size — the same
+    # identity the schema cache uses): a re-generated fixture gets a
+    # FRESH stage dir, so two sessions staging different generations
+    # of the same sf_dir never mutate a shared directory (ADVICE r9).
     tag = sf_dir.strip("/").replace("/", "_")
-    stage = os.path.join(tempfile.gettempdir(), f"json2hbase_stream_{tag}")
+    gen = f"{st.st_mtime_ns:x}_{st.st_size:x}"
+    stage = os.path.join(tempfile.gettempdir(), f"json2hbase_stream_{tag}_{gen}")
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
     _stage_symlink(link, src)
@@ -166,8 +171,16 @@ def load_table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame
     if raw_schema is None:
         raw_schema = spark.read.parquet(src).schema
         _stream_schema_cache[cache_key] = raw_schema
+    # Generation-keyed stage dir (mtime/size, like load_events_stream):
+    # each fixture generation stages into its own directory, so the
+    # stale-entry cleanup below only ever handles SAME-generation
+    # re-stages and concurrent sessions can't delete each other's
+    # links (ADVICE r9).
     tag = sf_dir.strip("/").replace("/", "_")
-    stage = os.path.join(tempfile.gettempdir(), f"json2hbase_stream_{table}_{tag}")
+    gen = f"{st.st_mtime_ns:x}_{st.st_size:x}"
+    stage = os.path.join(
+        tempfile.gettempdir(), f"json2hbase_stream_{table}_{tag}_{gen}"
+    )
     os.makedirs(stage, exist_ok=True)
     if os.path.isdir(src):
         # a real (directory-shaped) parquet table: the file stream

@@ -180,7 +180,20 @@ def _labels_converged(edges: DataFrame, rounds: int = 8) -> DataFrame:
             edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
     )
+    # The gate must bound EVERY table the small-graph path broadcasts:
+    # bi (edge-sized, nbr + straddling joins) AND labels (node-sized,
+    # the jump join + straddling). node count ≤ bi rows by
+    # construction (nodes = distinct endpoints of bi), so gating bi
+    # alone is sufficient today — but the max() below makes the
+    # invariant explicit instead of implicit (ADVICE r9): if a future
+    # edit dedups bi or broadcasts a wider label table, the gate still
+    # sizes on the larger relation. Short-circuit: nodes is only
+    # counted when bi is already under the limit (a bounded job).
     small_graph = bi.limit(BROADCAST_EDGE_LIMIT + 1).count() <= BROADCAST_EDGE_LIMIT
+    if small_graph:
+        small_graph = (
+            nodes.limit(BROADCAST_EDGE_LIMIT + 1).count() <= BROADCAST_EDGE_LIMIT
+        )
 
     def maybe_broadcast(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if small_graph else df
@@ -665,9 +678,17 @@ def j107_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared by the label propagation and the straddle audit), j20's
     bounded min-label propagation, one left join of labels onto the
     corpus, and two id-keyed joins of the tiny edge set for the
-    audit. At 100 TB this is the same cost as the dedup everyone
-    already runs plus a label lookup — and it is the only split
-    discipline that survives a dedup-aware eval audit."""
+    audit. The split ASSIGNMENT is materialized before the audit
+    reads it: three consumers (both straddle-join sides + the per-
+    split rollup) would otherwise each re-execute the propagation
+    chain — measured as a reproducible 12 s cold run vs 2.3 s steady
+    at sf0.1 (26 SMJs / 75 exchanges of codegen + shuffle warm;
+    adjudicated round 10, BASELINE.md). Materializing is also the
+    production posture: the split assignment IS the artifact a
+    trainer consumes, so at 100 TB you checkpoint this narrow
+    (doc_id, rep, split) table and audit the checkpoint. With the cut
+    the whole query is: dedup cost + one label join + two id-keyed
+    audit joins of a flat table."""
     edges = materialize(_dup_edges(spark, sf_dir))
     labels = _labels_from_edges(edges)
     docs = load(spark, sf_dir, "documents").select("doc_id")
@@ -682,7 +703,7 @@ def j107_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("rep").cast("string")), 1, 2) < EVAL_HEX_CUT,
         "eval",
     ).otherwise("train")
-    split = rep.withColumn("split", split_col)
+    split = materialize(rep.withColumn("split", split_col))
     sa = split.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sp_a"))
     sb = split.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sp_b"))
     straddle = (

@@ -1543,8 +1543,10 @@ def j109_heaps_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # each doc gets a decomposed "e + COMBINING ACUTE" and "A + COMBINING
 # RING" suffix, which NFC must compose to é / Å — exactly one
 # code point removed per pair, so the changed-char budget is known.
-# BMP-only on purpose: Java's length() counts UTF-16 units, DuckDB's
-# len() counts code points — they agree only below U+10000.
+# (Spark's F.length counts code points — UTF8String.numChars — the
+# same unit as DuckDB's len(), so supplementary-plane dirt would also
+# compare cleanly; BMP pairs are simply the canonical deterministic
+# composing examples, not an engine constraint. ADVICE r9 fix.)
 _NFC_DIRT = " Cafe\u0301 A\u030a"  # decomposed on purpose
 
 
