@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from json2hbase_spark.io import load, load_events_stream
+from json2hbase_spark.materialize import materialize
 from json2hbase_spark.plans.corpus_queries import (
     QLR_B,
     QLR_W_AVGLEN,
@@ -2048,3 +2049,271 @@ def i32_stream_coreset_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _registry_mod.ORACLES["i32_stream_coreset_monitor"] = _i32_oracle()
+
+
+# ---------------------------------------------------------------- i33
+
+
+def _i33_oracle() -> str:
+    """Batch twin of the streaming near-dup gate: the identical
+    md5-family MinHash banding (j48's Carter-Wegman (h1 + k·h2) mod P
+    over two 48-bit md5 base hashes) computed per-row with HOF folds
+    on both sides, band-bucket candidates, exact-Jaccard confirm."""
+    from json2hbase_spark.plans.corpus_queries import (
+        MD5MH_BANDS,
+        MD5MH_K,
+        MD5MH_P,
+        _duck_md5_base,
+    )
+
+    rows = MD5MH_K // MD5MH_BANDS
+    mins_hof = ",\n         ".join(
+        f"list_min(list_transform(range(1, len(h1s) + 1),"
+        f" i -> (h1s[i] + {k} * h2s[i]) % {MD5MH_P})) AS m{k}"
+        for k in range(MD5MH_K)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, side, {b} AS band, concat_ws(','"
+        + "".join(f", m{b * rows + r}" for r in range(rows))
+        + ") AS bv FROM mins"
+        for b in range(MD5MH_BANDS)
+    )
+    jacc = (
+        "CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)"
+        " / (len(sa.shingles) + len(sb.shingles)"
+        " - len(list_intersect(sa.shingles, sb.shingles)))"
+    )
+    return f"""
+    WITH normed AS (
+      SELECT doc_id, source, doc_id % 2 = 0 AS is_corpus,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    sh AS MATERIALIZED (
+      SELECT doc_id, source, is_corpus,
+             list_distinct(list_transform(range(1, greatest(len(norm) - 7, 0) + 1),
+                                          i -> substr(norm, i, 8))) AS shingles
+      FROM normed WHERE len(norm) >= 8
+    ),
+    hs AS MATERIALIZED (
+      SELECT doc_id, is_corpus,
+             list_transform(shingles, s -> {_duck_md5_base("s", "a:")}) AS h1s,
+             list_transform(shingles, s -> {_duck_md5_base("s", "b:")}) AS h2s
+      FROM sh
+    ),
+    mins AS MATERIALIZED (
+      SELECT doc_id, CASE WHEN is_corpus THEN 'c' ELSE 's' END AS side,
+             {mins_hof}
+      FROM hs
+    ),
+    bands AS MATERIALIZED (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT s.doc_id AS stream_doc, c.doc_id AS corpus_doc
+      FROM bands s JOIN bands c
+        ON s.side = 's' AND c.side = 'c' AND s.band = c.band AND s.bv = c.bv
+    ),
+    quarantined AS (
+      SELECT DISTINCT cd.stream_doc AS doc_id
+      FROM cand cd
+      JOIN sh sa ON sa.doc_id = cd.stream_doc
+      JOIN sh sb ON sb.doc_id = cd.corpus_doc
+      WHERE {jacc} >= 0.5
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(q.doc_id) AS BIGINT) AS n_quarantined
+    FROM (SELECT doc_id, source FROM documents WHERE doc_id % 2 = 1) d
+    LEFT JOIN quarantined q ON q.doc_id = d.doc_id
+    GROUP BY d.source
+    """
+
+
+def _md5_minhash_bands_hof(df: DataFrame):
+    """Per-row (no explode/groupBy) md5-family MinHash banding —
+    j48's exact hash family re-expressed as stateless HOF folds so it
+    runs on an UNBOUNDED stream: two md5 base hashes per shingle
+    (h1s/h2s arrays), the k-th signature min as one zip_with +
+    array_min per hash function, bands as a 4-struct explode.
+    Returns (df_with_shingles, bands) where bands has
+    (doc_id, band, bv). Input must carry doc_id + a ``shingles``
+    array column."""
+    from json2hbase_spark.plans.corpus_queries import (
+        MD5MH_BANDS,
+        MD5MH_K,
+        MD5MH_P,
+        _md5_base_col,
+    )
+
+    rows = MD5MH_K // MD5MH_BANDS
+    hs = df.select(
+        "*",
+        F.transform("shingles", lambda s: _md5_base_col(s, "a:")).alias("h1s"),
+        F.transform("shingles", lambda s: _md5_base_col(s, "b:")).alias("h2s"),
+    )
+    def _kth_min(k: int):
+        return F.array_min(
+            F.zip_with("h1s", "h2s", lambda a, b: (a + F.lit(k) * b) % MD5MH_P)
+        ).alias(f"m{k}")
+
+    mins = hs.select("*", *[_kth_min(k) for k in range(MD5MH_K)])
+    bands = mins.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.col(f"m{b * rows + r}") for r in range(rows)]
+                        ).alias("bv"),
+                    )
+                    for b in range(MD5MH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bv")
+    return mins, bands
+
+
+@query("i33_stream_neardup_gate", oracle=_i33_oracle())
+def i33_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-duplicate gate — the ingest-time complement of
+    i26's exact-chunk and i28's gram gates, and the op a production
+    crawler actually runs: every ARRIVING document is MinHash-banded
+    (j48's fully hash-checked md5 Carter-Wegman family) against the
+    STATIC corpus band index; band-bucket positives are confirmed
+    with exact Jaccard (≥ 0.5) against the matched corpus shingle
+    sets, and confirmed near-dups are quarantined before they ever
+    reach the training corpus. Per-source pass/quarantine tallies
+    accumulate in complete mode; the final sink must equal the batch
+    banding computation over the same corpus (the oracle — the
+    i25/i28/i29 stream≡batch equivalence contract). Corpus = even
+    doc_ids (already ingested), stream = odd doc_ids (arriving).
+
+    Plan: the signature is computed PER ROW with stateless HOF folds
+    (two md5 base hashes per shingle, zip_with + array_min per hash
+    function) instead of j48's explode + wide min-agg — the batch
+    shape needs a corpus-keyed aggregation, the stream shape must not
+    hold per-doc state; same family, same values, hash-checked. The
+    static band index and corpus shingle sets broadcast into
+    stream-static equi-joins (band/bv first — candidates only — then
+    the shingle fetch + Jaccard confirm on positives only);
+    dropDuplicates keys state by QUARANTINED docs (band-confirmed
+    near-dups, ≈0 in a healthy crawl), never corpus-sized. At 100 TB
+    the band index is the small invariant (bands × corpus-dup
+    clusters); arriving data is scan-shaped, and the confirm join
+    touches only band positives — exactly the batch j48 cost model
+    applied incrementally."""
+    from json2hbase_spark.io import load_table_stream, widen
+    from json2hbase_spark.operators.dedup import char_shingles, normalize_text
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = (
+        widen(docs.filter(F.col("doc_id") % 2 == 0))
+        .select(
+            "doc_id",
+            normalize_text(F.col("text")).alias("norm"),
+        )
+        .filter(F.length("norm") >= 8)
+        .select("doc_id", char_shingles(F.col("norm"), 8).alias("shingles"))
+    )
+    # one materialization of the full signature table (shingles +
+    # md5 base arrays + 16 mins): bands and the shingle lookup both
+    # derive from it — without the cut each would re-evaluate the
+    # whole md5 HOF chain (the j48 lesson, and widen() because the
+    # single-file fixture scan is one task)
+    corpus_sh, _ = _md5_minhash_bands_hof(corpus)
+    corpus_mins = materialize(corpus_sh)
+    from json2hbase_spark.plans.corpus_queries import MD5MH_BANDS, MD5MH_K
+
+    _rows = MD5MH_K // MD5MH_BANDS
+    static_bands = corpus_mins.select(
+        F.col("doc_id").alias("corpus_doc"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.col(f"m{b * _rows + r}") for r in range(_rows)]
+                        ).alias("bv"),
+                    )
+                    for b in range(MD5MH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("corpus_doc", "bb.band", "bb.bv")
+    static_sh = corpus_mins.select(
+        F.col("doc_id").alias("corpus_doc"), F.col("shingles").alias("sh_c")
+    )
+
+    stream = load_table_stream(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 1
+    )
+    # per-batch fan-out before the signature HOFs: the single-file
+    # fixture arrives as ONE source split per micro-batch, which would
+    # run the whole md5/minhash chain on one core (widen() can't wrap
+    # a stream); a raw-doc repartition is a few-MB per-batch shuffle
+    # that buys 32× parallel hashing — on a real multi-file crawl feed the
+    # source already yields many splits and this is a cheap rebalance
+    arriving = (
+        stream.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", normalize_text(F.col("text")).alias("norm"))
+        .filter(F.length("norm") >= 8)
+        .select("doc_id", char_shingles(F.col("norm"), 8).alias("shingles"))
+    )
+    arr_sh, arr_bands = _md5_minhash_bands_hof(arriving)
+    # no pair-level dedup here: a pair matching in several bands just
+    # repeats a cheap Jaccard confirm (≤ bands×), and the final
+    # dropDuplicates below already bounds state by quarantined DOCS —
+    # adding a pair-keyed stateful dedup would grow state for no gain
+    cand = arr_bands.join(F.broadcast(static_bands), ["band", "bv"]).select(
+        "doc_id", "corpus_doc"
+    )
+    confirm = cand.join(
+        arr_sh.select("doc_id", F.col("shingles").alias("sh_s")), "doc_id"
+    ).join(F.broadcast(static_sh), "corpus_doc")
+    inter = F.size(F.array_intersect("sh_s", "sh_c"))
+    union = F.size("sh_s") + F.size("sh_c") - inter
+    quarantined = (
+        confirm.withColumn("jacc", inter.cast("double") / union)
+        .filter(F.col("jacc") >= 0.5)
+        .select("doc_id")
+        .dropDuplicates(["doc_id"])
+    )
+    tally = (
+        stream.select("source")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    with scoped_stream_confs(spark):
+        _run_to_memory(tally, "i33_all_mem", "complete")
+        q = (
+            quarantined.writeStream.format("memory")
+            .queryName("i33_q_mem")
+            .outputMode("append")
+            .option("checkpointLocation", scratch_dir("ckpt_i33_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    qd = spark.table("i33_q_mem")
+    odd_docs = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "source")
+    ql = (
+        odd_docs.join(qd, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_quarantined"))
+    )
+    return (
+        spark.table("i33_all_mem")
+        .join(ql, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.coalesce("n_quarantined", F.lit(0)).cast("bigint").alias(
+                "n_quarantined"
+            ),
+        )
+    )

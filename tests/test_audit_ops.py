@@ -477,3 +477,31 @@ def test_j126_sweep_reconciles_with_j115_and_is_monotone(spark):
             assert b.boundary_sequences <= a.boundary_sequences
             assert b.concat_sequences <= a.concat_sequences
             assert b.n_oversize <= a.n_oversize
+
+
+def test_i33_gate_quarantines_planted_neardup(spark, tmp_path):
+    """An arriving (odd doc_id) doc that is a near-copy of an
+    already-ingested corpus (even doc_id) doc is quarantined by the
+    STREAMING MinHash-band gate; a fresh doc is not; the per-source
+    tally equals the batch truth."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    fresh = "completely different content with no shared shingles at all " * 4
+    rows = [
+        (0, base, "s0"),                      # corpus original
+        (1, base + " tiny-suffix-change", "s0"),  # arriving near-copy
+        (2, fresh, "s0"),                     # corpus, unrelated
+        # genuinely novel text (normalization casefolds, so an
+        # upper-cased variant of corpus text would be a REAL near-dup)
+        (3, "novel arriving words sharing nothing with the ingested set " * 4, "s1"),
+        (5, "short", "s1"),                   # sub-shingle-width: counted, never flagged
+    ]
+    d = _docs_dir(spark, tmp_path, "i33fix", rows)
+    out = {
+        r.source: r
+        for r in registry.QUERIES["i33_stream_neardup_gate"](spark, d).collect()
+    }
+    assert out["s0"].n_docs == 1 and out["s0"].n_quarantined == 1
+    assert out["s1"].n_docs == 2 and out["s1"].n_quarantined == 0

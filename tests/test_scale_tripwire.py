@@ -284,6 +284,7 @@ STREAM_TRIPWIRE = [
     ("i28_stream_contamination_gate", True),
     ("i29_stream_mixture_monitor", True),
     ("i30_stream_threshold_sweep", True),
+    ("i33_stream_neardup_gate", True),
 ]
 
 
