@@ -1939,11 +1939,39 @@ def j121_embed_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _power_eigvec(spark: SparkSession, sf_dir: str):
-    """Shared accelerated power iteration (j121's engine): returns
-    (v_signed, wmax) — the 64-row signed eigvec table (dim, v) at
-    scale _PI_S and a 1-row (w_max) table. Reused by j122's
-    common-direction removal."""
+def _pi_rescaled(m: DataFrame) -> DataFrame:
+    """Renormalize a (i, j, cov) integer matrix to entry scale _PI_A
+    (floor of double division by max|cov| DIV _PI_A — IEEE-identical
+    in DuckDB) so matmul/matvec terms stay orders inside int64."""
+    d = m.agg(
+        F.greatest(
+            F.expr(f"max(abs(cov)) DIV {_PI_A}"), F.lit(1).cast("long")
+        ).alias("d")
+    )
+    # coalesce(1): the matrix is ≤ d² = 4,096 rows at ANY corpus size
+    # (the corpus-dependent work all happens upstream in the covariance
+    # agg) — materializing it as 32 shuffle partitions just schedules
+    # 32 near-empty tasks per iteration job; one partition is the
+    # correct layout for a constant-size table at every scale (r10,
+    # measured ~35% off the iteration phase)
+    return (
+        m.crossJoin(F.broadcast(d))
+        .select(
+            "i",
+            "j",
+            F.floor(F.col("cov").cast("double") / F.col("d"))
+            .cast("bigint")
+            .alias("cov"),
+        )
+        .coalesce(1)
+    )
+
+
+def _accel_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized A^(2^MATPOW_SQUARINGS) of the rescaled exact
+    integer covariance (j97's construction + silent-wrap guard) —
+    the matrix j121's power iteration and j127's deflation sequence
+    (plans/vector_queries.py) both iterate against."""
     from json2hbase_spark.materialize import materialize
 
     s = _cov_terms(spark, sf_dir)
@@ -1965,39 +1993,54 @@ def _power_eigvec(spark: SparkSession, sf_dir: str):
             F.col("j").alias("i"), F.col("i").alias("j"), cov
         )
     )
-
-    def rescaled(m: DataFrame) -> DataFrame:
-        d = m.agg(
-            F.greatest(
-                F.expr(f"max(abs(cov)) DIV {_PI_A}"), F.lit(1).cast("long")
-            ).alias("d")
-        )
-        return m.crossJoin(F.broadcast(d)).select(
-            "i",
-            "j",
-            F.floor(F.col("cov").cast("double") / F.col("d"))
-            .cast("bigint")
-            .alias("cov"),
-        )
-
-    a = materialize(rescaled(a_raw))
+    a = materialize(_pi_rescaled(a_raw))
     for _ in range(MATPOW_SQUARINGS):
+        # explicit broadcast: both sides are the materialized ≤d²-row
+        # matrix, but AQE cannot size a localCheckpoint-backed scan and
+        # plans SMJ (the _labels_converged lesson) — a d²-row broadcast
+        # hash join cuts two shuffle stages per squaring job
         sq = (
             a.alias("x")
-            .join(a.alias("y"), F.col("x.j") == F.col("y.i"))
+            .join(F.broadcast(a.alias("y")), F.col("x.j") == F.col("y.i"))
             .groupBy(F.col("x.i").alias("i"), F.col("y.j").alias("j"))
             .agg(F.sum(F.col("x.cov") * F.col("y.cov")).cast("bigint").alias("cov"))
         )
-        a = materialize(rescaled(sq))
-    v = materialize(
-        a.select(F.col("i").alias("dim"))
-        .distinct()
-        .select("dim", F.lit(_PI_S).cast("long").alias("v"))
+        a = materialize(_pi_rescaled(sq))
+    return a
+
+
+def _power_eigvec(spark: SparkSession, sf_dir: str):
+    """Shared accelerated power iteration (j121's engine): returns
+    (v_signed, wmax) — the 64-row signed eigvec table (dim, v) at
+    scale _PI_S and a 1-row (w_max) table. Reused by j122's
+    common-direction removal and (via _accel_matrix/_power_on) by
+    j127/j128's subspace + whitening ops."""
+    return _power_on(_accel_matrix(spark, sf_dir))
+
+
+def _power_on(a: DataFrame):
+    """POWER_ITERS renormalized matvec iterations + deterministic
+    sign fix against an arbitrary materialized (i, j, cov) integer
+    matrix; returns (v_signed, wmax)."""
+    from json2hbase_spark.materialize import materialize
+
+    # ONE materialization per iteration (r10): the seed is a trivial
+    # distinct over the materialized matrix (no multi-consumer fan-out
+    # worth a checkpoint), and the matvec w is left INSIDE the v
+    # materialization's plan — its renorm denominator (a broadcast
+    # 1-row agg) re-evaluates the 64-row matvec subtree once more in
+    # the same job, which is far cheaper than a second eager
+    # checkpoint job per iteration (measured: j121 4.0 → 2.5 s warm,
+    # j127's 4-component loop 13.5 → ~8 s). v is broadcast into the
+    # matvec join explicitly — AQE cannot size localCheckpoint-backed
+    # scans and would plan SMJ (the _labels_converged lesson).
+    v = a.select(F.col("i").alias("dim")).distinct().select(
+        "dim", F.lit(_PI_S).cast("long").alias("v")
     )
     w = None
     for _ in range(POWER_ITERS):
-        w = materialize(
-            a.join(v.select(F.col("dim").alias("j"), "v"), "j")
+        w = (
+            a.join(F.broadcast(v.select(F.col("dim").alias("j"), "v")), "j")
             .groupBy(F.col("i").alias("dim"))
             .agg(F.sum(F.col("cov") * F.col("v")).cast("bigint").alias("w"))
         )
@@ -2007,12 +2050,14 @@ def _power_eigvec(spark: SparkSession, sf_dir: str):
             ).alias("d")
         )
         v = materialize(
-            w.crossJoin(F.broadcast(d)).select(
+            w.crossJoin(F.broadcast(d))
+            .select(
                 "dim",
                 F.floor(F.col("w").cast("double") / F.col("d"))
                 .cast("bigint")
                 .alias("v"),
             )
+            .coalesce(1)  # 64 rows at any scale — one task, not 32
         )
     wmax = w.agg(F.max(F.abs("w")).cast("bigint").alias("w_max"))
     sgn = (

@@ -52,4 +52,5 @@ def load_all_query_modules() -> None:
         curation_queries,
         selection_queries,
         audit_queries,
+        vector_queries,
     )

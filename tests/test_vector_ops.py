@@ -1,0 +1,127 @@
+"""Round-10 vector operators (plans/vector_queries.py): PCA subspace
+(j127), whitening apply + dup re-score (j128), product quantization
+(j129) and ADC recall (j130). Planted-structure fixtures prove the
+SEMANTICS (a common axis is found and removed; perfect clusters give
+zero distortion and recall 1.0); the DuckDB oracles prove engine
+exactness separately (tools/oracle_check.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+EMB_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ]
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _emb_dir(spark, tmp_path, name, rows):
+    df = spark.createDataFrame(rows, EMB_SCHEMA)
+    d = str(tmp_path / name)
+    df.write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    return d
+
+
+def test_j127_first_component_is_j121_and_subspace_is_usable(spark):
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    sub = registry.QUERIES["j127_pca_topr"](spark, SF).collect()
+    assert len(sub) == 4 * 64
+    by = {}
+    for r in sub:
+        by.setdefault(r.component, {})[r.dim] = r.v
+    # component 0 IS j121's eigvec (same machinery, zero deflations)
+    top = {r.dim: r.v for r in registry.QUERIES["j121_embed_top_eigvec"](spark, SF).collect()}
+    assert by[0] == top
+    # deflation produced genuinely distinct directions: cross-cosines
+    # bounded (the fixture's flat spectrum leaves ~0.16 residual —
+    # documented in the op; 0.5 would mean deflation is broken)
+    for a in range(4):
+        na = math.sqrt(sum(v * v for v in by[a].values()))
+        assert na > 0
+        for b in range(a + 1, 4):
+            nb = math.sqrt(sum(v * v for v in by[b].values()))
+            dot = sum(by[a][d] * by[b][d] for d in by[a])
+            assert abs(dot / (na * nb)) < 0.5, (a, b, dot / (na * nb))
+
+
+def test_j128_releases_planted_common_axis_pairs(spark, tmp_path):
+    """Vectors = ±BIG·e0 + small per-vector orthogonal noise: every
+    same-sign pair is near-dup BEFORE whitening (cos ≈ 0.99, pure
+    common axis) and near-orthogonal AFTER (the residuals are
+    disjoint basis dims) — the exact inflation j128 exists to
+    release."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    rows = []
+    for i in range(40):
+        vec = [0.0] * 64
+        vec[0] = 10.0 if i % 2 == 0 else -10.0
+        vec[2 + i] += 0.5  # distinct noise dim per vector (40 < 62 dims)
+        rows.append((i, [float(x) for x in vec], i % 2))
+    d = _emb_dir(spark, tmp_path, "whitenfix", rows)
+    out = registry.QUERIES["j128_whiten_rescore"](spark, d).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.sim_before >= 0.9, r
+        assert abs(r.sim_after) < 0.2, r
+        assert r.still_dup is False, r
+
+
+def test_j129_zero_distortion_on_planted_patterns(spark, tmp_path):
+    """8 distinct constant patterns × 10 copies: the Lloyd seeds
+    (vec_id 0..7) ARE the patterns, so training converges immediately,
+    every (sub, cluster) cell holds exactly the 10 copies and the
+    quantization distortion is exactly zero."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    rows = []
+    for copy in range(10):
+        for p in range(8):
+            vec = [float((p + 1) * 0.1)] * 64
+            rows.append((copy * 8 + p, vec, p))
+    d = _emb_dir(spark, tmp_path, "pqfix", rows)
+    out = registry.QUERIES["j129_pq_codebook"](spark, d).collect()
+    assert len(out) == 64  # 8 subs × 8 clusters
+    for r in out:
+        assert r.n_assigned == 10, r
+        assert r.sum_qdist == 0 and r.mean_dist == 0.0, r
+
+
+def test_j130_perfect_recall_on_planted_patterns(spark, tmp_path):
+    """Same planted table: exact copies make both the exact scan and
+    the ADC ranking tie at distance 0 on the query's own pattern,
+    broken by candidate id identically — recall@3 must be 1.0 for
+    every query."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    rows = []
+    for copy in range(10):
+        for p in range(8):
+            vec = [float((p + 1) * 0.1)] * 64
+            rows.append((copy * 8 + p, vec, p))
+    d = _emb_dir(spark, tmp_path, "pqrecfix", rows)
+    out = registry.QUERIES["j130_pq_adc_recall"](spark, d).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r.n_hits == 3 and r.recall == 1.0, r

@@ -161,6 +161,7 @@ SMJ_JUSTIFIED = {
     "j107_cluster_safe_split": "j20's label propagation reused (edges vs labels, both corpus-sized) + the straddle audit's two id-keyed joins of the edge set against the corpus-sized split table — every SMJ side grows with the corpus, none is broadcastable",
     "j108_winnow_clusters": "j20's label propagation over the winnow pair table (edges vs labels, both grow with duplication density × corpus) + the cluster-stat joins keyed on the same pair set",
     "j117_cross_source_clusters": "j48's banded candidate pair join (both sides corpus-sized, j43's category) + _labels_converged over the verified edge set (edges vs labels, j108's category); the broadcast fast path takes over below BROADCAST_EDGE_LIMIT at runtime",
+    "j128_whiten_rescore": "j16's LSH-bucket-blocked pair self-join on the whitened residual table — both sides corpus-sized (j43's category); the eigvec itself broadcasts",
 }
 
 
