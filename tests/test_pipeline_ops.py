@@ -468,3 +468,66 @@ def test_j65_bitmap_probe_stays_broadcast(spark, sf_dir):
     # confirm + summary joins must still both be broadcast
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "Exchange hashpartitioning(block" not in plan, plan  # no corpus distinct
+
+
+def test_j131_audit_chain_tracks_planted_attrition(spark, tmp_path):
+    """A planted corpus where each stage must cut exactly one known
+    doc: a low-quality doc (3 tokens) dies at the quality gate, an
+    exact copy dies at exact dedup, a near-copy dies at near dedup, a
+    benchmark-leaking doc dies at decontamination — and the audit
+    digests change at exactly those boundaries."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    stop_pad = "the a be to of and that have with it"  # stopwords + alpha
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa " + stop_pad)
+    bench = "secret eval question one two three four five six seven eight nine"
+    rows = [
+        (0, bench, "en", "bench", 0),  # the eval suite (doc_id < 10)
+        (10, base + " unique tail one", "en", "s0", 0),
+        (11, "too short", "en", "s0", 0),  # dies at quality (3 < 20 words)
+        (12, base + " unique tail one", "en", "s0", 0),  # exact copy of 10
+        (13, base + " unique tail one extra", "en", "s0", 0),  # near-copy of 10
+        (14, stop_pad + " clean totally distinct wording quince wobble eagle "
+             "rocket tunnel yonder umbrella indigo ocean pepper anchor sunset "
+             "dolphin forest garden harbor", "en", "s0", 0),
+        (15, stop_pad + " leaked " + bench + " padded alongside wordage "
+             "extra1 extra2 extra3 extra4 padding5 padding6",
+         "en", "s0", 0),  # dies at decontamination
+    ]
+    d = str(tmp_path / "capfix")
+    spark.createDataFrame(
+        [(i, t, l, s, len(t)) for i, t, l, s, _ in rows], schema
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {
+        r.stage: r
+        for r in registry.QUERIES["j131_corpus_pipeline"](spark, d).collect()
+    }
+    assert out["1_ingest_normalize"].n_docs == 6  # bench doc excluded
+    assert out["2_quality_gate"].n_docs == 5  # doc 11 cut
+    assert out["3_dedup_exact"].n_docs == 4  # doc 12 cut
+    assert out["4_dedup_near"].n_docs == 3  # doc 13 cut
+    assert out["5_decontaminated"].n_docs == 2  # doc 15 cut
+    assert out["6_pack_manifest"].n_docs >= 1  # packs exist
+    # digests change at every cutting boundary (the chain is an audit)
+    digs = [out[s].set_digest for s in (
+        "1_ingest_normalize", "2_quality_gate", "3_dedup_exact",
+        "4_dedup_near", "5_decontaminated")]
+    assert len(set(digs)) == 5
