@@ -151,6 +151,12 @@ PROBES = [
     "j117_cross_source_clusters",
     "j118_pack_ffd",
     "j119_nfc_normalize",
+    # round-10: i33 streams the banded gate (band index + confirm both
+    # linear while banding holds — a lost band join shows here);
+    # j131 chains six linear stages (each shape already probed solo) —
+    # a super-linear ratio means one stage's blocking regressed.
+    "i33_stream_neardup_gate",
+    "j131_corpus_pipeline",
 ]
 
 
@@ -197,7 +203,20 @@ def run_suite(spark, sf_dir: str, only: list[str] | None = None) -> dict[str, fl
     return times
 
 
-EMB_PROBES = ["j10_embed_norm", "j5_centroid", "j16_dedup_embed", "j18_ann_lsh"]
+EMB_PROBES = [
+    "j10_embed_norm",
+    "j5_centroid",
+    "j16_dedup_embed",
+    "j18_ann_lsh",
+    # round-10: j127/j128 are scan-plus-constant-iteration (j121's
+    # category — only the covariance/residual scans touch the corpus);
+    # j129 is per-round broadcast + hash agg (linear); j130's ADC scan
+    # is linear in codes, its exact side a bounded-query crossJoin.
+    "j127_pca_topr",
+    "j128_whiten_rescore",
+    "j129_pq_codebook",
+    "j130_pq_adc_recall",
+]
 
 
 def build_scaled_embeddings(spark, sf_dir: str, mult: int, out_dir: str) -> None:
