@@ -108,6 +108,11 @@ AUDIT = {
     "j121_embed_top_eigvec": "j97's pair-explode covariance agg (shuffle ≤ d(d+1)/2 rows) → 4 in-plan matrix squarings + 5 matvecs over ≤d²-row tables, each materialized; all post-covariance exchanges dimension-bounded",
     "j122_common_dir_removal": "eigvec collapsed to ONE broadcast 64-element array folded per row (codegen HOF, no UDF); DECIMAL(38,0) exact energy sums into a |labels|-row agg",
     "j123_coreset_coverage": "corpus × K-row center table broadcast crossJoin (never point×point) → min(struct) argmin per point → K-row hash agg",
+    "j127_pca_topr": "j121's covariance + squarings, then per component POWER_ITERS matvecs and one Hotelling deflation — every post-covariance stage a ≤d²-row materialized job with explicit broadcasts and coalesce(1) (constant-size tables at any corpus)",
+    "j128_whiten_rescore": "eigvec = ONE broadcast 64-array; residual rewrite a per-row codegen fold materialized once; pair join blocked on the LSH bucket (SMJ justified, j43's category); all dots order-free BIGINT folds",
+    "j129_pq_codebook": "ONE grouped Lloyd plan for all 8 subspaces: per round a 64-row centroid broadcast + min(struct) hash-agg argmin + QCENT_AVG update; distortion quantized to BIGINT before the (sub, cluster) agg",
+    "j130_pq_adc_recall": "640-row query LUT broadcast onto the code table (8 integer rows per vector — the compressed scan) into a (qid, cid) hash agg; exact side a bounded-query broadcast crossJoin; per-qid top-k windows over candidate-bounded partitions",
+    "j131_corpus_pipeline": "six materialized stage boundaries (each stage its standalone op's shape: hash aggs, one norm window, one blocked pair join, broadcast gram semi-joins, one pack window); audit rows are |langs|-row aggs over tables already in hand",
 }
 
 MARKERS = (
