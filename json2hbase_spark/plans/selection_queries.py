@@ -2260,3 +2260,113 @@ def j123_coreset_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d").cast("bigint").alias("sum_sq_dist"),
         F.round(F.sum("d").cast("double") / F.count("*"), 4).alias("mean_sq_dist"),
     )
+
+
+# --------------------------------------------------------------- j132
+
+INC_WINNOW_CUT = 250  # doc_id < CUT = persisted corpus (j24's convention)
+INC_WINNOW_TAU = 0.3  # containment fraction that flags a new doc
+
+
+def _duck_incremental_winnow_oracle() -> str:
+    return f"""
+    WITH {_DUCK_WINNOW_SEL},
+    inc AS (SELECT doc_id, fh FROM sel WHERE doc_id >= {INC_WINNOW_CUT}),
+    idx AS (SELECT DISTINCT fh, doc_id AS corpus_doc FROM sel
+            WHERE doc_id < {INC_WINNOW_CUT}),
+    nfp AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM inc GROUP BY doc_id),
+    hits AS (
+      SELECT i.doc_id, i.fh, x.corpus_doc
+      FROM inc i JOIN idx x ON x.fh = i.fh
+    ),
+    contained AS (
+      SELECT doc_id, CAST(COUNT(DISTINCT fh) AS BIGINT) AS n_contained
+      FROM hits GROUP BY doc_id
+    ),
+    per_pair AS (
+      SELECT doc_id, corpus_doc, CAST(COUNT(DISTINCT fh) AS BIGINT) AS n_shared
+      FROM hits GROUP BY doc_id, corpus_doc
+    ),
+    best AS (
+      SELECT doc_id, corpus_doc AS best_match, n_shared AS n_shared_best FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY n_shared DESC, corpus_doc) AS rn
+        FROM per_pair) WHERE rn = 1
+    )
+    SELECT n.doc_id AS new_doc, n.n_fp, c.n_contained,
+           round(CAST(c.n_contained AS DOUBLE) / n.n_fp, 4) AS containment,
+           b.best_match, b.n_shared_best
+    FROM nfp n JOIN contained c ON c.doc_id = n.doc_id
+    JOIN best b ON b.doc_id = n.doc_id
+    WHERE CAST(c.n_contained AS DOUBLE) / n.n_fp >= {INC_WINNOW_TAU}
+    """
+
+
+@query("j132_incremental_winnow", oracle=_duck_incremental_winnow_oracle())
+def j132_incremental_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL winnowing containment — j24's asymmetric
+    batch-vs-corpus posture at j99's fingerprint grain (SURVEY's
+    round-10 candidate): an incoming batch (doc_id ≥ {INC_WINNOW_CUT})
+    is winnow-fingerprinted and probed against the EXISTING corpus
+    fingerprint index; per new doc, the CONTAINMENT fraction (its
+    fingerprints already present anywhere in the corpus — the
+    substring-reuse signal Jaccard misses when a small doc is
+    swallowed by a big one) plus the best-matching corpus doc by
+    shared-fingerprint count (ties to the lower doc_id). A doc at
+    containment 1.0 is a full copy/quote of corpus material even if
+    its overall Jaccard is low; ≥ {INC_WINNOW_TAU} is the review
+    queue. Complements i33 (banded whole-doc gate at ingest) with the
+    sub-document containment the winnow guarantee gives (any shared
+    run ≥ W+K−1 = 23 chars leaves a shared fingerprint).
+
+    Plan: ONE winnow selection pass serves both slices
+    (_winnow_selected is materialized; at 100 TB the corpus side is
+    the PERSISTED fingerprint index — only the new batch fingerprints
+    per run, j24's reason to exist), then one fh-keyed equi join of
+    the new batch's fingerprints against the index, two hash aggs
+    and one bounded per-newdoc argmax window. The fh join shuffles
+    fingerprints (~2/(W+1) of gram volume), never text."""
+    sel = _winnow_selected(spark, sf_dir)
+    inc = sel.filter(F.col("doc_id") >= INC_WINNOW_CUT).select("doc_id", "fh")
+    idx = (
+        sel.filter(F.col("doc_id") < INC_WINNOW_CUT)
+        .select("fh", F.col("doc_id").alias("corpus_doc"))
+        .distinct()
+    )
+    from json2hbase_spark.materialize import materialize
+
+    nfp = inc.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_fp"))
+    # two consumers (containment agg + per-pair argmax) read the hit
+    # set — materialize so the fh join runs once
+    hits = materialize(inc.join(idx, "fh"))
+    contained = hits.groupBy("doc_id").agg(
+        F.countDistinct("fh").cast("bigint").alias("n_contained")
+    )
+    per_pair = hits.groupBy("doc_id", "corpus_doc").agg(
+        F.countDistinct("fh").cast("bigint").alias("n_shared")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_shared"), F.asc("corpus_doc"))
+    best = (
+        per_pair.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("corpus_doc").alias("best_match"),
+            F.col("n_shared").alias("n_shared_best"),
+        )
+    )
+    return (
+        nfp.join(contained, "doc_id")
+        .join(best, "doc_id")
+        .filter(F.col("n_contained").cast("double") / F.col("n_fp") >= INC_WINNOW_TAU)
+        .select(
+            F.col("doc_id").alias("new_doc"),
+            "n_fp",
+            "n_contained",
+            F.round(F.col("n_contained").cast("double") / F.col("n_fp"), 4).alias(
+                "containment"
+            ),
+            "best_match",
+            "n_shared_best",
+        )
+    )

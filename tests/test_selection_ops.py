@@ -825,3 +825,46 @@ def test_j123_coverage_reconciles_with_selection(spark):
         assert r.max_sq_dist >= r.mean_sq_dist - 1e-9
     radius = max(r.max_sq_dist for r in cells.values())
     assert radius <= picks[-1].sq_dist
+
+
+def test_j132_containment_on_planted_quote(spark, tmp_path):
+    """A new doc quoting a >=23-char corpus run is flagged with
+    containment 1.0 (it is PURE quote) and best_match = the quoted
+    corpus doc; a novel doc never appears (containment 0 < tau)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    corpus_a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    corpus_b = "completely different corpus material with other phrasing entirely here"
+    quote = corpus_a[:40]  # >= W+K-1=23 chars -> guaranteed shared fingerprint
+    novel = "zebra xylophone quartz jackdaw vexing wizards plum bright mist"
+    rows = [
+        (0, corpus_a, "en", "s0"),
+        (1, corpus_b, "en", "s0"),
+        (250, quote, "en", "s1"),   # pure quote of corpus doc 0
+        (251, novel, "en", "s1"),   # novel content
+    ]
+    d = str(tmp_path / "incwinfix")
+    spark.createDataFrame(
+        [(i, t, l, s, len(t)) for i, t, l, s in rows], schema
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r.new_doc: r for r in registry.QUERIES["j132_incremental_winnow"](spark, d).collect()}
+    assert 250 in out and out[250].containment == 1.0
+    assert out[250].best_match == 0
+    assert 251 not in out

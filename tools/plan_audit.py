@@ -167,6 +167,7 @@ SMJ_JUSTIFIED = {
     "j108_winnow_clusters": "j20's label propagation over the winnow pair table (edges vs labels, both grow with duplication density × corpus) + the cluster-stat joins keyed on the same pair set",
     "j117_cross_source_clusters": "j48's banded candidate pair join (both sides corpus-sized, j43's category) + _labels_converged over the verified edge set (edges vs labels, j108's category); the broadcast fast path takes over below BROADCAST_EDGE_LIMIT at runtime",
     "j128_whiten_rescore": "j16's LSH-bucket-blocked pair self-join on the whitened residual table — both sides corpus-sized (j43's category); the eigvec itself broadcasts",
+    "j132_incremental_winnow": "the fh containment join (new-batch fingerprints vs the persisted corpus index — both grow with data, j49's category) plus the doc-keyed audit joins of its batch-sized aggregates",
 }
 
 

@@ -157,6 +157,9 @@ PROBES = [
     # a super-linear ratio means one stage's blocking regressed.
     "i33_stream_neardup_gate",
     "j131_corpus_pipeline",
+    # j132 probes the fh-keyed containment join (winnow grain): a lost
+    # equi key (pairwise drift) or an index-side re-fingerprint blows it.
+    "j132_incremental_winnow",
 ]
 
 
