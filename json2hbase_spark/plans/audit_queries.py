@@ -1152,3 +1152,252 @@ def j126_seqlen_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("waste_ratio"),
         "n_oversize",
     )
+
+
+# ---------------------------------------------------------------- j135
+
+VOCAB_SWEEP = [4, 8, 16, 24, 32]  # candidate vocab sizes (fixture |V| = 31)
+
+
+@query(
+    "j135_vocab_size_sweep",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+      FROM documents
+    ),
+    cnt AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks GROUP BY 1, 2),
+    ranked AS (
+      SELECT lang, c,
+             row_number() OVER (PARTITION BY lang ORDER BY c DESC, token) AS rnk
+      FROM cnt
+    ),
+    ks AS (SELECT unnest({VOCAB_SWEEP}) AS vocab_size)
+    SELECT lang, CAST(vocab_size AS INT) AS vocab_size,
+           CAST(COUNT(*) AS BIGINT) AS n_types_total,
+           CAST(SUM(CASE WHEN rnk <= vocab_size THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_types_kept,
+           round(CAST(SUM(CASE WHEN rnk <= vocab_size THEN c ELSE 0 END) AS DOUBLE)
+                 / SUM(c), 6) AS token_coverage,
+           round(CAST(SUM(CASE WHEN rnk <= vocab_size THEN 0 ELSE c END) AS DOUBLE)
+                 / SUM(c), 6) AS oov_rate
+    FROM ranked, ks GROUP BY lang, vocab_size
+    """,
+)
+def j135_vocab_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-size calibration sweep — the j113/j126 sweep posture
+    applied to the tokenizer-budget decision j84/j57 measure only at
+    one fixed point: for every candidate vocab size K, the per-language
+    token coverage (and its complement, the OOV token rate) if the
+    vocabulary were the top-K types by frequency. The curve's knee is
+    THE input to choosing a tokenizer budget before a 100 TB
+    tokenization pass — coverage climbs fast while K is under the
+    Zipf head and flattens once K passes into the tail, and the
+    per-language rows expose which language pays for a shared budget
+    (the fertility inequality j86 measures after the fact).
+
+    Exactness: type counts are exact BIGINTs; the frequency ranking
+    tie-breaks on the token string (identical in both engines); the
+    two reported rates are single divisions of exact integer sums,
+    rounded once. Plan: one token explode + (lang, token) hash agg —
+    the shuffle every vocab induction already pays — then a
+    |vocab|-per-lang window (bounded by LANGUAGE vocabulary, not
+    corpus size: Heaps' law caps it at millions of rows at 100 TB,
+    a single executor's work after the count agg) and one ×|sweep|
+    fan-out agg. Nothing corpus-sized crosses after the first agg."""
+    docs = load(spark, sf_dir, "documents")
+    toks = widen(docs).select(
+        "lang", F.explode(whitespace_tokens(F.col("text"))).alias("token")
+    )
+    cnt = toks.groupBy("lang", "token").agg(F.count("*").cast("bigint").alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("token"))
+    ranked = cnt.withColumn("rnk", F.row_number().over(w)).select("lang", "c", "rnk")
+    ks = spark.range(len(VOCAB_SWEEP)).select(
+        F.explode(F.array(*[F.lit(k) for k in VOCAB_SWEEP])).alias("vocab_size")
+    ).distinct()
+    kept = F.when(F.col("rnk") <= F.col("vocab_size"), F.col("c")).otherwise(F.lit(0))
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy("lang", "vocab_size")
+        .agg(
+            F.count("*").cast("bigint").alias("n_types_total"),
+            F.sum(
+                F.when(F.col("rnk") <= F.col("vocab_size"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_types_kept"),
+            F.sum(kept).alias("_covered"),
+            F.sum("c").alias("_total"),
+        )
+        .select(
+            "lang",
+            F.col("vocab_size").cast("int").alias("vocab_size"),
+            "n_types_total",
+            "n_types_kept",
+            F.round(F.col("_covered").cast("double") / F.col("_total"), 6).alias(
+                "token_coverage"
+            ),
+            F.round(
+                (F.col("_total") - F.col("_covered")).cast("double") / F.col("_total"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- j136
+
+
+# Shared CTE chain (j136/j137): j34's cascade with per-source token
+# accounting — normalized text, exact keep-lowest-id, prefix-blocked
+# exact-Jaccard near drop, then raw/exact/near token budgets per source.
+_DUCK_BUDGET_PARTS = """normed AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT)
+               AS n_tokens,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    s1 AS (
+      SELECT doc_id, source, n_tokens, norm FROM (
+        SELECT doc_id, source, n_tokens, norm,
+               row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+        FROM normed
+      ) WHERE rn = 1
+    ),
+    sh AS (
+      SELECT doc_id, substr(norm, 1, 40) AS block,
+             list_distinct(list_transform(range(1, greatest(len(norm) - 7, 0) + 1),
+                                          i -> substr(norm, i, 8))) AS shingles
+      FROM s1 WHERE len(norm) >= 8
+    ),
+    dropped AS (
+      SELECT DISTINCT b.doc_id AS doc_id
+      FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / (len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles))) >= 0.3
+    ),
+    raw AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS tokens_raw
+      FROM normed GROUP BY source
+    ),
+    kept AS (
+      SELECT s1.source,
+             CAST(SUM(s1.n_tokens) AS BIGINT) AS tokens_exact,
+             CAST(SUM(CASE WHEN d.doc_id IS NULL THEN s1.n_tokens ELSE 0 END)
+                  AS BIGINT) AS tokens_near
+      FROM s1 LEFT JOIN dropped d ON d.doc_id = s1.doc_id
+      GROUP BY s1.source
+    ),
+    budgets AS (
+      SELECT r.source, r.n_docs, r.tokens_raw, k.tokens_exact, k.tokens_near
+      FROM raw r JOIN kept k ON k.source = r.source
+    )"""
+
+
+@query(
+    "j136_dedup_token_inflation",
+    oracle=f"""
+    WITH {_DUCK_BUDGET_PARTS}
+    SELECT source, n_docs, tokens_raw, tokens_exact, tokens_near,
+           round(CAST(tokens_raw AS DOUBLE) / tokens_exact, 4)
+             AS inflation_exact,
+           round(CAST(tokens_raw AS DOUBLE) / tokens_near, 4)
+             AS inflation_near
+    FROM budgets
+    """,
+)
+def j136_dedup_token_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget inflation by duplication, per source — the number
+    a mixture planner (j19/j36/j64) actually needs from dedup: a
+    source's RAW token count overstates its real contribution by
+    exactly the tokens the dedup cascade removes, so sampling weights
+    computed on raw counts over-sample duplicated sources. Runs j34's
+    cascade semantics (exact: keep lowest doc_id per normalized form;
+    near: deterministic prefix-blocked exact-Jaccard ≥ 0.3 drops the
+    higher id of every pair) and reports per source: docs, raw
+    tokens, tokens surviving exact dedup, tokens surviving the full
+    cascade, and the two inflation ratios raw/survivor — 1.0 = clean
+    source, 2.0 = half this source's apparent budget is copies.
+
+    Exactness: token counts are exact BIGINT sums; the two ratios are
+    single divisions rounded once. Plan: j34's shapes unchanged (one
+    norm-keyed agg with map-side combine, one blocked self-join on
+    the materialized survivor shingle table, never all-pairs) plus
+    two source-keyed hash aggs and a |sources|-row join. At 100 TB
+    this is the dedup pass the corpus already runs, with the token
+    accounting riding the same shuffles — no new corpus-sized stage.
+    Swap the blocked verifier for j48's banded MinHash on unblocked
+    corpora (same accounting)."""
+    from json2hbase_spark.materialize import materialize
+    from json2hbase_spark.operators.dedup import char_shingles, normalize_text
+
+    docs = load(spark, sf_dir, "documents")
+    normed = widen(docs).select(
+        "doc_id",
+        "source",
+        F.size(whitespace_tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        normalize_text(F.col("text")).alias("norm"),
+    )
+    s1 = normed.groupBy("norm").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("source", "doc_id").alias("source"),
+        F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+    )
+    sh = materialize(
+        s1.filter(F.length("norm") >= 8).select(
+            "doc_id",
+            F.substring("norm", 1, 40).alias("block"),
+            char_shingles(F.col("norm"), 8).alias("shingles"),
+        )
+    )
+    a = sh.select(
+        "block", F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("block").alias("block_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    dropped = (
+        a.join(
+            b,
+            (F.col("block") == F.col("block_b")) & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .filter(inter.cast("double") / union >= 0.3)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    raw = normed.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_raw"),
+    )
+    kept = (
+        s1.join(F.broadcast(dropped), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("n_tokens").cast("bigint").alias("tokens_exact"),
+            F.sum(F.when(F.col("_hit").isNull(), F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_near"),
+        )
+    )
+    return raw.join(kept, "source").select(
+        "source",
+        "n_docs",
+        "tokens_raw",
+        "tokens_exact",
+        "tokens_near",
+        F.round(
+            F.col("tokens_raw").cast("double") / F.col("tokens_exact"), 4
+        ).alias("inflation_exact"),
+        F.round(F.col("tokens_raw").cast("double") / F.col("tokens_near"), 4).alias(
+            "inflation_near"
+        ),
+    )

@@ -2317,3 +2317,115 @@ def i33_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------- i34
+
+
+def _i34_oracle() -> str:
+    from json2hbase_spark.plans.vector_queries import _duck_pq_codebook_oracle
+
+    return _duck_pq_codebook_oracle()
+
+
+@query("i34_stream_pq_encode", oracle=_i34_oracle())
+def i34_stream_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING product-quantization encoder — the ingest-time form
+    of j129 and the vector-family completion of the i-monitor suite
+    (i32 assigns to k-center exemplars; this assigns to trained PQ
+    codebooks): the codebooks are trained ONCE on the reference
+    corpus (j129's bit-exact grouped Lloyd), and every ARRIVING
+    embedding is encoded per micro-batch — each of its {PQ_M}
+    subvectors mapped to its nearest codebook centroid — exactly what
+    a 100 TB vector-store ingest path does so raw floats never land
+    in the index. Per-(subspace, code) occupancy and quantization
+    distortion accumulate in complete mode; a cell whose live
+    mean_dist climbs above its training-time value means the arriving
+    distribution has drifted off the codebooks — the retrain signal,
+    visible micro-batches before any batch audit. Final tally ≡ batch
+    j129 (same oracle SQL) — the i25/i29–i33 stream≡batch
+    equivalence contract.
+
+    Plan: the trained codebooks collapse to {PQ_M} broadcast rows
+    (sub, ordered centroid array); each arriving vector explodes to
+    its {PQ_M} subvectors STATELESSLY, joins the static codebook row,
+    and the argmin is a per-row HOF fold (strict-less keeps the
+    lowest cluster on ties — j129's min(struct) rule) — no per-vector
+    stream state anywhere; complete-mode state is the {PQ_M}×{PQ_K}
+    tally regardless of stream length. Distortions cross as
+    floor(d·1e9+0.5) BIGINTs (order-free sums). At 100 TB of stream:
+    scan-bound per batch, one 64-row exchange."""
+    from json2hbase_spark.io import load_table_stream
+    from json2hbase_spark.plans.vector_queries import (
+        PQ_DIST_SCALE,
+        PQ_K,
+        PQ_M,
+        PQ_SUBDIM,
+        _pq_train,
+    )
+
+    _, cents, _ = _pq_train(spark, sf_dir)
+    cb = cents.groupBy("sub").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cluster").alias("cl"), F.col("ce").alias("ce")))
+        ).alias("cbs")
+    )
+    stream = load_table_stream(spark, sf_dir, "embeddings")
+    subrows = stream.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.transform(
+                            F.slice("embedding", s * PQ_SUBDIM + 1, PQ_SUBDIM),
+                            lambda x: x.cast("double"),
+                        ).alias("sv"),
+                    )
+                    for s in range(PQ_M)
+                ]
+            )
+        ).alias("ss")
+    ).select("ss.sub", "ss.sv")
+    dist = lambda c: F.aggregate(  # noqa: E731 — sequential double fold
+        F.zip_with(F.col("sv"), c["ce"], lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    best = F.aggregate(
+        F.col("cbs"),
+        F.struct(
+            F.lit(None).cast("double").alias("d"), F.lit(-1).cast("int").alias("cl")
+        ),
+        lambda acc, c: F.when(
+            acc["d"].isNull() | (dist(c) < acc["d"]),
+            F.struct(dist(c).alias("d"), c["cl"].alias("cl")),
+        ).otherwise(acc),
+    )
+    assigned = (
+        subrows.join(F.broadcast(cb), "sub")
+        .select("sub", best.alias("b"))
+        .select(
+            "sub",
+            F.col("b.cl").alias("cluster"),
+            F.floor(F.col("b.d") * PQ_DIST_SCALE + 0.5).cast("long").alias("qd"),
+        )
+    )
+    tally = assigned.groupBy("sub", "cluster").agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.sum("qd").alias("sum_qdist"),
+    )
+    with scoped_stream_confs(spark):
+        _run_to_memory(tally, "i34_mem", "complete")
+    g = spark.table("i34_mem")
+    return g.select(
+        F.col("sub").cast("int").alias("sub"),
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("n_assigned").cast("bigint").alias("n_assigned"),
+        F.col("sum_qdist").cast("bigint").alias("sum_qdist"),
+        F.round(
+            F.col("sum_qdist").cast("double")
+            / (F.col("n_assigned") * PQ_DIST_SCALE),
+            6,
+        ).alias("mean_dist"),
+    )

@@ -16,6 +16,20 @@
                          exact scan (j33's harness pattern) — the
                          audit that says whether 64 dims × 4 bytes can
                          ship as 8 one-byte codes at 100 TB.
+- j133_residual_energy — the PER-VECTOR grain of j122's corpus-level
+                         common-direction energy: each embedding's
+                         cos² against the top principal axis — the
+                         table that says WHICH vectors are mostly
+                         common axis (their similarities are inflated)
+                         and which carry real signal.
+- j134_ivfpq_recall    — IVF coarse probe (j17's cells) + ADC over
+                         j129's PQ codes inside the probed cells only,
+                         with recall@k and the measured scanned-
+                         candidate count — the FAISS-style IVFADC
+                         composition an actual 100 TB vector store
+                         runs (probe nprobe/n_lists of the corpus AND
+                         read 8 codes instead of 64 floats per
+                         candidate).
 
 All four follow the established exactness discipline: quantize floats
 to integers FIRST, keep every aggregation an order-free BIGINT (or
@@ -814,6 +828,313 @@ def j130_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "qid",
+            "n_hits",
+            F.round(F.col("n_hits").cast("double") / PQ_TOPK, 4).alias("recall"),
+        )
+    )
+
+
+# --------------------------------------------------------------- j133
+
+ENERGY_DECILES = 10  # decile bucketing of the per-vector energy share
+
+
+def _duck_residual_energy_oracle() -> str:
+    from json2hbase_spark.plans.selection_queries import _duck_power_parts
+
+    last = POWER_ITERS
+    parts = _duck_power_parts()
+    parts.append(
+        f"""evl AS (
+      SELECT list(e.v * sgn.sg ORDER BY e.dim) AS v
+      FROM v{last} e, sgn GROUP BY sgn.sg
+    ),
+    vvw AS (SELECT CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT)
+              AS vv FROM evl),
+    qt AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * {COV_SCALE})
+                                      AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    dots AS (
+      SELECT vec_id, label,
+             CAST(list_sum(list_transform(range(1, 65),
+                    i -> q[i] * evl.v[i])) AS BIGINT) AS qv,
+             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qq
+      FROM qt, evl
+    ),
+    en AS (
+      SELECT vec_id, label,
+             CASE WHEN qq = 0 THEN 0.0
+                  ELSE round((CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE))
+                             / (CAST(qq AS DOUBLE) * CAST(t.vv AS DOUBLE)), 6)
+             END AS energy_frac
+      FROM dots, vvw t
+    )
+    SELECT vec_id, CAST(label AS INT) AS label, energy_frac,
+           CAST(least(CAST(floor(energy_frac * {ENERGY_DECILES}) AS BIGINT),
+                      {ENERGY_DECILES - 1}) AS INT) AS decile
+    FROM en"""
+    )
+    return "WITH " + ",\n    ".join(parts)
+
+
+@query("j133_residual_energy", oracle=_duck_residual_energy_oracle())
+def j133_residual_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-VECTOR common-axis energy — the vector-grain companion to
+    j122's corpus-level energy share and the audit j128's whitening
+    rewrite acts on (SURVEY round-10 candidate: "a residual-energy
+    per-vector grain"): each embedding's squared cosine against the
+    top principal axis, cos²(q, v) = (q·v)² / (|q|²·|v|²) — exactly
+    the fraction of THAT vector's energy the whitening projection
+    removes. A vector near decile 9 is mostly common axis (every
+    cosine it participates in is inflated — j128 will re-score its
+    pairs down); a vector near decile 0 is untouched by the rewrite.
+    The decile column is the histogram key a fleet-level report
+    aggregates on; the per-vector rows are the rewrite-shaped table a
+    selection pass filters (e.g. "quarantine docs whose embedding is
+    > 80% boilerplate axis").
+
+    Exactness: q (scale {COV_SCALE}) and v (scale _PI_S) are the
+    established quantized integers; q·v, |q|², |v|² are exact
+    order-free BIGINT folds (|q·v| ≤ 64·4e3·2e3 ≈ 5e8); the ratio is
+    computed as (double·double)/(double·double) from EXACTLY
+    representable int64s (< 2^53 each) — IEEE-identical in both
+    engines — and rounds once. Plan: the eigvec collapses to ONE
+    broadcast 64-element array (j122/j128's shape); the energy is a
+    per-row codegen'd fold over one corpus scan — at 100 TB this is
+    scan-bound with a 1-row broadcast, nothing shuffles but the
+    covariance pass j121 already runs."""
+    v_signed, _ = _power_eigvec(spark, sf_dir)
+    evl = v_signed.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "v"))), lambda x: x["v"]
+        ).alias("v")
+    )
+    vvw = evl.select(
+        F.aggregate(
+            F.zip_with("v", "v", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("vv")
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    qt = widen(emb).select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * COV_SCALE).cast("long")
+        ).alias("q"),
+    )
+    dots = qt.crossJoin(F.broadcast(evl)).crossJoin(F.broadcast(vvw)).select(
+        "vec_id",
+        "label",
+        fold(F.zip_with("q", "v", lambda a, b: a * b)).alias("qv"),
+        fold(F.zip_with("q", "q", lambda a, b: a * b)).alias("qq"),
+        "vv",
+    )
+    energy = F.when(F.col("qq") == 0, F.lit(0.0)).otherwise(
+        F.round(
+            (F.col("qv").cast("double") * F.col("qv").cast("double"))
+            / (F.col("qq").cast("double") * F.col("vv").cast("double")),
+            6,
+        )
+    )
+    return dots.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        energy.alias("energy_frac"),
+        F.least(
+            F.floor(energy * ENERGY_DECILES).cast("long"),
+            F.lit(ENERGY_DECILES - 1).cast("long"),
+        )
+        .cast("int")
+        .alias("decile"),
+    )
+
+
+# --------------------------------------------------------------- j134
+
+IVFPQ_NPROBE = 2  # coarse cells probed per query (of the 10 label cells)
+
+
+def _duck_ivfpq_recall_oracle() -> str:
+    from json2hbase_spark.functions.exact import QCENT_AVG
+    from json2hbase_spark.plans.llm_queries import _duck_dot, _duck_norm
+
+    full_sqdist = (
+        "list_aggregate(list_transform(range(1,65),"
+        " i -> (q.qe[i] - c.ve[i]) * (q.qe[i] - c.ve[i])), 'sum')"
+    )
+    qc_avg = QCENT_AVG.format(v="embedding[i.i + 1]")
+    parts = _duck_pq_parts()
+    parts.append(
+        f"""cent_long AS (
+      SELECT label, i.i AS pos, {qc_avg} AS cv
+      FROM embeddings, (SELECT unnest(range(64)) AS i) i
+      GROUP BY 1, 2
+    ),
+    cent AS (SELECT label, list(cv ORDER BY pos) AS centroid
+             FROM cent_long GROUP BY label),
+    pq AS (SELECT vec_id AS qid, ve AS qe FROM pv WHERE vec_id < {PQ_NQ}),
+    qcs AS (
+      SELECT qid, label,
+             {_duck_dot("qe", "centroid")}
+               / ({_duck_norm("qe")} * {_duck_norm("centroid")}) AS csim
+      FROM pq, cent
+    ),
+    probed AS MATERIALIZED (
+      SELECT qid, label FROM (
+        SELECT qid, label,
+               row_number() OVER (PARTITION BY qid ORDER BY csim DESC, label) AS pr
+        FROM qcs
+      ) WHERE pr <= {IVFPQ_NPROBE}
+    ),
+    lut AS MATERIALIZED (
+      SELECT q.qid, s.sub, s.cluster,
+             CAST(floor({_duck_pq_sqdist("list_slice(q.qe, s.sub * %d + 1, s.sub * %d + %d)" % (PQ_SUBDIM, PQ_SUBDIM, PQ_SUBDIM), "s.ce")} * {PQ_DIST_SCALE} + 0.5) AS BIGINT) AS qd
+      FROM pq q, pc{PQ_ITERS} s
+    ),
+    lbl AS (SELECT vec_id, label FROM embeddings),
+    adc AS MATERIALIZED (
+      SELECT pr.qid, p.vec_id AS cid, CAST(SUM(l.qd) AS BIGINT) AS adist
+      FROM paf p
+      JOIN lbl ON lbl.vec_id = p.vec_id
+      JOIN probed pr ON pr.label = lbl.label
+      JOIN lut l ON l.qid = pr.qid AND l.sub = p.sub AND l.cluster = p.cluster
+      WHERE p.vec_id != pr.qid
+      GROUP BY pr.qid, p.vec_id
+    ),
+    scanned AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_scanned
+                FROM adc GROUP BY qid),
+    adc_top AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rnk
+        FROM adc) WHERE rnk <= {PQ_TOPK}
+    ),
+    exact_top AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, c.vec_id AS cid,
+               row_number() OVER (PARTITION BY q.qid
+                                  ORDER BY {full_sqdist}, c.vec_id) AS rnk
+        FROM pq q JOIN pv c ON c.vec_id != q.qid) WHERE rnk <= {PQ_TOPK}
+    )
+    SELECT e.qid, s.n_scanned,
+           CAST(COUNT(a.cid) AS BIGINT) AS n_hits,
+           round(CAST(COUNT(a.cid) AS DOUBLE) / {PQ_TOPK}, 4) AS recall
+    FROM exact_top e
+    JOIN scanned s ON s.qid = e.qid
+    LEFT JOIN adc_top a ON a.qid = e.qid AND a.cid = e.cid
+    GROUP BY e.qid, s.n_scanned"""
+    )
+    return "WITH " + ",\n    ".join(parts)
+
+
+@query("j134_ivfpq_recall", oracle=_duck_ivfpq_recall_oracle())
+def j134_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed — the FAISS-style IVFADC index an actual
+    100 TB vector store runs (Jégou et al. 2011 §V), closing the
+    family j17 (coarse probe only) and j130 (ADC over the FULL code
+    table) built up to: each query probes its {IVFPQ_NPROBE} nearest
+    coarse cells (j17's per-label centroids, cosine + deterministic
+    tie-break), and ONLY the codes of vectors in probed cells are ADC-
+    scored against the query's {PQ_M}×{PQ_K} lookup table. The report
+    per query: how many candidates the index actually touched
+    (n_scanned — the measured scan-fraction evidence) and recall@
+    {PQ_TOPK} vs the exact 64-dim scan. Compression and pruning
+    multiply: at 100 TB the scan cost is (nprobe/n_lists) of the
+    corpus × {PQ_M} bytes per vector — the two knobs this table lets a
+    pipeline team trade against the recall they can tolerate (on this
+    near-isotropic fixture recall reads LOW, consistent with j130 —
+    the honest answer; the planted-cluster test reads 1.0).
+
+    Exactness: the coarse-probe ranking reuses j17's established
+    IEEE-identical cosine; LUT entries are floor(d·1e9+0.5) BIGINTs so
+    ADC distances are order-free integer sums; both rankings tie-break
+    on candidate id. Plan: centroid table and probed set are tiny
+    broadcasts; the ADC join is label-pruned BEFORE the code lookup
+    (codes join lbl → semi-filter on probed cells → broadcast LUT →
+    hash agg) — the corpus-sized table is touched once, by cell, the
+    physical layout an IVF store partitions on."""
+    subvecs, cents, codes = _pq_train(spark, sf_dir)
+    from json2hbase_spark.operators.similarity import cosine, ivf_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("ve")
+    )
+    q = vecs.filter(F.col("vec_id") < PQ_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("ve").alias("qe")
+    )
+    cents_ivf = ivf_centroids(widen(emb))
+    qcs = q.crossJoin(F.broadcast(cents_ivf)).select(
+        "qid", "qe", "label", cosine(F.col("qe"), F.col("centroid")).alias("csim")
+    )
+    wp = Window.partitionBy("qid").orderBy(F.desc("csim"), F.asc("label"))
+    probed = materialize(
+        qcs.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= IVFPQ_NPROBE)
+        .select("qid", "label")
+    )
+    lut = materialize(
+        q.crossJoin(F.broadcast(cents)).select(
+            "qid",
+            "sub",
+            "cluster",
+            F.floor(
+                _pq_sqdist(
+                    F.slice("qe", F.col("sub") * PQ_SUBDIM + 1, PQ_SUBDIM),
+                    F.col("ce"),
+                )
+                * PQ_DIST_SCALE
+                + 0.5
+            )
+            .cast("long")
+            .alias("qd"),
+        )
+    )
+    lbl = emb.select("vec_id", "label")
+    adc = (
+        codes.join(lbl, "vec_id")
+        .join(F.broadcast(probed), "label")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(F.broadcast(lut), ["qid", "sub", "cluster"])
+        .groupBy("qid", F.col("vec_id").alias("cid"))
+        .agg(F.sum("qd").cast("bigint").alias("adist"))
+    )
+    adc = materialize(adc)
+    scanned = adc.groupBy("qid").agg(F.count("*").cast("bigint").alias("n_scanned"))
+    w_adc = Window.partitionBy("qid").orderBy("adist", "cid")
+    adc_top = adc.withColumn("rnk", F.row_number().over(w_adc)).filter(
+        F.col("rnk") <= PQ_TOPK
+    )
+    full_d = _pq_sqdist(F.col("qe"), F.col("ve"))
+    exact = q.crossJoin(vecs).filter(F.col("vec_id") != F.col("qid")).select(
+        "qid", F.col("vec_id").alias("cid"), full_d.alias("d")
+    )
+    w_ex = Window.partitionBy("qid").orderBy("d", "cid")
+    exact_top = exact.withColumn("rnk", F.row_number().over(w_ex)).filter(
+        F.col("rnk") <= PQ_TOPK
+    )
+    return (
+        exact_top.select("qid", "cid")
+        .join(F.broadcast(scanned), "qid")
+        .join(
+            F.broadcast(adc_top.select("qid", "cid", F.lit(1).alias("hit"))),
+            ["qid", "cid"],
+            "left",
+        )
+        .groupBy("qid", "n_scanned")
+        .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hits"))
+        .select(
+            "qid",
+            "n_scanned",
             "n_hits",
             F.round(F.col("n_hits").cast("double") / PQ_TOPK, 4).alias("recall"),
         )

@@ -505,3 +505,92 @@ def test_i33_gate_quarantines_planted_neardup(spark, tmp_path):
     }
     assert out["s0"].n_docs == 1 and out["s0"].n_quarantined == 1
     assert out["s1"].n_docs == 2 and out["s1"].n_quarantined == 0
+
+
+def test_i34_stream_pq_tally_equals_batch_j129(spark):
+    """The complete-mode streaming PQ-encode tally must equal batch
+    j129 row-for-row (same trained codebooks, same lowest-cluster
+    assignment tie rule, same quantized distortion sums)."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.materialize import materialization_scope
+
+    registry.load_all_query_modules()
+    with materialization_scope():
+        batch = {
+            (r.sub, r.cluster): r.asDict()
+            for r in registry.QUERIES["j129_pq_codebook"](spark, SF).collect()
+        }
+        stream = {
+            (r.sub, r.cluster): r.asDict()
+            for r in registry.QUERIES["i34_stream_pq_encode"](spark, SF).collect()
+        }
+    assert stream == batch
+
+
+def test_j135_sweep_matches_python_truth_and_is_monotone(spark, tmp_path):
+    """Zipf-shaped planted vocabulary: coverage at each K equals the
+    python recompute exactly, rises monotonically in K, and hits 1.0
+    once K >= |V|."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.plans.audit_queries import VOCAB_SWEEP
+
+    registry.load_all_query_modules()
+    # token t{i} appears (40 - i) times, i = 0..39 — a strict freq order
+    words = []
+    for i in range(40):
+        words += [f"t{i:02d}"] * (40 - i)
+    # pack into 20 docs of 41 tokens each
+    rows = [
+        (d, " ".join(words[d * 41 : (d + 1) * 41]), "s0") for d in range(20)
+    ]
+    d = _docs_dir(spark, tmp_path, "vocabfix", rows)
+    out = {
+        r.vocab_size: r
+        for r in registry.QUERIES["j135_vocab_size_sweep"](spark, d).collect()
+    }
+    assert set(out) == set(VOCAB_SWEEP)
+    total = sum(40 - i for i in range(40))
+    prev = -1.0
+    for k in VOCAB_SWEEP:
+        covered = sum(40 - i for i in range(min(k, 40)))
+        r = out[k]
+        assert r.n_types_total == 40 and r.n_types_kept == min(k, 40)
+        assert r.token_coverage == round(covered / total, 6), (k, r)
+        assert r.oov_rate == round((total - covered) / total, 6)
+        assert r.token_coverage >= prev
+        prev = r.token_coverage
+
+
+def test_j136_inflation_counts_planted_copies(spark, tmp_path):
+    """src0 = 3 exact copies of A(10 tokens) + 1 unique B(20):
+    raw 50 → exact 30 → near 30 (inflation_exact 1.6667). src1 = C(24)
+    + near-copy C'(25 tokens, same 40-char prefix, J≥0.3) + unique
+    D(12): raw 61 → exact 61 → near 36. src2 clean."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    A = " ".join(f"alpha{k}" for k in range(10))
+    B = " ".join(f"beta{k}" for k in range(20))
+    C = " ".join(f"gammaword{k:02d}" for k in range(24))
+    Cp = C + " extrafinaltoken"
+    D = " ".join(f"delta{k}" for k in range(12))
+    E = " ".join(f"epsilon{k}" for k in range(15))
+    rows = [
+        (0, A, "src0"), (1, A, "src0"), (2, A, "src0"), (3, B, "src0"),
+        (4, C, "src1"), (5, Cp, "src1"), (6, D, "src1"),
+        (7, E, "src2"),
+    ]
+    d = _docs_dir(spark, tmp_path, "inflatefix", rows)
+    out = {
+        r.source: r
+        for r in registry.QUERIES["j136_dedup_token_inflation"](spark, d).collect()
+    }
+    s0 = out["src0"]
+    assert (s0.n_docs, s0.tokens_raw, s0.tokens_exact, s0.tokens_near) == (4, 50, 30, 30)
+    assert s0.inflation_exact == round(50 / 30, 4) and s0.inflation_near == round(50 / 30, 4)
+    s1 = out["src1"]
+    assert (s1.n_docs, s1.tokens_raw, s1.tokens_exact, s1.tokens_near) == (3, 61, 61, 36)
+    assert s1.inflation_near == round(61 / 36, 4)
+    s2 = out["src2"]
+    assert (s2.tokens_raw, s2.tokens_exact, s2.tokens_near) == (15, 15, 15)
+    assert s2.inflation_exact == 1.0 and s2.inflation_near == 1.0

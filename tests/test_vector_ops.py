@@ -125,3 +125,54 @@ def test_j130_perfect_recall_on_planted_patterns(spark, tmp_path):
     assert len(out) == 10
     for r in out:
         assert r.n_hits == 3 and r.recall == 1.0, r
+
+
+def test_j133_planted_axis_vectors_read_high_noise_vectors_low(spark, tmp_path):
+    """j128's planted-axis corpus: ±BIG·e0 vectors are ~99.7% common
+    axis (decile 9); two pure-noise vectors with NO e0 component must
+    read ~zero energy (decile 0)."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    rows = []
+    for i in range(40):
+        vec = [0.0] * 64
+        vec[0] = 10.0 if i % 2 == 0 else -10.0
+        vec[2 + i] += 0.5
+        rows.append((i, [float(x) for x in vec], i % 2))
+    for k in range(2):  # pure-noise vectors, zero common-axis share
+        vec = [0.0] * 64
+        vec[1] = 1.0 + 0.1 * k
+        rows.append((40 + k, [float(x) for x in vec], 5))
+    d = _emb_dir(spark, tmp_path, "energyfix", rows)
+    out = {r.vec_id: r for r in registry.QUERIES["j133_residual_energy"](spark, d).collect()}
+    assert len(out) == 42
+    for i in range(40):
+        assert out[i].energy_frac > 0.95 and out[i].decile == 9, out[i]
+    for k in (40, 41):
+        assert out[k].energy_frac < 0.05 and out[k].decile == 0, out[k]
+
+
+def test_j134_perfect_recall_and_cell_pruning_on_planted_blocks(spark, tmp_path):
+    """8 ORTHOGONAL one-hot-block patterns × 10 copies (pattern p
+    lights dims 8p..8p+7; label = p): the coarse probe must rank the
+    query's own cell first (csim 1 vs 0), PQ codes quantize each block
+    exactly (seeds = patterns), so ADC recall@3 is 1.0 for every query
+    while only nprobe·10 − 1 = 19 of the 79 candidates are scanned —
+    recall AND pruning proven in one fixture."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    rows = []
+    for copy in range(10):
+        for p in range(8):
+            vec = [0.0] * 64
+            for k in range(8):
+                vec[8 * p + k] = 1.0
+            rows.append((copy * 8 + p, [float(x) for x in vec], p))
+    d = _emb_dir(spark, tmp_path, "ivfpqfix", rows)
+    out = registry.QUERIES["j134_ivfpq_recall"](spark, d).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r.n_hits == 3 and r.recall == 1.0, r
+        assert r.n_scanned == 19, r
