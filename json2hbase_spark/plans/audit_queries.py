@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from json2hbase_spark.io import load, widen
 from json2hbase_spark.operators.text import whitespace_tokens
 from json2hbase_spark.plans.corpus_queries import (
+    MIX_ALPHA,
     QLR_B,
     QLR_W_AVGLEN,
     QLR_W_DIGIT,
@@ -1332,6 +1333,25 @@ def j136_dedup_token_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
     accounting riding the same shuffles — no new corpus-sized stage.
     Swap the blocked verifier for j48's banded MinHash on unblocked
     corpora (same accounting)."""
+    return _source_token_budgets(spark, sf_dir).select(
+        "source",
+        "n_docs",
+        "tokens_raw",
+        "tokens_exact",
+        "tokens_near",
+        F.round(
+            F.col("tokens_raw").cast("double") / F.col("tokens_exact"), 4
+        ).alias("inflation_exact"),
+        F.round(F.col("tokens_raw").cast("double") / F.col("tokens_near"), 4).alias(
+            "inflation_near"
+        ),
+    )
+
+
+def _source_token_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared j136/j137 kernel: per-source (n_docs, tokens_raw,
+    tokens_exact, tokens_near) under j34's cascade semantics — the
+    Spark twin of the _DUCK_BUDGET_PARTS ``budgets`` CTE."""
     from json2hbase_spark.materialize import materialize
     from json2hbase_spark.operators.dedup import char_shingles, normalize_text
 
@@ -1389,15 +1409,71 @@ def j136_dedup_token_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return raw.join(kept, "source").select(
+        "source", "n_docs", "tokens_raw", "tokens_exact", "tokens_near"
+    )
+
+
+# ---------------------------------------------------------------- j137
+
+
+@query(
+    "j137_corrected_mixture",
+    oracle=f"""
+    WITH {_DUCK_BUDGET_PARTS},
+    zs AS (
+      SELECT SUM(pow(CAST(tokens_raw AS DOUBLE), {MIX_ALPHA})) AS z_raw,
+             SUM(pow(CAST(tokens_near AS DOUBLE), {MIX_ALPHA})) AS z_near
+      FROM budgets
+    )
+    SELECT b.source, b.tokens_raw, b.tokens_near,
+           round(pow(CAST(b.tokens_raw AS DOUBLE), {MIX_ALPHA}) / z.z_raw, 6)
+             AS w_raw,
+           round(pow(CAST(b.tokens_near AS DOUBLE), {MIX_ALPHA}) / z.z_near, 6)
+             AS w_corrected,
+           round(round(pow(CAST(b.tokens_raw AS DOUBLE), {MIX_ALPHA}) / z.z_raw, 6)
+                 / round(pow(CAST(b.tokens_near AS DOUBLE), {MIX_ALPHA}) / z.z_near, 6),
+                 4) AS overweight
+    FROM budgets b, zs z
+    """,
+)
+def j137_corrected_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-corrected mixture weights — the op j136 exists to feed:
+    j61's temperature weighting (w ∝ tokens^α, α = the UNIMAX/mT5
+    flattening exponent) computed TWICE, once on raw per-source token
+    budgets and once on the cascade-surviving budgets, with the
+    overweight ratio w_raw / w_corrected per source. A source whose
+    apparent budget is mostly copies gets overweight > 1 — raw-count
+    mixtures would sample its unique content MORE often per unique
+    token than clean sources', exactly the duplication-amplification
+    a trained model sees as memorization pressure. The corrected
+    column is what the sampler (j19/j61's md5-threshold realization)
+    should consume.
+
+    Exactness: budgets are exact BIGINTs from the shared j136 kernel;
+    pow(double, α) is the j61-established cross-engine-identical
+    chain; each weight rounds to 6 decimals BEFORE the ratio (the
+    ratio divides the two ROUNDED weights, so both engines divide
+    identical doubles), and the ratio rounds once. Plan: everything
+    after the |sources|-row budgets table is arithmetic on ≤|sources|
+    rows + one 1-row broadcast of the two normalizers — the dedup
+    cascade underneath is the only corpus-sized work, shared with
+    j136 at 100 TB (run once, feed both reports)."""
+    b = _source_token_budgets(spark, sf_dir)
+    zs = b.agg(
+        F.sum(F.pow(F.col("tokens_raw").cast("double"), MIX_ALPHA)).alias("z_raw"),
+        F.sum(F.pow(F.col("tokens_near").cast("double"), MIX_ALPHA)).alias("z_near"),
+    )
+    w_raw = F.round(
+        F.pow(F.col("tokens_raw").cast("double"), MIX_ALPHA) / F.col("z_raw"), 6
+    )
+    w_cor = F.round(
+        F.pow(F.col("tokens_near").cast("double"), MIX_ALPHA) / F.col("z_near"), 6
+    )
+    return b.crossJoin(F.broadcast(zs)).select(
         "source",
-        "n_docs",
         "tokens_raw",
-        "tokens_exact",
         "tokens_near",
-        F.round(
-            F.col("tokens_raw").cast("double") / F.col("tokens_exact"), 4
-        ).alias("inflation_exact"),
-        F.round(F.col("tokens_raw").cast("double") / F.col("tokens_near"), 4).alias(
-            "inflation_near"
-        ),
+        w_raw.alias("w_raw"),
+        w_cor.alias("w_corrected"),
+        F.round(w_raw / w_cor, 4).alias("overweight"),
     )

@@ -2990,3 +2990,177 @@ def j117_cross_source_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_docs").cast("bigint").alias("max_cluster_docs"),
         )
     )
+
+
+# --------------------------------------------------------------- j138
+
+
+def _duck_lexsem_oracle() -> str:
+    from json2hbase_spark.plans.llm_queries import _duck_bucket, _duck_dot, _duck_norm
+
+    base = _duck_md5_minhash_oracle()
+    head = base[: base.index("SELECT c.doc_a")]
+    jacc = (
+        "CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)"
+        " / (len(sa.shingles) + len(sb.shingles)"
+        " - len(list_intersect(sa.shingles, sb.shingles)))"
+    )
+    return (
+        head
+        + f""", vp AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b
+      WHERE {jacc} >= 0.5
+    ),
+    bv AS MATERIALIZED (
+      SELECT vec_id, embedding, {_duck_bucket("embedding")} AS bucket,
+             {_duck_norm("embedding")} AS nrm
+      FROM embeddings
+    ),
+    sem AS (
+      SELECT a.vec_id AS doc_a, b2.vec_id AS doc_b
+      FROM bv a JOIN bv b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+      WHERE {_duck_dot("a.embedding", "b2.embedding")} / (a.nrm * b2.nrm) >= 0.35
+    ),
+    allp AS (
+      SELECT COALESCE(v.doc_a, s.doc_a) AS doc_a,
+             COALESCE(v.doc_b, s.doc_b) AS doc_b,
+             v.doc_a IS NOT NULL AS is_lex,
+             s.doc_a IS NOT NULL AS is_sem
+      FROM vp v FULL JOIN sem s ON s.doc_a = v.doc_a AND s.doc_b = v.doc_b
+    ),
+    att AS (
+      SELECT CASE WHEN p.is_lex AND p.is_sem THEN 'both'
+                  WHEN p.is_lex THEN 'lexical_only'
+                  ELSE 'semantic_only' END AS category,
+             CAST(floor({jacc} * 10000) AS BIGINT) AS qj,
+             CAST(floor({_duck_dot("ea.embedding", "eb.embedding")}
+                        / (ea.nrm * eb.nrm) * 1000000) AS BIGINT) AS qs
+      FROM allp p
+      JOIN sh sa ON sa.doc_id = p.doc_a
+      JOIN sh sb ON sb.doc_id = p.doc_b
+      JOIN bv ea ON ea.vec_id = p.doc_a
+      JOIN bv eb ON eb.vec_id = p.doc_b
+    )
+    SELECT category,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(qj) AS DOUBLE) / (COUNT(*) * 10000), 4) AS avg_jacc,
+           round(CAST(SUM(qs) AS DOUBLE) / (COUNT(*) * 1000000), 4) AS avg_cos
+    FROM att GROUP BY category
+    """
+    )
+
+
+@query("j138_lexical_semantic_agreement", oracle=_duck_lexsem_oracle())
+def j138_lexical_semantic_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical vs semantic near-dup AGREEMENT — the audit that decides
+    whether an embedding-dedup pass (j16/j43) adds anything over the
+    MinHash banding (j48) everyone already runs: the two candidate
+    generators' verified pair sets (lexical: banded md5-MinHash
+    confirmed at exact Jaccard ≥ 0.5; semantic: LSH-bucket-blocked
+    cosine ≥ 0.35, via the vec_id ≡ doc_id fixture convention j73's
+    hybrid fusion established) are full-outer matched and every pair
+    in the union gets BOTH measures recomputed — so the report reads:
+    'both' = near-dups any method catches, 'lexical_only' = shared
+    surface text with divergent embeddings (template/boilerplate
+    families), 'semantic_only' = paraphrase-grade duplication ONLY the
+    embedding space sees — the pairs that justify the semantic pass'
+    GPU cost. avg_jacc/avg_cos per category quantify the separation.
+
+    Exactness: Jaccard and cosine quantize to BIGINTs (floor(j·10⁴),
+    floor(cos·10⁶)) before the per-category sums (j101's discipline);
+    the cosine is the established sequential fold. Plan: reuses j48's
+    banded pipeline and j16's bucket blocking (never all-pairs on
+    either side); the full-outer merge and the four attach joins act
+    on PAIR tables bounded by duplication density (≪ corpus — j73's
+    category for the unbroadcastable full outer); per-category agg is
+    3 rows. At 100 TB: the two dedup passes the pipeline already
+    runs, plus pair-sized bookkeeping."""
+    from json2hbase_spark.operators.similarity import l2_norm, lsh_bucket
+    from json2hbase_spark.operators.similarity import dot as _dot
+    from json2hbase_spark.plans.llm_queries import LSH_PLANES
+
+    sh, cand = _md5_minhash_parts(spark, sf_dir)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    vp = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(inter.cast("double") / union >= 0.5)
+        .select("doc_a", "doc_b", F.lit(1).alias("_lex"))
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    bv = materialize(
+        widen(emb).select(
+            "vec_id",
+            "embedding",
+            lsh_bucket(F.col("embedding"), LSH_PLANES).alias("bucket"),
+            l2_norm(F.col("embedding")).alias("nrm"),
+        )
+    )
+    ea = bv.select(
+        "bucket",
+        F.col("vec_id").alias("doc_a"),
+        F.col("embedding").alias("e_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    eb = bv.select(
+        F.col("bucket").alias("bucket_b"),
+        F.col("vec_id").alias("doc_b"),
+        F.col("embedding").alias("e_b"),
+        F.col("nrm").alias("n_b"),
+    )
+    cos = _dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
+    sem = (
+        ea.join(
+            eb,
+            (F.col("bucket") == F.col("bucket_b")) & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .filter(cos >= 0.35)
+        .select("doc_a", "doc_b", F.lit(1).alias("_sem"))
+    )
+    allp = vp.join(sem, ["doc_a", "doc_b"], "full")
+    category = (
+        F.when(F.col("_lex").isNotNull() & F.col("_sem").isNotNull(), F.lit("both"))
+        .when(F.col("_lex").isNotNull(), F.lit("lexical_only"))
+        .otherwise(F.lit("semantic_only"))
+    )
+    att = (
+        allp.select("doc_a", "doc_b", category.alias("category"))
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(
+            bv.select(
+                F.col("vec_id").alias("doc_a"),
+                F.col("embedding").alias("e_a"),
+                F.col("nrm").alias("n_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            bv.select(
+                F.col("vec_id").alias("doc_b"),
+                F.col("embedding").alias("e_b"),
+                F.col("nrm").alias("n_b"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "category",
+            F.floor(inter.cast("double") / union * 10000).cast("bigint").alias("qj"),
+            F.floor(cos * 1000000).cast("bigint").alias("qs"),
+        )
+    )
+    return att.groupBy("category").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(F.sum("qj").cast("double") / (F.count("*") * 10000), 4).alias(
+            "avg_jacc"
+        ),
+        F.round(F.sum("qs").cast("double") / (F.count("*") * 1000000), 4).alias(
+            "avg_cos"
+        ),
+    )

@@ -2429,3 +2429,91 @@ def i34_stream_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_dist"),
     )
+
+
+# ---------------------------------------------------------------- i35
+
+OOV_VOCAB_K = 16  # fixed ingest vocabulary: top-K types (fixture |V| = 31)
+
+
+def _i35_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT source, unnest(list_filter(string_split(text, ' '), x -> x != ''))
+               AS token
+      FROM documents
+    ),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, row_number() OVER (ORDER BY COUNT(*) DESC, token) AS rnk
+        FROM toks GROUP BY token
+      ) WHERE rnk <= {OOV_VOCAB_K}
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON v.token = t.token
+    GROUP BY t.source
+    """
+
+
+@query("i35_stream_oov_monitor", oracle=_i35_oracle())
+def i35_stream_oov_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING out-of-vocabulary monitor — j135's tokenizer-budget
+    decision watched LIVE at ingest: the vocabulary is fixed (top-
+    {OOV_VOCAB_K} types of the reference corpus, j135's frequency
+    ranking at one K), and every arriving document's tokens are
+    checked against it; per-source token and OOV tallies accumulate
+    in complete mode. A source whose live oov_rate climbs above its
+    training-time value is drifting off the tokenizer — new jargon,
+    a new language, or a crawler bug — THE signal that the vocab
+    (and everything downstream of tokenization) needs a refresh,
+    visible micro-batches before any batch audit. Final tally ≡ the
+    batch computation (same oracle — the i25/i29–i34 stream≡batch
+    equivalence contract).
+
+    Plan: the vocabulary broadcasts as a {OOV_VOCAB_K}-row static
+    side into a stream-static left join on the stateless token
+    explode (no per-doc state); complete-mode state is |sources|
+    rows regardless of stream length. At 100 TB of stream:
+    scan-shaped per batch, one |sources|-row exchange."""
+    from json2hbase_spark.io import load_table_stream, widen
+    from json2hbase_spark.operators.text import whitespace_tokens
+
+    docs = load(spark, sf_dir, "documents")
+    cnt = (
+        widen(docs)
+        .select(F.explode(whitespace_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    # top-K via TakeOrderedAndProject (per-partition top-K + a K-row
+    # merge — no global sort, no single-partition exchange), batch-side
+    vocab = (
+        cnt.orderBy(F.desc("c"), F.asc("token"))
+        .limit(OOV_VOCAB_K)
+        .select("token", F.lit(1).alias("_inv"))
+    )
+    stream = load_table_stream(spark, sf_dir, "documents")
+    toks = stream.select(
+        "source", F.explode(whitespace_tokens(F.col("text"))).alias("token")
+    )
+    flagged = toks.join(F.broadcast(vocab), "token", "left")
+    tally = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0)).alias("n_oov"),
+    )
+    with scoped_stream_confs(spark):
+        _run_to_memory(tally, "i35_mem", "complete")
+    g = spark.table("i35_mem")
+    return g.select(
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_oov").cast("bigint").alias("n_oov"),
+        F.round(F.col("n_oov").cast("double") / F.col("n_tokens"), 6).alias(
+            "oov_rate"
+        ),
+    )

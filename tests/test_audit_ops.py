@@ -594,3 +594,72 @@ def test_j136_inflation_counts_planted_copies(spark, tmp_path):
     s2 = out["src2"]
     assert (s2.tokens_raw, s2.tokens_exact, s2.tokens_near) == (15, 15, 15)
     assert s2.inflation_exact == 1.0 and s2.inflation_near == 1.0
+
+
+def test_j137_overweight_flags_duplicated_source(spark, tmp_path):
+    """j136's planted fixture: src0's budget is 60% copies, so its
+    raw-count mixture weight must exceed its dedup-corrected weight
+    (overweight > 1), clean src2's must not (≤ 1); every value equals
+    the python recompute at alpha=0.7."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.plans.corpus_queries import MIX_ALPHA
+
+    registry.load_all_query_modules()
+    A = " ".join(f"alpha{k}" for k in range(10))
+    B = " ".join(f"beta{k}" for k in range(20))
+    E = " ".join(f"epsilon{k}" for k in range(15))
+    rows = [
+        (0, A, "src0"), (1, A, "src0"), (2, A, "src0"), (3, B, "src0"),
+        (7, E, "src2"),
+    ]
+    d = _docs_dir(spark, tmp_path, "mixfix", rows)
+    out = {
+        r.source: r
+        for r in registry.QUERIES["j137_corrected_mixture"](spark, d).collect()
+    }
+    raw = {"src0": 50, "src2": 15}
+    near = {"src0": 30, "src2": 15}
+    z_raw = sum(v ** MIX_ALPHA for v in raw.values())
+    z_near = sum(v ** MIX_ALPHA for v in near.values())
+    for s in ("src0", "src2"):
+        r = out[s]
+        wr = round(raw[s] ** MIX_ALPHA / z_raw, 6)
+        wc = round(near[s] ** MIX_ALPHA / z_near, 6)
+        assert (r.tokens_raw, r.tokens_near) == (raw[s], near[s])
+        assert r.w_raw == wr and r.w_corrected == wc, (s, r)
+        assert r.overweight == round(wr / wc, 4)
+    assert out["src0"].overweight > 1.0 and out["src2"].overweight < 1.0
+
+
+def test_i35_oov_tally_matches_python_truth(spark, tmp_path):
+    """j135's Zipf fixture split over two sources: with the top-16
+    vocab pinned from the same corpus, the streaming per-source OOV
+    tallies must equal the python recompute exactly."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.plans.streaming_queries import OOV_VOCAB_K
+
+    registry.load_all_query_modules()
+    words = []
+    for i in range(40):
+        words += [f"t{i:02d}"] * (40 - i)
+    rows = [
+        (d, " ".join(words[d * 41 : (d + 1) * 41]), f"s{d % 2}") for d in range(20)
+    ]
+    d = _docs_dir(spark, tmp_path, "oovfix", rows)
+    out = {
+        r.source: r
+        for r in registry.QUERIES["i35_stream_oov_monitor"](spark, d).collect()
+    }
+    # python truth: vocab = 16 most frequent types (freq ties none)
+    from collections import Counter
+
+    docs_toks = {s: [] for s in ("s0", "s1")}
+    for did, text, src in rows:
+        docs_toks[src] += text.split()
+    vocab = {t for t, _ in Counter(sum(docs_toks.values(), [])).most_common(OOV_VOCAB_K)}
+    for s in ("s0", "s1"):
+        toks = docs_toks[s]
+        oov = sum(1 for t in toks if t not in vocab)
+        assert out[s].n_tokens == len(toks)
+        assert out[s].n_oov == oov, (s, out[s], oov)
+        assert out[s].oov_rate == round(oov / len(toks), 6)

@@ -643,3 +643,76 @@ def test_j117_source_set_clusters_resolve_transitively(spark, tmp_path):
     tpl = out["s4"]
     assert tpl.n_clusters == 1 and tpl.n_docs == 2 and tpl.n_pairs == 1
     assert all("s5" not in k for k in out)
+
+
+def test_j138_categories_on_planted_pairs(spark, tmp_path):
+    """Three planted pair families: near-identical text + orthogonal
+    embeddings → lexical_only; unrelated text + identical embeddings
+    → semantic_only; near-identical on both → both. Counts and
+    category averages must separate exactly."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.materialize import materialization_scope
+
+    registry.load_all_query_modules()
+    lex = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "in spain falls mainly on the plain and every good boy does fine"
+    )
+    sem_a = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi"
+    )
+    sem_b = (
+        "zyx wvu tsr qpo nml kji hgf edc ba totally different char "
+        "grams here by construction nothing shared with the other text"
+    )
+    both = (
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+        "eiusmod tempor incididunt ut labore et dolore magna aliqua"
+    )
+    rows = [
+        (0, lex + " tail one"),   # lexical pair, orthogonal embeddings
+        (1, lex + " tail two"),
+        (2, sem_a),               # unrelated text, identical embeddings
+        (3, sem_b),
+        (4, both + " alpha"),     # near-dup on both axes
+        (5, both + " betaa"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "lexsem")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    def unit(dim):
+        v = [0.0] * 64
+        v[dim] = 1.0
+        return [float(x) for x in v]
+
+    emb = [
+        (0, unit(0), 0),
+        (1, unit(1), 0),   # orthogonal to 0 → cos 0
+        (2, unit(5), 1),
+        (3, unit(5), 1),   # identical → cos 1
+        (4, unit(9), 2),
+        (5, unit(9), 2),   # identical → cos 1
+    ]
+    spark.createDataFrame(
+        emb, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    with materialization_scope():
+        out = {
+            r.category: r
+            for r in registry.QUERIES["j138_lexical_semantic_agreement"](
+                spark, d
+            ).collect()
+        }
+    assert out["lexical_only"].n_pairs == 1
+    assert out["lexical_only"].avg_cos == 0.0
+    assert out["lexical_only"].avg_jacc >= 0.5
+    assert out["semantic_only"].n_pairs == 1
+    assert out["semantic_only"].avg_cos == 1.0
+    assert out["semantic_only"].avg_jacc < 0.3
+    assert out["both"].n_pairs == 1
+    assert out["both"].avg_cos == 1.0 and out["both"].avg_jacc >= 0.5

@@ -113,6 +113,12 @@ AUDIT = {
     "j129_pq_codebook": "ONE grouped Lloyd plan for all 8 subspaces: per round a 64-row centroid broadcast + min(struct) hash-agg argmin + QCENT_AVG update; distortion quantized to BIGINT before the (sub, cluster) agg",
     "j130_pq_adc_recall": "640-row query LUT broadcast onto the code table (8 integer rows per vector — the compressed scan) into a (qid, cid) hash agg; exact side a bounded-query broadcast crossJoin; per-qid top-k windows over candidate-bounded partitions",
     "j131_corpus_pipeline": "six materialized stage boundaries (each stage its standalone op's shape: hash aggs, one norm window, one blocked pair join, broadcast gram semi-joins, one pack window); audit rows are |langs|-row aggs over tables already in hand",
+    "j133_residual_energy": "eigvec = ONE broadcast 64-array (j122's shape); per-vector energy a per-row codegen fold over one corpus scan — no shuffle beyond j121's covariance pass",
+    "j134_ivfpq_recall": "centroids/probed/LUT all broadcast; ADC join label-pruned BEFORE the code lookup into a (qid, cid) hash agg; exact side a bounded-query broadcast crossJoin (j130's category)",
+    "j135_vocab_size_sweep": "token explode + (lang, token) partial-combined hash agg, then a per-LANG rank window over the post-agg vocabulary (bounded by |V|, not corpus) and one broadcast sweep fan-out",
+    "j136_dedup_token_inflation": "j34's cascade shapes (norm-keyed min agg, blocked self-join on the materialized survivor shingle table) + two source-keyed aggs; the near-drop set broadcasts",
+    "j137_corrected_mixture": "the shared j136 budgets kernel then ≤|sources|-row arithmetic with a 1-row normalizer broadcast — no new corpus-sized stage",
+    "j138_lexical_semantic_agreement": "j48's banded pipeline + j16's bucket blocking, full-outer pair merge (j73's category) + four id-keyed attach joins on pair-sized tables; final agg 3 rows",
 }
 
 MARKERS = (
@@ -168,6 +174,9 @@ SMJ_JUSTIFIED = {
     "j117_cross_source_clusters": "j48's banded candidate pair join (both sides corpus-sized, j43's category) + _labels_converged over the verified edge set (edges vs labels, j108's category); the broadcast fast path takes over below BROADCAST_EDGE_LIMIT at runtime",
     "j128_whiten_rescore": "j16's LSH-bucket-blocked pair self-join on the whitened residual table — both sides corpus-sized (j43's category); the eigvec itself broadcasts",
     "j132_incremental_winnow": "the fh containment join (new-batch fingerprints vs the persisted corpus index — both grow with data, j49's category) plus the doc-keyed audit joins of its batch-sized aggregates",
+    "j136_dedup_token_inflation": "j34's prefix-blocked pair self-join on the materialized survivor shingle table — both sides corpus-sized (j43's category)",
+    "j137_corrected_mixture": "the shared j136 budgets kernel underneath — same blocked pair self-join (j43's category); everything above it is |sources|-row",
+    "j138_lexical_semantic_agreement": "j48's banded candidate join + j16's bucket-blocked pair join (both corpus-sized, j43's category) + the full-outer pair-set merge (FULL OUTER has no broadcast form — j73's category, both sides bounded by duplication density) + pair-keyed attach joins",
 }
 
 
