@@ -2517,3 +2517,140 @@ def i35_stream_oov_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "oov_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------- i36
+
+
+def _i36_oracle() -> str:
+    from json2hbase_spark.plans.selection_queries import (
+        COV_SCALE,
+        POWER_ITERS,
+        _duck_power_parts,
+    )
+    from json2hbase_spark.plans.vector_queries import ENERGY_DECILES
+
+    last = POWER_ITERS
+    parts = _duck_power_parts()
+    parts.append(
+        f"""evl AS (
+      SELECT list(e.v * sgn.sg ORDER BY e.dim) AS v
+      FROM v{last} e, sgn GROUP BY sgn.sg
+    ),
+    vvw AS (SELECT CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT)
+              AS vv FROM evl),
+    dots AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(range(1, 65),
+                    i -> q[i] * evl.v[i])) AS BIGINT) AS qv,
+             CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS qq
+      FROM (SELECT vec_id,
+                   list_transform(embedding,
+                                  x -> CAST(floor(CAST(x AS DOUBLE) * {COV_SCALE})
+                                            AS BIGINT)) AS q
+            FROM embeddings), evl
+    ),
+    en AS (
+      SELECT CASE WHEN qq = 0 THEN 0.0
+                  ELSE (CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE))
+                       / (CAST(qq AS DOUBLE) * CAST(t.vv AS DOUBLE))
+             END AS e
+      FROM dots, vvw t
+    )
+    SELECT CAST(least(CAST(floor(e * {ENERGY_DECILES}) AS BIGINT),
+                      {ENERGY_DECILES - 1}) AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CAST(floor(e * 1000000) AS BIGINT)) AS BIGINT) AS sum_qe,
+           round(CAST(SUM(CAST(floor(e * 1000000) AS BIGINT)) AS DOUBLE)
+                 / (COUNT(*) * 1000000), 6) AS mean_energy
+    FROM en GROUP BY 1"""
+    )
+    return "WITH " + ",\n    ".join(parts)
+
+
+@query("i36_stream_energy_monitor", oracle=_i36_oracle())
+def i36_stream_energy_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING common-axis energy monitor — j133's per-vector audit
+    watched LIVE at ingest (completing this round's streaming-twin
+    set: i34 ↔ j129, i35 ↔ j135, i36 ↔ j133): the top principal axis
+    is pinned batch-side (j121's accelerated power iteration over the
+    reference corpus), and every ARRIVING embedding's common-axis
+    energy share lands in its decile bucket; per-decile counts and
+    quantized energy sums accumulate in complete mode. Mass shifting
+    toward decile 9 means arriving vectors are increasingly
+    boilerplate-axis — similarity scores are inflating and j128's
+    whitening (or a re-fit of the axis) is due; mass shifting to
+    decile 0 means the pinned axis no longer describes the stream.
+    Final tally ≡ the batch histogram (same oracle — the i25/i29–i35
+    stream≡batch equivalence contract).
+
+    Plan: eigvec + its norm collapse to ONE broadcast row (i32's
+    shape); the energy is a stateless per-row HOF fold (exact int64
+    dots, one double ratio of exactly-representable ints — both
+    engines floor the identical double); complete-mode state is ≤
+    {10} rows at any stream length. At 100 TB of stream: scan-bound
+    per batch, one 10-row exchange."""
+    from json2hbase_spark.io import load_table_stream
+    from json2hbase_spark.plans.selection_queries import COV_SCALE, _power_eigvec
+    from json2hbase_spark.plans.vector_queries import ENERGY_DECILES
+
+    v_signed, _ = _power_eigvec(spark, sf_dir)
+    ev_row = (
+        v_signed.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "v"))), lambda x: x["v"]
+            ).alias("v")
+        )
+        .select(
+            "v",
+            F.aggregate(
+                F.zip_with("v", "v", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("vv"),
+        )
+    )
+    stream = load_table_stream(spark, sf_dir, "embeddings")
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    q = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * COV_SCALE).cast("long")
+    )
+    dots = (
+        stream.select(q.alias("q"))
+        .crossJoin(F.broadcast(ev_row))
+        .select(
+            fold(F.zip_with("q", "v", lambda a, b: a * b)).alias("qv"),
+            fold(F.zip_with("q", "q", lambda a, b: a * b)).alias("qq"),
+            "vv",
+        )
+    )
+    energy = F.when(F.col("qq") == 0, F.lit(0.0)).otherwise(
+        (F.col("qv").cast("double") * F.col("qv").cast("double"))
+        / (F.col("qq").cast("double") * F.col("vv").cast("double"))
+    )
+    binned = dots.select(
+        F.least(
+            F.floor(energy * ENERGY_DECILES).cast("long"),
+            F.lit(ENERGY_DECILES - 1).cast("long"),
+        )
+        .cast("int")
+        .alias("decile"),
+        F.floor(energy * 1000000).cast("long").alias("qe"),
+    )
+    tally = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("qe").alias("sum_qe"),
+    )
+    with scoped_stream_confs(spark):
+        _run_to_memory(tally, "i36_mem", "complete")
+    g = spark.table("i36_mem")
+    return g.select(
+        "decile",
+        F.col("n_vecs").cast("bigint").alias("n_vecs"),
+        F.col("sum_qe").cast("bigint").alias("sum_qe"),
+        F.round(
+            F.col("sum_qe").cast("double") / (F.col("n_vecs") * 1000000), 6
+        ).alias("mean_energy"),
+    )

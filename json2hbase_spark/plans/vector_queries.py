@@ -496,52 +496,61 @@ def _duck_pq_sqdist(a: str, b: str) -> str:
     )
 
 
-def _duck_pq_parts(iters: int = PQ_ITERS) -> list[str]:
+_DUCK_PV_EMB = (
+    "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve"
+    " FROM embeddings"
+)
+
+
+def _duck_pq_parts(
+    iters: int = PQ_ITERS, pv_sql: str = _DUCK_PV_EMB, p: str = ""
+) -> list[str]:
     """Unrolled per-subspace Lloyd iterations ending in
-    ``paf(vec_id, sub, cluster, d)`` + ``pc{iters}(sub, cluster, ce)``
-    — the PQ twin of advanced_queries.kmeans_ctes with the subspace id
-    threaded through every stage."""
+    ``{p}paf(vec_id, sub, cluster, d)`` + ``{p}pc{iters}(sub, cluster,
+    ce)`` — the PQ twin of advanced_queries.kmeans_ctes with the
+    subspace id threaded through every stage. ``pv_sql`` defines the
+    input vector CTE (vec_id, ve array<double>); ``p`` prefixes every
+    CTE name so two chains (raw + whitened, j139) can coexist."""
     q = QCENT_AVG.format(v=f"sv[i.i + 1]")
     parts = [
-        """pv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
-     FROM embeddings)""",
-        f"""psv AS MATERIALIZED (
+        f"""{p}pv AS ({pv_sql})""",
+        f"""{p}psv AS MATERIALIZED (
       SELECT vec_id, s.s AS sub,
              list_slice(ve, s.s * {PQ_SUBDIM} + 1, s.s * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv
-      FROM pv, (SELECT unnest(range({PQ_M})) AS s) s
+      FROM {p}pv, (SELECT unnest(range({PQ_M})) AS s) s
     )""",
-        f"""pc0 AS (SELECT sub, CAST(vec_id AS INTEGER) AS cluster, sv AS ce
-     FROM psv WHERE vec_id < {PQ_K})""",
+        f"""{p}pc0 AS (SELECT sub, CAST(vec_id AS INTEGER) AS cluster, sv AS ce
+     FROM {p}psv WHERE vec_id < {PQ_K})""",
     ]
-    prev = "pc0"
+    prev = f"{p}pc0"
     for it in range(1, iters + 1):
         parts.append(
-            f"""pa{it} AS (
+            f"""{p}pa{it} AS (
       SELECT vec_id, sub, sv, cluster FROM (
         SELECT p.vec_id, p.sub, p.sv, c.cluster,
                row_number() OVER (PARTITION BY p.vec_id, p.sub
                                   ORDER BY {_duck_pq_sqdist('p.sv', 'c.ce')}, c.cluster) AS rn
-        FROM psv p JOIN {prev} c ON c.sub = p.sub) WHERE rn = 1)"""
+        FROM {p}psv p JOIN {prev} c ON c.sub = p.sub) WHERE rn = 1)"""
         )
         parts.append(
-            f"""pcl{it} AS (
+            f"""{p}pcl{it} AS (
       SELECT sub, cluster, i.i AS pos, {q} AS cv
-      FROM pa{it}, (SELECT unnest(range({PQ_SUBDIM})) AS i) i GROUP BY 1, 2, 3)"""
+      FROM {p}pa{it}, (SELECT unnest(range({PQ_SUBDIM})) AS i) i GROUP BY 1, 2, 3)"""
         )
         parts.append(
-            f"""pc{it} AS MATERIALIZED (
+            f"""{p}pc{it} AS MATERIALIZED (
       SELECT sub, cluster, list(cv ORDER BY pos) AS ce
-      FROM pcl{it} GROUP BY sub, cluster)"""
+      FROM {p}pcl{it} GROUP BY sub, cluster)"""
         )
-        prev = f"pc{it}"
+        prev = f"{p}pc{it}"
     parts.append(
-        f"""paf AS MATERIALIZED (
+        f"""{p}paf AS MATERIALIZED (
       SELECT vec_id, sub, cluster, d FROM (
         SELECT p.vec_id, p.sub, c.cluster,
                {_duck_pq_sqdist('p.sv', 'c.ce')} AS d,
                row_number() OVER (PARTITION BY p.vec_id, p.sub
                                   ORDER BY {_duck_pq_sqdist('p.sv', 'c.ce')}, c.cluster) AS rn
-        FROM psv p JOIN {prev} c ON c.sub = p.sub) WHERE rn = 1)"""
+        FROM {p}psv p JOIN {prev} c ON c.sub = p.sub) WHERE rn = 1)"""
     )
     return parts
 
@@ -569,16 +578,20 @@ def _pq_sqdist(a, b):
     )
 
 
-def _pq_train(spark: SparkSession, sf_dir: str):
+def _pq_train(spark: SparkSession, sf_dir: str, vectors: DataFrame | None = None):
     """Shared PQ trainer: returns (subvecs, cents, codes) — the
     materialized (vec_id, sub, sv) table, the final (sub, cluster, ce)
     codebooks and the (vec_id, sub, cluster, d) code assignment. The
     Lloyd discipline is j21's bit-exact kernel fanned out per
     subspace: one grouped plan trains all {PQ_M} codebooks at once
-    (sub rides every key), not {PQ_M} sequential jobs."""
-    emb = load(spark, sf_dir, "embeddings")
+    (sub rides every key), not {PQ_M} sequential jobs. ``vectors``
+    (vec_id, embedding) overrides the default embeddings scan —
+    j139 trains on the whitened residual table through this hook."""
+    emb = (
+        widen(load(spark, sf_dir, "embeddings")) if vectors is None else vectors
+    )
     subvecs = materialize(
-        widen(emb).select(
+        emb.select(
             "vec_id",
             F.explode(
                 F.array(
@@ -774,6 +787,15 @@ def j130_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("ve")
     )
+    return _pq_adc_recall_table(vecs, cents, codes)
+
+
+def _pq_adc_recall_table(
+    vecs: DataFrame, cents: DataFrame, codes: DataFrame
+) -> DataFrame:
+    """Shared j130/j139 harness: ADC top-{PQ_TOPK} over ``codes``
+    against the {PQ_NQ}-query LUT on ``cents``, compared to the exact
+    scan over ``vecs`` (vec_id, ve) — returns (qid, n_hits, recall)."""
     q = vecs.filter(F.col("vec_id") < PQ_NQ).select(
         F.col("vec_id").alias("qid"), F.col("ve").alias("qe")
     )
@@ -805,9 +827,12 @@ def j130_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rnk") <= PQ_TOPK
     )
     full_d = _pq_sqdist(F.col("qe"), F.col("ve"))
-    exact = q.crossJoin(vecs).filter(F.col("vec_id") != F.col("qid")).select(
-        "qid", F.col("vec_id").alias("cid"), full_d.alias("d")
-    )
+    # queries broadcast explicitly: vecs may be a localCheckpoint-backed
+    # table AQE cannot size (j139's whitened chain), which would turn
+    # the bounded-query cross join into a CartesianProduct
+    exact = vecs.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("qid")
+    ).select("qid", F.col("vec_id").alias("cid"), full_d.alias("d"))
     w_ex = Window.partitionBy("qid").orderBy("d", "cid")
     exact_top = exact.withColumn("rnk", F.row_number().over(w_ex)).filter(
         F.col("rnk") <= PQ_TOPK
@@ -1138,4 +1163,216 @@ def j134_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hits",
             F.round(F.col("n_hits").cast("double") / PQ_TOPK, 4).alias("recall"),
         )
+    )
+
+
+# --------------------------------------------------------------- j139
+
+WHITEN_PQ_DIV = float(WHITEN_RDIV)  # 2^20: exact binary rescale to O(1)
+
+
+def _duck_adc_parts(p: str) -> list[str]:
+    """ADC recall CTE chain against the ``{p}``-prefixed PQ chain:
+    {p}pq/{p}lut/{p}adc/{p}adc_top/{p}exact_top/{p}rec — j130's
+    harness as reusable parts (two instances coexist in j139)."""
+    full_sqdist = (
+        "list_aggregate(list_transform(range(1,65),"
+        " i -> (q.qe[i] - c.ve[i]) * (q.qe[i] - c.ve[i])), 'sum')"
+    )
+    sub_slice = "list_slice(q.qe, s.sub * %d + 1, s.sub * %d + %d)" % (
+        PQ_SUBDIM,
+        PQ_SUBDIM,
+        PQ_SUBDIM,
+    )
+    return [
+        f"""{p}pq AS (SELECT vec_id AS qid, ve AS qe FROM {p}pv WHERE vec_id < {PQ_NQ}),
+    {p}lut AS MATERIALIZED (
+      SELECT q.qid, s.sub, s.cluster,
+             CAST(floor({_duck_pq_sqdist(sub_slice, "s.ce")} * {PQ_DIST_SCALE} + 0.5) AS BIGINT) AS qd
+      FROM {p}pq q, {p}pc{PQ_ITERS} s
+    ),
+    {p}adc AS (
+      SELECT l.qid, c.vec_id AS cid, CAST(SUM(l.qd) AS BIGINT) AS adist
+      FROM {p}paf c JOIN {p}lut l ON l.sub = c.sub AND l.cluster = c.cluster
+      WHERE c.vec_id != l.qid
+      GROUP BY l.qid, c.vec_id
+    ),
+    {p}adc_top AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid ORDER BY adist, cid) AS rnk
+        FROM {p}adc) WHERE rnk <= {PQ_TOPK}
+    ),
+    {p}exact_top AS (
+      SELECT qid, cid FROM (
+        SELECT q.qid, c.vec_id AS cid,
+               row_number() OVER (PARTITION BY q.qid
+                                  ORDER BY {full_sqdist}, c.vec_id) AS rnk
+        FROM {p}pq q JOIN {p}pv c ON c.vec_id != q.qid) WHERE rnk <= {PQ_TOPK}
+    ),
+    {p}rec AS (
+      SELECT e.qid, CAST(COUNT(a.cid) AS BIGINT) AS n_hits
+      FROM {p}exact_top e
+      LEFT JOIN {p}adc_top a ON a.qid = e.qid AND a.cid = e.cid
+      GROUP BY e.qid
+    )"""
+    ]
+
+
+def _duck_whiten_pq_oracle() -> str:
+    from json2hbase_spark.plans.selection_queries import _duck_power_parts
+
+    last = POWER_ITERS
+    parts = _duck_power_parts()
+    parts.append(
+        f"""evl AS (
+      SELECT list(e.v * sgn.sg ORDER BY e.dim) AS v
+      FROM v{last} e, sgn GROUP BY sgn.sg
+    ),
+    vvw AS (SELECT CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT)
+              AS vv FROM evl),
+    qtw AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * {COV_SCALE})
+                                      AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    qvw AS (
+      SELECT vec_id, q,
+             CAST(list_sum(list_transform(range(1, 65),
+                    i -> q[i] * evl.v[i])) AS BIGINT) AS qv
+      FROM qtw, evl
+    ),
+    residw AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(range(1, 65),
+               i -> CAST(floor(CAST(q[i] * t.vv
+                                    - qv * e.v[i] AS DOUBLE)
+                               / {WHITEN_RDIV}) AS BIGINT)) AS r
+      FROM qvw, evl e, vvw t
+    )"""
+    )
+    parts += _duck_pq_parts()
+    parts += _duck_pq_parts(
+        pv_sql=(
+            "SELECT vec_id, list_transform(r, x -> CAST(x AS DOUBLE)"
+            f" / {WHITEN_PQ_DIV}) AS ve FROM residw"
+        ),
+        p="w",
+    )
+    parts += _duck_adc_parts("")
+    parts += _duck_adc_parts("w")
+    parts.append(
+        f"""final AS (
+      SELECT r.qid,
+             round(CAST(r.n_hits AS DOUBLE) / {PQ_TOPK}, 4) AS recall_raw,
+             round(CAST(w.n_hits AS DOUBLE) / {PQ_TOPK}, 4) AS recall_white
+      FROM rec r JOIN wrec w ON w.qid = r.qid
+    )
+    SELECT qid, recall_raw, recall_white,
+           round(recall_white - recall_raw, 4) AS delta
+    FROM final"""
+    )
+    return "WITH " + ",\n    ".join(parts)
+
+
+@query("j139_whiten_pq_recall", oracle=_duck_whiten_pq_oracle())
+def j139_whiten_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitening × quantization interaction — the OPQ-lite audit that
+    closes this round's vector-compression chain (detect j121/j122 →
+    apply j128 → per-vector grain j133 → quantize j129/j130 → index
+    j134): PQ codebooks are trained and ADC recall@{PQ_TOPK} measured
+    TWICE, once on the raw embeddings (≡ j130) and once on the
+    whitened residuals (j128's exact transform, rescaled by the
+    binary-exact 2^20 so the values sit in the same numeric envelope
+    as raw embeddings), each against the exact scan IN ITS OWN space.
+    delta > 0 = removing the common axis lets the {PQ_M}×{PQ_K} cells
+    spend their resolution on the residual structure (the reason OPQ
+    rotates before quantizing); delta ≈ 0 on an already-isotropic
+    corpus = the rotation is not worth its cost — either answer is
+    the evidence a pipeline team needs BEFORE burning a 100 TB
+    re-encode.
+
+    Exactness: the residual is j128's defined integer transform; the
+    2^20 rescale is a power-of-two binary division (exact in both
+    engines); both PQ chains are the shared bit-exact Lloyd kernel;
+    LUT distances quantize to BIGINTs; both rankings tie-break on
+    candidate id. Plan: one covariance pass + one residual scan
+    (materialized), then two j129-shaped training plans (broadcast
+    centroids + hash-agg argmin per round) and two j130-shaped
+    recall harnesses (LUT broadcast, bounded-query exact side) — at
+    100 TB everything corpus-sized is scan-shaped, run twice."""
+    from json2hbase_spark.plans.selection_queries import _pi_rescaled  # noqa: F401
+
+    v_signed, _ = _power_eigvec(spark, sf_dir)
+    evl = v_signed.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "v"))), lambda x: x["v"]
+        ).alias("v")
+    )
+    vvw = evl.select(
+        F.aggregate(
+            F.zip_with("v", "v", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("vv")
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    qt = widen(emb).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * COV_SCALE).cast("long")
+        ).alias("q"),
+    )
+    with_qv = qt.crossJoin(F.broadcast(evl)).crossJoin(F.broadcast(vvw)).select(
+        "vec_id",
+        "q",
+        "vv",
+        "v",
+        fold(F.zip_with("q", "v", lambda a, b: a * b)).alias("qv"),
+    )
+    resid = materialize(
+        with_qv.select(
+            "vec_id",
+            F.zip_with(
+                "q",
+                "v",
+                lambda qi, vi: F.floor(
+                    (qi * F.col("vv") - F.col("qv") * vi).cast("double")
+                    / F.lit(WHITEN_RDIV)
+                ).cast("long"),
+            ).alias("r"),
+        )
+    )
+    rv = resid.select(
+        "vec_id",
+        F.transform(
+            "r", lambda x: x.cast("double") / F.lit(WHITEN_PQ_DIV)
+        ).alias("embedding"),
+    )
+    # raw chain (≡ j130)
+    _, cents_r, codes_r = _pq_train(spark, sf_dir)
+    raw_vecs = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("ve")
+    )
+    rec_r = _pq_adc_recall_table(raw_vecs, cents_r, codes_r).select(
+        "qid", F.col("recall").alias("recall_raw")
+    )
+    # whitened chain
+    _, cents_w, codes_w = _pq_train(spark, sf_dir, vectors=rv)
+    white_vecs = rv.select("vec_id", F.col("embedding").alias("ve"))
+    rec_w = _pq_adc_recall_table(white_vecs, cents_w, codes_w).select(
+        "qid", F.col("recall").alias("recall_white")
+    )
+    # both sides are NQ-row recall tables behind window outputs AQE
+    # cannot size — broadcast one explicitly (the j130 lesson)
+    return rec_r.join(F.broadcast(rec_w), "qid").select(
+        "qid",
+        "recall_raw",
+        "recall_white",
+        F.round(F.col("recall_white") - F.col("recall_raw"), 4).alias("delta"),
     )

@@ -663,3 +663,26 @@ def test_i35_oov_tally_matches_python_truth(spark, tmp_path):
         assert out[s].n_tokens == len(toks)
         assert out[s].n_oov == oov, (s, out[s], oov)
         assert out[s].oov_rate == round(oov / len(toks), 6)
+
+
+def test_i36_energy_histogram_equals_batch_j133_rollup(spark):
+    """The complete-mode streaming energy histogram's deciles and
+    counts must equal the python rollup of batch j133's per-vector
+    table (same pinned axis, same decile rule)."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.materialize import materialization_scope
+
+    registry.load_all_query_modules()
+    with materialization_scope():
+        per_vec = registry.QUERIES["j133_residual_energy"](spark, SF).collect()
+        stream = {
+            r.decile: r
+            for r in registry.QUERIES["i36_stream_energy_monitor"](spark, SF).collect()
+        }
+    want: dict[int, int] = {}
+    for r in per_vec:
+        want[r.decile] = want.get(r.decile, 0) + 1
+    assert {d: r.n_vecs for d, r in stream.items()} == want
+    # mean_energy per decile consistent with the decile bounds
+    for d, r in stream.items():
+        assert d / 10 - 1e-6 <= r.mean_energy <= (d + 1) / 10 + 1e-6 or d == 9

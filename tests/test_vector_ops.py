@@ -176,3 +176,51 @@ def test_j134_perfect_recall_and_cell_pruning_on_planted_blocks(spark, tmp_path)
     for r in out:
         assert r.n_hits == 3 and r.recall == 1.0, r
         assert r.n_scanned == 19, r
+
+
+def test_j139_raw_side_consistent_with_j130(spark):
+    """j139's recall_raw column IS j130's pipeline — the two must
+    agree per query on the shared fixture."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.materialize import materialization_scope
+
+    registry.load_all_query_modules()
+    with materialization_scope():
+        j130 = {
+            r.qid: r.recall
+            for r in registry.QUERIES["j130_pq_adc_recall"](spark, SF).collect()
+        }
+        j139 = {
+            r.qid: r
+            for r in registry.QUERIES["j139_whiten_pq_recall"](spark, SF).collect()
+        }
+    assert set(j130) == set(j139)
+    for qid, r in j139.items():
+        assert r.recall_raw == j130[qid], (qid, r, j130[qid])
+        assert r.delta == round(r.recall_white - r.recall_raw, 4)
+
+
+def test_j139_whitened_chain_preserves_planted_patterns(spark, tmp_path):
+    """8 one-hot block patterns × 10 copies riding a strong common
+    axis (+5 on every dim): the whitened chain must still separate
+    the patterns perfectly (recall_white 1.0) — proof the residual
+    training/recall is wired into the whitened space, not leaking raw
+    vectors — and the raw chain's exact copies also recall 1.0, so
+    delta is 0 on this fixture."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    rows = []
+    for copy in range(10):
+        for p in range(8):
+            vec = [5.0] * 64
+            for k in range(8):
+                vec[8 * p + k] += 1.0
+            rows.append((copy * 8 + p, [float(x) for x in vec], p))
+    d = _emb_dir(spark, tmp_path, "whitenpq", rows)
+    out = registry.QUERIES["j139_whiten_pq_recall"](spark, d).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r.recall_raw == 1.0, r
+        assert r.recall_white == 1.0, r
+        assert r.delta == 0.0, r

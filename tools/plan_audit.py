@@ -119,6 +119,7 @@ AUDIT = {
     "j136_dedup_token_inflation": "j34's cascade shapes (norm-keyed min agg, blocked self-join on the materialized survivor shingle table) + two source-keyed aggs; the near-drop set broadcasts",
     "j137_corrected_mixture": "the shared j136 budgets kernel then ≤|sources|-row arithmetic with a 1-row normalizer broadcast — no new corpus-sized stage",
     "j138_lexical_semantic_agreement": "j48's banded pipeline + j16's bucket blocking, full-outer pair merge (j73's category) + four id-keyed attach joins on pair-sized tables; final agg 3 rows",
+    "j139_whiten_pq_recall": "covariance pass + one materialized residual scan, then two j129-shaped trainings and two j130-shaped recall harnesses (LUT broadcasts, bounded-query exact sides, candidate-bounded top-k windows)",
 }
 
 MARKERS = (
@@ -174,8 +175,6 @@ SMJ_JUSTIFIED = {
     "j117_cross_source_clusters": "j48's banded candidate pair join (both sides corpus-sized, j43's category) + _labels_converged over the verified edge set (edges vs labels, j108's category); the broadcast fast path takes over below BROADCAST_EDGE_LIMIT at runtime",
     "j128_whiten_rescore": "j16's LSH-bucket-blocked pair self-join on the whitened residual table — both sides corpus-sized (j43's category); the eigvec itself broadcasts",
     "j132_incremental_winnow": "the fh containment join (new-batch fingerprints vs the persisted corpus index — both grow with data, j49's category) plus the doc-keyed audit joins of its batch-sized aggregates",
-    "j136_dedup_token_inflation": "j34's prefix-blocked pair self-join on the materialized survivor shingle table — both sides corpus-sized (j43's category)",
-    "j137_corrected_mixture": "the shared j136 budgets kernel underneath — same blocked pair self-join (j43's category); everything above it is |sources|-row",
     "j138_lexical_semantic_agreement": "j48's banded candidate join + j16's bucket-blocked pair join (both corpus-sized, j43's category) + the full-outer pair-set merge (FULL OUTER has no broadcast form — j73's category, both sides bounded by duplication density) + pair-keyed attach joins",
 }
 
