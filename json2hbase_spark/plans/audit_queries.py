@@ -1477,3 +1477,114 @@ def j137_corrected_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         w_cor.alias("w_corrected"),
         F.round(w_raw / w_cor, 4).alias("overweight"),
     )
+
+
+# ---------------------------------------------------------------- j140
+
+
+def _duck_dup_quality_oracle() -> str:
+    from json2hbase_spark.plans.corpus_queries import _duck_md5_minhash_oracle
+
+    base = _duck_md5_minhash_oracle()
+    head = base[: base.index("SELECT c.doc_a")]
+    jacc = (
+        "CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)"
+        " / (len(sa.shingles) + len(sb.shingles)"
+        " - len(list_intersect(sa.shingles, sb.shingles)))"
+    )
+    return (
+        head
+        + f""", vp AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b
+      WHERE {jacc} >= 0.5
+    ),
+    dup AS (SELECT DISTINCT doc_id FROM (
+      SELECT doc_a AS doc_id FROM vp UNION ALL SELECT doc_b FROM vp
+    )),
+    qf AS (
+      SELECT doc_id,
+             round(ln(1 + len(list_filter(string_split(text, ' '), x -> x != '')))
+                   * (1.0 - CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                            / greatest(len(text), 1))
+                   * (0.5 + CAST(len(list_filter(list_filter(string_split(text, ' '), x -> x != ''),
+                        t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t)))
+                        AS DOUBLE)
+                      / greatest(len(list_filter(string_split(text, ' '), x -> x != '')), 1)),
+                   4) AS quality
+      FROM documents
+    )
+    SELECT CAST(least(CAST(floor(q.quality) AS BIGINT), 6) AS INT) AS qbin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(d.doc_id) AS BIGINT) AS n_dup_docs,
+           round(CAST(COUNT(d.doc_id) AS DOUBLE) / COUNT(*), 4) AS dup_rate,
+           round(CAST(SUM(CAST(q.quality AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4)
+             AS avg_quality
+    FROM qf q LEFT JOIN dup d ON d.doc_id = q.doc_id
+    GROUP BY 1
+    """
+    )
+
+
+@query("j140_dup_quality_interaction", oracle=_duck_dup_quality_oracle())
+def j140_dup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication × quality interaction — the audit that decides GATE
+    ORDER in a corpus build (dedup-then-filter vs filter-then-dedup):
+    per quality band (unit-width bins of j12's heuristic score,
+    capped at 6), how many docs are members of ANY verified near-dup
+    pair (j48's banded md5-MinHash, exact-Jaccard ≥ 0.5 confirmed) and
+    the band's dup rate. Duplication concentrating in the LOW bands
+    means the quality gate already removes most dup mass — run it
+    first and the expensive pair stage shrinks; a flat profile means
+    dedup must run regardless and order is a throughput choice.
+    Classic corpus-curation evidence (the Gopher/RefinedWeb analyses
+    report exactly this interaction).
+
+    Exactness: the quality score is j12's hash-checked expression
+    (ln inside the 4dp rounding); the per-band mean sums the ROUNDED
+    scores as DECIMAL(18,4) — order-free — and divides once; counts
+    are exact. Plan: j48's banded pipeline (never all-pairs) produces
+    the dup id set, which broadcasts into a left semi-style tag join
+    against the one-scan quality projection; the rollup is a ≤7-row
+    hash agg. At 100 TB: the dedup pass the corpus already runs plus
+    one scan — no new corpus-sized shuffle."""
+    from json2hbase_spark.plans.corpus_queries import _md5_minhash_parts
+    from json2hbase_spark.plans.llm_queries import j12_quality_score
+
+    sh, cand = _md5_minhash_parts(spark, sf_dir)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    vp = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(inter.cast("double") / union >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    dup = (
+        vp.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(vp.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    qf = j12_quality_score(spark, sf_dir).select("doc_id", "quality")
+    tagged = qf.join(F.broadcast(dup), "doc_id", "left")
+    qbin = F.least(F.floor(F.col("quality")).cast("long"), F.lit(6).cast("long"))
+    return (
+        tagged.groupBy(qbin.cast("int").alias("qbin"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count("_dup").cast("bigint").alias("n_dup_docs"),
+            F.round(F.count("_dup").cast("double") / F.count("*"), 4).alias(
+                "dup_rate"
+            ),
+            F.round(
+                F.sum(F.col("quality").cast("decimal(18,4)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("avg_quality"),
+        )
+    )

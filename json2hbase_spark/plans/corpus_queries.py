@@ -3164,3 +3164,166 @@ def j138_lexical_semantic_agreement(spark: SparkSession, sf_dir: str) -> DataFra
             "avg_cos"
         ),
     )
+
+
+# --------------------------------------------------------------- j141
+
+BM25_SWEEP = [
+    (0, 1.2, 0.75),  # cfg 0 = j60's defaults (the baseline ranking)
+    (1, 0.9, 0.4),   # Elasticsearch-ish lighter saturation + length norm
+    (2, 1.6, 0.75),  # heavier tf saturation
+    (3, 1.2, 0.0),   # length normalization OFF
+]
+
+
+def _duck_bm25_sweep_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    cfg_rows = ", ".join(f"({c}, {k1}, {b})" for c, k1, b in BM25_SWEEP)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS t
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, t, COUNT(*) AS tf FROM toks
+      WHERE t IN ({terms}) GROUP BY doc_id, t
+    ),
+    idf AS (
+      SELECT t, ln(1.0 + (s.n_docs - df + 0.5) / (df + 0.5)) AS idf
+      FROM (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY t), stats s
+    ),
+    cfgs AS (SELECT * FROM (VALUES {cfg_rows}) v(cfg, k1, b)),
+    contrib AS (
+      SELECT g.cfg, g.k1, g.b, tf.doc_id,
+             round(idf.idf * (tf.tf * (g.k1 + 1.0))
+                   / (tf.tf + g.k1 * (1.0 - g.b
+                      + g.b * (CAST(dl.len AS DOUBLE) / s.avgdl))), 6) AS c
+      FROM tf
+      JOIN dl ON dl.doc_id = tf.doc_id
+      JOIN idf ON idf.t = tf.t, stats s, cfgs g
+    ),
+    scores AS (
+      SELECT cfg, k1, b, doc_id,
+             CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) AS score
+      FROM contrib GROUP BY cfg, k1, b, doc_id
+    ),
+    ranked AS (
+      SELECT cfg, k1, b, doc_id, rnk FROM (
+        SELECT cfg, k1, b, doc_id,
+               row_number() OVER (PARTITION BY cfg ORDER BY score DESC, doc_id)
+                 AS rnk
+        FROM scores) WHERE rnk <= {BM25_TOPK}
+    ),
+    base AS (SELECT doc_id, rnk AS rnk0 FROM ranked WHERE cfg = 0)
+    SELECT r.cfg, r.k1, r.b,
+           CAST(COUNT(b2.doc_id) AS BIGINT) AS n_overlap,
+           CAST(COALESCE(SUM(abs(r.rnk - b2.rnk0)), 0) AS BIGINT) AS rank_shift
+    FROM ranked r LEFT JOIN base b2 ON b2.doc_id = r.doc_id
+    GROUP BY r.cfg, r.k1, r.b
+    """
+
+
+@query("j141_bm25_param_sweep", oracle=_duck_bm25_sweep_oracle())
+def j141_bm25_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 parameter-sensitivity sweep — j113/j126/j135's sweep
+    posture on the RETRIEVAL axis j60 pins at one point: the same
+    query scored under a (k1, b) grid (tf saturation × length
+    normalization), each configuration's top-{BM25_TOPK} compared to
+    the default ranking (cfg 0 ≡ j60): overlap@{BM25_TOPK} and the
+    summed rank displacement of the shared docs. A corpus whose
+    ranking barely moves across the grid doesn't need tuning; heavy
+    movement under b=0 flags length-normalization sensitivity —
+    exactly the evidence (not folklore) for freezing retrieval params
+    before they leak into the training-data selection that a
+    BM25-mined hard-negative / decontamination pass performs
+    (j56/j73 consume these rankings).
+
+    Exactness: j60's discipline — per-term contributions round to 6
+    decimals then sum as DECIMAL(18,6) (order-free), idf's ln()
+    inside the rounding; both rankings tie-break on doc_id. Plan:
+    the corpus explode is filtered to query terms ON the map side
+    (j60's shape); doc-length/avgdl/idf are computed ONCE,
+    config-independent; the 4-row grid broadcasts into the
+    contribution projection so all configs ride ONE scan; the
+    per-config rank window's rank≤k filter is pre-reduced by partial
+    WindowGroupLimit (the j56 pattern — top-k per partition crosses
+    the wire, not the corpus); the compare joins act on 4×{BM25_TOPK}
+    rows. At 100 TB: j60's cost, once, ×|grid| arithmetic."""
+    docs = load(spark, sf_dir, "documents")
+    toks = materialize(
+        widen(docs).select(
+            "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("t")
+        )
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("len"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("len").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("t").isin(*BM25_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tbl = tf.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    idf = df_tbl.crossJoin(F.broadcast(stats)).select(
+        "t",
+        F.log(
+            1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    cfgs = spark.createDataFrame(BM25_SWEEP, "cfg int, k1 double, b double")
+    contrib = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(idf), "t")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(cfgs))
+        .select(
+            "cfg",
+            "k1",
+            "b",
+            "doc_id",
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * (F.col("k1") + 1.0))
+                / (
+                    F.col("tf")
+                    + F.col("k1")
+                    * (
+                        1.0
+                        - F.col("b")
+                        + F.col("b") * (F.col("len").cast("double") / F.col("avgdl"))
+                    )
+                ),
+                6,
+            ).alias("c"),
+        )
+    )
+    scores = contrib.groupBy("cfg", "k1", "b", "doc_id").agg(
+        F.sum(F.col("c").cast("decimal(18,6)")).cast("double").alias("score")
+    )
+    w = Window.partitionBy("cfg").orderBy(F.desc("score"), "doc_id")
+    ranked = (
+        scores.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= BM25_TOPK)
+        .select("cfg", "k1", "b", "doc_id", "rnk")
+    )
+    ranked = materialize(ranked)
+    base = ranked.filter(F.col("cfg") == 0).select(
+        "doc_id", F.col("rnk").alias("rnk0")
+    )
+    return (
+        ranked.join(F.broadcast(base), "doc_id", "left")
+        .groupBy("cfg", "k1", "b")
+        .agg(
+            F.count("rnk0").cast("bigint").alias("n_overlap"),
+            F.coalesce(F.sum(F.abs(F.col("rnk") - F.col("rnk0"))), F.lit(0))
+            .cast("bigint")
+            .alias("rank_shift"),
+        )
+    )

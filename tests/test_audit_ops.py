@@ -686,3 +686,105 @@ def test_i36_energy_histogram_equals_batch_j133_rollup(spark):
     # mean_energy per decile consistent with the decile bounds
     for d, r in stream.items():
         assert d / 10 - 1e-6 <= r.mean_energy <= (d + 1) / 10 + 1e-6 or d == 9
+
+
+def test_j140_dup_mass_lands_in_the_planted_low_band(spark, tmp_path):
+    """3 exact copies of a low-quality (digit-heavy, stopword-free)
+    doc + 2 copies of a high-quality doc + 1 unique doc: every band's
+    counts/rates equal the python recompute of j12's formula, and the
+    dup mass sits exactly where planted."""
+    import math
+
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    low = "12345 67890 11111 22222 33333 44444 55555 66666"
+    high = ("the cat sat on the mat and the dog ran to the park with a "
+            "ball of yarn for the fun of it in a sunny day on the hill")
+    uniq = ("a completely different story unfolds in the quiet village "
+            "where the baker and the smith argue about the harvest")
+    rows = [(0, low, "s0"), (1, low, "s0"), (2, low, "s0"),
+            (3, high, "s1"), (4, high, "s1"), (5, uniq, "s1")]
+    d = _docs_dir(spark, tmp_path, "dupqfix", rows)
+    out = {r.qbin: r for r in
+           registry.QUERIES["j140_dup_quality_interaction"](spark, d).collect()}
+
+    stop = {"the", "a", "of", "and", "to", "in", "is", "on", "for", "with"}
+
+    def qual(t):
+        toks = [x for x in t.split(" ") if x]
+        digit_ratio = sum(c.isdigit() for c in t) / max(len(t), 1)
+        stop_ratio = sum(x in stop for x in toks) / max(len(toks), 1)
+        return round(math.log(1 + len(toks)) * (1 - digit_ratio) * (0.5 + stop_ratio), 4)
+
+    dup_ids = {0, 1, 2, 3, 4}
+    want: dict[int, list] = {}
+    for i, t, _ in rows:
+        q = qual(t)
+        want.setdefault(min(int(math.floor(q)), 6), []).append((i, q))
+    assert set(out) == set(want)
+    for qb, members in want.items():
+        r = out[qb]
+        assert r.n_docs == len(members)
+        assert r.n_dup_docs == sum(1 for i, _ in members if i in dup_ids)
+        assert r.dup_rate == round(r.n_dup_docs / r.n_docs, 4)
+        assert abs(r.avg_quality - round(sum(q for _, q in members) / len(members), 4)) < 1e-9
+    # the planted separation: low-quality band is all dup, unique doc's band is mixed as planted
+    low_bin = min(int(math.floor(qual(low))), 6)
+    assert out[low_bin].dup_rate == 1.0
+
+
+def test_j141_sweep_matches_python_bm25_truth(spark, tmp_path):
+    """Planted corpus with controlled tf/length spread: every config's
+    overlap@10 and rank displacement vs the default ranking equals a
+    full python BM25 recompute (same per-contribution 6dp rounding,
+    same tie-breaks)."""
+    import math
+
+    from json2hbase_spark import registry
+    from json2hbase_spark.plans.corpus_queries import (
+        BM25_SWEEP,
+        BM25_TERMS,
+        BM25_TOPK,
+    )
+
+    registry.load_all_query_modules()
+    rows = []
+    # 12 docs containing query terms with varied tf and length + 3 term-free
+    for i in range(12):
+        body = ["join"] * (1 + i % 4) + ["filter"] * (i % 3) + ["pad"] * (5 + 7 * i)
+        rows.append((i, " ".join(body), "s0"))
+    for i in range(12, 15):
+        rows.append((i, " ".join(["noise"] * (10 + i)), "s0"))
+    d = _docs_dir(spark, tmp_path, "bm25fix", rows)
+    out = {r.cfg: r for r in
+           registry.QUERIES["j141_bm25_param_sweep"](spark, d).collect()}
+
+    toks = {i: [x for x in t.split(" ") if x] for i, t, _ in rows}
+    dl = {i: len(ts) for i, ts in toks.items()}
+    N = len(rows)
+    avgdl = sum(dl.values()) / N
+    tf = {i: {t: ts.count(t) for t in BM25_TERMS if t in ts} for i, ts in toks.items()}
+    df = {t: sum(1 for i in tf if t in tf[i]) for t in BM25_TERMS}
+    idf = {t: math.log(1 + (N - df[t] + 0.5) / (df[t] + 0.5)) for t in BM25_TERMS if df[t]}
+
+    def topk(k1, b):
+        scores = {}
+        for i, terms in tf.items():
+            if not terms:
+                continue
+            s = 0.0
+            for t, f in terms.items():
+                s += round(idf[t] * (f * (k1 + 1)) / (f + k1 * (1 - b + b * dl[i] / avgdl)), 6)
+            scores[i] = round(s, 6)
+        ordered = sorted(scores, key=lambda i: (-scores[i], i))[:BM25_TOPK]
+        return {i: r + 1 for r, i in enumerate(ordered)}
+
+    base = topk(1.2, 0.75)
+    for cfg, k1, b in BM25_SWEEP:
+        ranks = topk(k1, b)
+        shared = [i for i in ranks if i in base]
+        r = out[cfg]
+        assert r.n_overlap == len(shared), (cfg, r, ranks, base)
+        assert r.rank_shift == sum(abs(ranks[i] - base[i]) for i in shared), (cfg, r)
+    assert out[0].n_overlap == BM25_TOPK and out[0].rank_shift == 0

@@ -120,6 +120,8 @@ AUDIT = {
     "j137_corrected_mixture": "the shared j136 budgets kernel then ≤|sources|-row arithmetic with a 1-row normalizer broadcast — no new corpus-sized stage",
     "j138_lexical_semantic_agreement": "j48's banded pipeline + j16's bucket blocking, full-outer pair merge (j73's category) + four id-keyed attach joins on pair-sized tables; final agg 3 rows",
     "j139_whiten_pq_recall": "covariance pass + one materialized residual scan, then two j129-shaped trainings and two j130-shaped recall harnesses (LUT broadcasts, bounded-query exact sides, candidate-bounded top-k windows)",
+    "j140_dup_quality_interaction": "j48's banded pipeline yields the dup id set, broadcast-tagged onto one quality-projection scan; ≤7-row rollup; decimal(18,4) order-free quality sums",
+    "j141_bm25_param_sweep": "term-filtered explode + config-independent dl/avgdl/idf + a 4-row broadcast grid riding one scan; per-config rank window pre-reduced by partial WindowGroupLimit; compare joins 4×10 rows",
 }
 
 MARKERS = (
