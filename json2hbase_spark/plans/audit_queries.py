@@ -1214,9 +1214,12 @@ def j135_vocab_size_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = toks.groupBy("lang", "token").agg(F.count("*").cast("bigint").alias("c"))
     w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("token"))
     ranked = cnt.withColumn("rnk", F.row_number().over(w)).select("lang", "c", "rnk")
-    ks = spark.range(len(VOCAB_SWEEP)).select(
+    # constant 5-row sweep table: one explode over a literal array
+    # (ADVICE r10 — the earlier range(5)×explode+distinct built 25
+    # intermediate rows and a distinct exchange for a constant list)
+    ks = spark.range(1).select(
         F.explode(F.array(*[F.lit(k) for k in VOCAB_SWEEP])).alias("vocab_size")
-    ).distinct()
+    )
     kept = F.when(F.col("rnk") <= F.col("vocab_size"), F.col("c")).otherwise(F.lit(0))
     return (
         ranked.crossJoin(F.broadcast(ks))
@@ -1304,10 +1307,12 @@ _DUCK_BUDGET_PARTS = """normed AS (
     oracle=f"""
     WITH {_DUCK_BUDGET_PARTS}
     SELECT source, n_docs, tokens_raw, tokens_exact, tokens_near,
-           round(CAST(tokens_raw AS DOUBLE) / tokens_exact, 4)
-             AS inflation_exact,
-           round(CAST(tokens_raw AS DOUBLE) / tokens_near, 4)
-             AS inflation_near
+           CASE WHEN tokens_exact = 0 THEN NULL
+                ELSE round(CAST(tokens_raw AS DOUBLE) / tokens_exact, 4)
+           END AS inflation_exact,
+           CASE WHEN tokens_near = 0 THEN NULL
+                ELSE round(CAST(tokens_raw AS DOUBLE) / tokens_near, 4)
+           END AS inflation_near
     FROM budgets
     """,
 )
@@ -1333,18 +1338,24 @@ def j136_dedup_token_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
     accounting riding the same shuffles — no new corpus-sized stage.
     Swap the blocked verifier for j48's banded MinHash on unblocked
     corpora (same accounting)."""
+    # zero-denominator guard (ADVICE r10): a source whose docs are ALL
+    # copies of lower-doc_id docs elsewhere has tokens_exact/near = 0;
+    # Spark Divide returns NULL there while DuckDB IEEE float division
+    # returns inf — the explicit CASE (mirrored in the oracle) pins
+    # both engines to NULL.
+    def _inflate(denom: str, name: str):
+        return F.when(F.col(denom) == 0, F.lit(None).cast("double")).otherwise(
+            F.round(F.col("tokens_raw").cast("double") / F.col(denom), 4)
+        ).alias(name)
+
     return _source_token_budgets(spark, sf_dir).select(
         "source",
         "n_docs",
         "tokens_raw",
         "tokens_exact",
         "tokens_near",
-        F.round(
-            F.col("tokens_raw").cast("double") / F.col("tokens_exact"), 4
-        ).alias("inflation_exact"),
-        F.round(F.col("tokens_raw").cast("double") / F.col("tokens_near"), 4).alias(
-            "inflation_near"
-        ),
+        _inflate("tokens_exact", "inflation_exact"),
+        _inflate("tokens_near", "inflation_near"),
     )
 
 
@@ -1430,9 +1441,14 @@ def _source_token_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS w_raw,
            round(pow(CAST(b.tokens_near AS DOUBLE), {MIX_ALPHA}) / z.z_near, 6)
              AS w_corrected,
-           round(round(pow(CAST(b.tokens_raw AS DOUBLE), {MIX_ALPHA}) / z.z_raw, 6)
-                 / round(pow(CAST(b.tokens_near AS DOUBLE), {MIX_ALPHA}) / z.z_near, 6),
-                 4) AS overweight
+           CASE WHEN round(pow(CAST(b.tokens_near AS DOUBLE), {MIX_ALPHA})
+                           / z.z_near, 6) = 0 THEN NULL
+                ELSE round(round(pow(CAST(b.tokens_raw AS DOUBLE), {MIX_ALPHA})
+                                 / z.z_raw, 6)
+                           / round(pow(CAST(b.tokens_near AS DOUBLE), {MIX_ALPHA})
+                                   / z.z_near, 6),
+                           4)
+           END AS overweight
     FROM budgets b, zs z
     """,
 )
@@ -1469,13 +1485,20 @@ def j137_corrected_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_cor = F.round(
         F.pow(F.col("tokens_near").cast("double"), MIX_ALPHA) / F.col("z_near"), 6
     )
+    # zero-denominator guard (ADVICE r10): if a source's corrected
+    # weight rounds to 0 (all tokens near-dup-dropped), Spark Divide
+    # yields NULL but DuckDB IEEE division yields inf — pin both to
+    # NULL with an explicit CASE mirrored in the oracle.
+    overweight = F.when(w_cor == 0, F.lit(None).cast("double")).otherwise(
+        F.round(w_raw / w_cor, 4)
+    )
     return b.crossJoin(F.broadcast(zs)).select(
         "source",
         "tokens_raw",
         "tokens_near",
         w_raw.alias("w_raw"),
         w_cor.alias("w_corrected"),
-        F.round(w_raw / w_cor, 4).alias("overweight"),
+        overweight.alias("overweight"),
     )
 
 

@@ -3035,12 +3035,12 @@ def _duck_lexsem_oracle() -> str:
       SELECT CASE WHEN p.is_lex AND p.is_sem THEN 'both'
                   WHEN p.is_lex THEN 'lexical_only'
                   ELSE 'semantic_only' END AS category,
-             CAST(floor({jacc} * 10000) AS BIGINT) AS qj,
+             CAST(COALESCE(floor({jacc} * 10000), 0) AS BIGINT) AS qj,
              CAST(floor({_duck_dot("ea.embedding", "eb.embedding")}
                         / (ea.nrm * eb.nrm) * 1000000) AS BIGINT) AS qs
       FROM allp p
-      JOIN sh sa ON sa.doc_id = p.doc_a
-      JOIN sh sb ON sb.doc_id = p.doc_b
+      LEFT JOIN sh sa ON sa.doc_id = p.doc_a
+      LEFT JOIN sh sb ON sb.doc_id = p.doc_b
       JOIN bv ea ON ea.vec_id = p.doc_a
       JOIN bv eb ON eb.vec_id = p.doc_b
     )
@@ -3129,10 +3129,14 @@ def j138_lexical_semantic_agreement(spark: SparkSession, sf_dir: str) -> DataFra
         .when(F.col("_lex").isNotNull(), F.lit("lexical_only"))
         .otherwise(F.lit("semantic_only"))
     )
+    # shingle attach is LEFT (ADVICE r10): the shingle table exists
+    # only for norm length >= 8, so a semantic_only pair touching a
+    # shorter doc must survive with qj = 0 rather than vanish from the
+    # report (mirrored LEFT JOIN + COALESCE in the oracle).
     att = (
         allp.select("doc_a", "doc_b", category.alias("category"))
-        .join(sa, "doc_a")
-        .join(sb, "doc_b")
+        .join(sa, "doc_a", "left")
+        .join(sb, "doc_b", "left")
         .join(
             bv.select(
                 F.col("vec_id").alias("doc_a"),
@@ -3151,7 +3155,11 @@ def j138_lexical_semantic_agreement(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .select(
             "category",
-            F.floor(inter.cast("double") / union * 10000).cast("bigint").alias("qj"),
+            F.coalesce(
+                F.floor(inter.cast("double") / union * 10000), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("qj"),
             F.floor(cos * 1000000).cast("bigint").alias("qs"),
         )
     )

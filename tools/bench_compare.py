@@ -52,6 +52,30 @@ def main() -> None:
     except OSError:
         snap = {}
 
+    # host-noise canary annotation (VERDICT r10 #2): bench.py re-times
+    # a fixed trivial scan-agg between suite segments and at each
+    # rerun adjudication. A flagged query whose nearby canary samples
+    # are inflated vs the canary floor is host noise, not a plan
+    # regression — say so machine-readably instead of arguing from
+    # rerun lists.
+    canary = payload.get("canary", [])
+    canary_floor = min((c["t"] for c in canary), default=0.0)
+    qpos = {n: i for i, n in enumerate(sorted(bench))}
+
+    def canary_note(name: str) -> str:
+        if not canary or canary_floor <= 0:
+            return ""
+        near = [c for c in canary if abs(c["pos"] - qpos.get(name, -99)) <= 25]
+        if not near:
+            return ""
+        worst = max(c["t"] / canary_floor for c in near)
+        if worst > 1.5:
+            return (
+                f" [canary x{worst:.1f} at nearby positions — host noise"
+                " suspected]"
+            )
+        return f" [canary clean nearby (x{worst:.1f}) — plan cost is real]"
+
     def join_mix(name: str) -> str:
         fp = snap.get(name)
         if not fp:
@@ -74,6 +98,7 @@ def main() -> None:
                 f"DIVERGENT  {name}: reruns {runs} differ x{max(runs) / min(runs):.1f}"
                 f" — {policy}; investigate if it recurs across benches"
                 + join_mix(name)
+                + canary_note(name)
             )
 
     slow, unfrozen, failed = [], [], []
@@ -90,9 +115,19 @@ def main() -> None:
     for name in failed:
         print(f"FAIL  {name}: bench run errored (-1.0 in bench_full.json)")
     for name, t, f, r in sorted(slow, key=lambda x: -x[3]):
-        print(f"SLOW  {name}: {t:.2f}s vs frozen {f}s  (x{r:.1f})" + join_mix(name))
+        print(
+            f"SLOW  {name}: {t:.2f}s vs frozen {f}s  (x{r:.1f})"
+            + join_mix(name)
+            + canary_note(name)
+        )
     for name, t in unfrozen:
         print(f"NOFREEZE  {name}: {t:.2f}s (add a median row to BASELINE.md)")
+    if canary:
+        ts = [c["t"] for c in canary]
+        print(
+            f"canary: {len(ts)} samples floor={min(ts):.3f}s max={max(ts):.3f}s"
+            f" (x{max(ts) / min(ts):.1f} spread)"
+        )
     n = len(bench)
     print(f"{n - len(slow) - len(unfrozen) - len(failed)} within {args.factor}x "
           f"of freeze, {len(slow)} over, {len(failed)} failed, "
