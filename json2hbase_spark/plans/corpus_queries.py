@@ -630,6 +630,255 @@ def j46_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- j142
+
+APPLY_MERGES = 8  # merges applied from j46's ranked table. Each merge
+# adds 4 vocabulary-sized HOF stages to the plan; at 100 TB the vocab
+# table is Heaps-bounded (≈100k-1M rows), so the per-merge cost is
+# constant in corpus size — raise toward BPE_TOP_K freely.
+
+
+def _duck_bpe_apply_oracle() -> str:
+    """Unrolled BPE application (j47's unroll pattern): per merge k,
+    one CTE chain computes candidate flags, the greedy left-to-right
+    selection (within a run of consecutive candidates — only possible
+    for (a,a) rules — parity from the last non-candidate position
+    picks every other), and the rebuilt symbol list."""
+    parts = [
+        f"""
+    WITH toks AS (
+      SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x != ''))
+        AS word
+      FROM documents
+    ),
+    gwf AS (SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word),
+    gch AS (
+      SELECT cnt,
+             list_transform(range(1, len(word) + 1), i -> substr(word, i, 1))
+               AS c
+      FROM gwf WHERE len(word) >= 2
+    ),
+    gpr AS (SELECT unnest({_duck_ngrams("c", 2)}) AS pair, cnt FROM gch),
+    mr AS (
+      SELECT pair, row_number() OVER (ORDER BY n DESC, pair) AS rnk
+      FROM (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n FROM gpr GROUP BY pair)
+    ),
+    v0 AS (
+      SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS cnt,
+             list_transform(range(1, len(word) + 1), i -> substr(word, i, 1))
+               AS syms
+      FROM toks GROUP BY lang, word
+    )"""
+    ]
+    for k in range(1, APPLY_MERGES + 1):
+        parts.append(
+            f""",
+    m{k} AS (
+      SELECT max(string_split(pair, ' ')[1]) AS a,
+             max(string_split(pair, ' ')[2]) AS b,
+             max(replace(pair, ' ', '')) AS ab
+      FROM mr WHERE rnk = {k}
+    ),
+    s{k} AS (
+      SELECT lang, word, cnt, syms,
+             list_transform(range(1, len(syms)), i ->
+               CASE WHEN syms[i] = m.a AND syms[i + 1] = m.b THEN 1
+                    ELSE 0 END) AS c
+      FROM v{k - 1}, m{k} m
+    ),
+    z{k} AS (
+      SELECT lang, word, cnt, syms, c,
+             list_filter(range(1, len(c) + 1), j -> c[j] = 0) AS z
+      FROM s{k}
+    ),
+    t{k} AS (
+      SELECT lang, word, cnt, syms,
+             list_transform(range(1, len(syms) + 1), i ->
+               CASE WHEN i > len(c) THEN 0
+                    WHEN c[i] = 0 THEN 0
+                    WHEN (i - coalesce(list_max(list_filter(z, j -> j < i)),
+                                       0)) % 2 = 1 THEN 1
+                    ELSE 0 END) AS sel
+      FROM z{k}
+    ),
+    v{k} AS (
+      SELECT lang, word, cnt,
+             list_filter(
+               list_transform(range(1, len(syms) + 1), i ->
+                 CASE WHEN sel[i] = 1 THEN m.ab
+                      WHEN i = 1 THEN syms[i]
+                      WHEN sel[i - 1] = 1 THEN NULL
+                      ELSE syms[i] END),
+               x -> x IS NOT NULL) AS syms
+      FROM t{k}, m{k} m
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(cnt) AS BIGINT) AS ws_tokens,
+           CAST(SUM(cnt * len(word)) AS BIGINT) AS chars,
+           CAST(SUM(cnt * len(syms)) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(cnt * len(list_filter(syms, s -> len(s) > 1))) AS BIGINT)
+             AS merged_tokens,
+           round(CAST(SUM(cnt * len(syms)) AS DOUBLE) / SUM(cnt), 6)
+             AS fertility,
+           round(CAST(SUM(cnt * len(word)) AS DOUBLE) / SUM(cnt * len(syms)),
+                 6) AS compression,
+           round(CAST(SUM(cnt * len(list_filter(syms, s -> len(s) > 1)))
+                      AS DOUBLE) / SUM(cnt * len(syms)), 6) AS merged_frac
+    FROM v{APPLY_MERGES} GROUP BY lang"""
+    )
+    return "".join(parts)
+
+
+@query("j142_bpe_apply", oracle=_duck_bpe_apply_oracle())
+def j142_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge APPLICATION — the re-tokenization step j46 trains
+    for (VERDICT r10 #3): the top-{APPLY_MERGES} merges from j46's
+    ranked table are applied in rank order to the per-language
+    distinct-word vocabulary (greedy left-to-right within each word,
+    the standard BPE apply semantics), and the corpus is re-measured
+    under the learned vocab: per language, whitespace tokens, raw
+    chars, BPE symbol count (= what the tokenizer would emit),
+    merged-symbol occurrences, fertility (BPE symbols per whitespace
+    token — j86's metric under the LEARNED vocab instead of the regex
+    stand-in), compression (chars per BPE symbol) and the fraction of
+    emitted symbols that are learned merges.
+
+    Application semantics: one pass per merge in training-rank order;
+    within a pass, occurrences merge greedily left-to-right and the
+    merged symbol does not re-combine in the same pass (runs of
+    consecutive candidates — only possible for (a,a) rules — resolve
+    by parity from the last non-candidate position; both engines
+    compute the identical closed form). All j46 merge pairs segment
+    the initial character alphabet, so later merges see earlier
+    output symbols only as non-matching whole symbols.
+
+    Exactness: every report column is an exact integer sum except the
+    three final single-rounded divisions (denominators ≥ 1 by
+    construction — every word emits ≥ 1 symbol). Plan: the merge
+    table rides j46's vocabulary-sized plan, ranks via a ≤K²-row
+    broadcast theta self-join (no single-partition window), and
+    pivots to ONE broadcast row; application is {APPLY_MERGES}×4
+    chained HOF projections over the (lang, word)-grain vocab table —
+    vocabulary-sized (Heaps-bounded ≈100k-1M rows at 100 TB), never
+    corpus-sized; the only corpus-scale work is the token explode +
+    (lang, word) hash agg every vocab induction already pays."""
+    merges = j46_bpe_merges(spark, sf_dir)  # (pair, n) — ≤ BPE_TOP_K rows
+    a, b = merges.alias("_ma"), merges.alias("_mb")
+    ranked = (
+        a.join(
+            F.broadcast(b),
+            (F.col("_mb.n") > F.col("_ma.n"))
+            | ((F.col("_mb.n") == F.col("_ma.n")) & (F.col("_mb.pair") < F.col("_ma.pair"))),
+            "left",
+        )
+        .groupBy(F.col("_ma.pair").alias("pair"))
+        .agg((F.count(F.col("_mb.pair")) + 1).alias("rnk"))
+        .filter(F.col("rnk") <= APPLY_MERGES)
+    )
+    mrow = ranked.groupBy().agg(
+        *[
+            agg
+            for k in range(1, APPLY_MERGES + 1)
+            for agg in (
+                F.max(F.when(F.col("rnk") == k, F.split("pair", " ")[0])).alias(f"_a{k}"),
+                F.max(F.when(F.col("rnk") == k, F.split("pair", " ")[1])).alias(f"_b{k}"),
+                F.max(F.when(F.col("rnk") == k, F.translate("pair", " ", ""))).alias(f"_ab{k}"),
+            )
+        ]
+    )
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        widen(docs)
+        .select("lang", F.explode(whitespace_tokens(F.col("text"))).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    v = vocab.crossJoin(F.broadcast(mrow)).withColumn(
+        "syms",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ),
+    )
+    for k in range(1, APPLY_MERGES + 1):
+        v = (
+            v.withColumn(
+                "_c",
+                F.expr(
+                    f"""CASE WHEN size(syms) < 2 THEN CAST(array() AS ARRAY<INT>)
+                    ELSE transform(sequence(1, size(syms) - 1), i ->
+                      CASE WHEN element_at(syms, i) = _a{k}
+                            AND element_at(syms, i + 1) = _b{k} THEN 1
+                           ELSE 0 END) END"""
+                ),
+            )
+            .withColumn(
+                "_z",
+                F.expr(
+                    """CASE WHEN size(_c) = 0 THEN CAST(array() AS ARRAY<INT>)
+                    ELSE filter(sequence(1, size(_c)), j -> element_at(_c, j) = 0)
+                    END"""
+                ),
+            )
+            .withColumn(
+                "_sel",
+                F.expr(
+                    """transform(sequence(1, size(syms)), i ->
+                      CASE WHEN i > size(_c) THEN 0
+                           WHEN element_at(_c, i) = 0 THEN 0
+                           WHEN (i - coalesce(array_max(filter(_z, j -> j < i)),
+                                              0)) % 2 = 1 THEN 1
+                           ELSE 0 END)"""
+                ),
+            )
+            .withColumn(
+                "syms",
+                F.expr(
+                    f"""filter(
+                      transform(sequence(1, size(syms)), i ->
+                        CASE WHEN element_at(_sel, i) = 1 THEN _ab{k}
+                             WHEN i = 1 THEN element_at(syms, i)
+                             WHEN element_at(_sel, i - 1) = 1
+                               THEN CAST(NULL AS STRING)
+                             ELSE element_at(syms, i) END),
+                      x -> x IS NOT NULL)"""
+                ),
+            )
+        )
+    merged_len = F.size(F.filter(F.col("syms"), lambda s: F.length(s) > 1))
+    per = v.select(
+        "lang",
+        "word",
+        "cnt",
+        F.length("word").cast("bigint").alias("_wl"),
+        F.size("syms").cast("bigint").alias("_sl"),
+        merged_len.cast("bigint").alias("_ml"),
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum("cnt").cast("bigint").alias("ws_tokens"),
+        F.sum(F.col("cnt") * F.col("_wl")).cast("bigint").alias("chars"),
+        F.sum(F.col("cnt") * F.col("_sl")).cast("bigint").alias("bpe_tokens"),
+        F.sum(F.col("cnt") * F.col("_ml")).cast("bigint").alias("merged_tokens"),
+        F.round(
+            F.sum(F.col("cnt") * F.col("_sl")).cast("double") / F.sum("cnt"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum(F.col("cnt") * F.col("_wl")).cast("double")
+            / F.sum(F.col("cnt") * F.col("_sl")),
+            6,
+        ).alias("compression"),
+        F.round(
+            F.sum(F.col("cnt") * F.col("_ml")).cast("double")
+            / F.sum(F.col("cnt") * F.col("_sl")),
+            6,
+        ).alias("merged_frac"),
+    )
+
+
 # ---------------------------------------------------------------- j47
 
 PR_QUANT = 1000000000000  # 1e-12 contribution quantum

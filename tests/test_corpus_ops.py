@@ -716,3 +716,80 @@ def test_j138_categories_on_planted_pairs(spark, tmp_path):
     assert out["semantic_only"].avg_jacc < 0.3
     assert out["both"].n_pairs == 1
     assert out["both"].avg_cos == 1.0 and out["both"].avg_jacc >= 0.5
+
+
+def test_j142_bpe_apply_matches_python_greedy(spark, tmp_path):
+    """Planted vocab with repeated-char runs (the parity-selection
+    path: greedy left-to-right on 'aaaa' under merge (a,a) must yield
+    [aa, aa], on 'aaa' → [aa, a]) pinned against a classic pure-Python
+    BPE apply (the reference fold the closed-form parity formula
+    replaces), including j46's merge mining in rank order."""
+    from collections import Counter
+
+    from json2hbase_spark import registry
+    from json2hbase_spark.plans.corpus_queries import APPLY_MERGES
+
+    registry.load_all_query_modules()
+    docs = [
+        (0, "aaaa aaa aa abab banana bananas baa", "en"),
+        (1, "aaaa abab abba cab aa aa", "en"),
+        (2, "banana bandana ananas b", "fr"),
+        (3, "aa aaaa caa abc", "fr"),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    df = spark.createDataFrame(
+        [(i, t, lang, "s0", len(t)) for i, t, lang in docs], schema
+    )
+    d = str(tmp_path / "bpefix")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    out = {r.lang: r for r in registry.QUERIES["j142_bpe_apply"](spark, d).collect()}
+
+    # --- python reference ---
+    words = [w for _, t, _ in docs for w in t.split(" ") if w]
+    wf = Counter(words)
+    pairs: Counter = Counter()
+    for w, c in wf.items():
+        if len(w) >= 2:
+            for x, y in zip(w, w[1:]):
+                pairs[f"{x} {y}"] += c
+    ranked = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:APPLY_MERGES]
+    merges = [(p.split(" ")[0], p.split(" ")[1], p.replace(" ", "")) for p, _ in ranked]
+
+    def apply_all(word: str) -> list[str]:
+        syms = list(word)
+        for a, b, ab in merges:
+            out_s, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out_s.append(ab)
+                    i += 2
+                else:
+                    out_s.append(syms[i])
+                    i += 1
+            syms = out_s
+        return syms
+
+    vocab: Counter = Counter()
+    for _, t, lang in docs:
+        for w in t.split(" "):
+            if w:
+                vocab[(lang, w)] += 1
+    for lang in {"en", "fr"}:
+        items = [(w, c) for (lg, w), c in vocab.items() if lg == lang]
+        segs = {w: apply_all(w) for w, _ in items}
+        ws_tokens = sum(c for _, c in items)
+        chars = sum(c * len(w) for w, c in items)
+        bpe_tokens = sum(c * len(segs[w]) for w, c in items)
+        merged_tokens = sum(
+            c * sum(1 for s in segs[w] if len(s) > 1) for w, c in items
+        )
+        r = out[lang]
+        assert r.n_words == len(items)
+        assert r.ws_tokens == ws_tokens
+        assert r.chars == chars
+        assert r.bpe_tokens == bpe_tokens, (lang, segs)
+        assert r.merged_tokens == merged_tokens
+        assert r.fertility == round(bpe_tokens / ws_tokens, 6)
+        assert r.compression == round(chars / bpe_tokens, 6)
+        assert r.merged_frac == round(merged_tokens / bpe_tokens, 6)
