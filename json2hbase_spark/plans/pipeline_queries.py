@@ -1472,3 +1472,236 @@ def j131_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_cap_audit("5_decontaminated", s5))
         .unionByName(pack_audit)
     )
+
+
+# ---------------------------------------------------------------- j143
+
+
+def _duck_gate_order_oracle() -> str:
+    stops = "[" + ", ".join(f"'{s}'" for s in _CAP_STOPS) + "]"
+    h = _H48_DUCK.format(x="CAST(doc_id AS VARCHAR)")
+
+    def audit(ordering: str, stage: str, tbl: str) -> str:
+        return (
+            f"SELECT '{ordering}' AS ordering, '{stage}' AS stage, lang,"
+            f" CAST(COUNT(*) AS BIGINT) AS n_docs,"
+            f" CAST(SUM(tokens) AS BIGINT) AS n_tokens,"
+            f" CAST(bit_xor({h}) AS BIGINT) AS set_digest"
+            f" FROM {tbl} GROUP BY lang"
+        )
+
+    def near(src: str, sh: str, drop: str, out: str) -> str:
+        return f"""
+    {sh} AS MATERIALIZED (
+      SELECT doc_id, substr(norm, 1, 40) AS block, {_CAP_SH_DUCK} AS shingles
+      FROM {src} WHERE len(norm) >= 8
+    ),
+    {drop} AS (
+      SELECT DISTINCT b.doc_id
+      FROM {sh} a JOIN {sh} b ON a.block = b.block AND a.doc_id < b.doc_id
+      WHERE {_CAP_JACC_DUCK} >= 0.3
+    ),
+    {out} AS MATERIALIZED (
+      SELECT s.* FROM {src} s LEFT JOIN {drop} d ON d.doc_id = s.doc_id
+      WHERE d.doc_id IS NULL
+    )"""
+
+    return f"""
+    WITH s1 AS MATERIALIZED (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x != '') AS w,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm,
+             len(list_filter(string_split(text, ' '), x -> x != '')) AS tokens
+      FROM documents WHERE doc_id >= {CAP_BENCH_CUT}
+    ),
+    feats AS MATERIALIZED (
+      SELECT doc_id, lang, norm, tokens,
+             (tokens BETWEEN 20 AND 100000 AND 3 * tokens <= tl
+              AND tl <= 10 * tokens AND 5 * aw > 4 * tokens AND sw >= 2)
+               AS q_ok
+      FROM (
+        SELECT s1.*,
+               CAST(COALESCE(list_aggregate(list_transform(w, x -> len(x)),
+                                            'sum'), 0) AS BIGINT) AS tl,
+               len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS aw,
+               len(list_filter({stops}::VARCHAR[],
+                               s -> list_contains(list_transform(w, x -> lower(x)), s)))
+                 AS sw
+        FROM s1
+      )
+    ),
+    a2 AS MATERIALIZED (SELECT * FROM feats WHERE q_ok),
+    a3 AS MATERIALIZED (
+      SELECT doc_id, lang, norm, tokens, q_ok FROM (
+        SELECT *, row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+        FROM a2) WHERE rn = 1
+    ),{near("a3", "asha", "adropa", "a4")},
+    b2 AS MATERIALIZED (
+      SELECT doc_id, lang, norm, tokens, q_ok FROM (
+        SELECT *, row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+        FROM feats) WHERE rn = 1
+    ),{near("b2", "bshb", "bdropb", "b3")},
+    b4 AS MATERIALIZED (SELECT * FROM b3 WHERE q_ok),
+    rows_ AS (
+      {audit('filter_first', '1_quality', 'a2')}
+      UNION ALL {audit('filter_first', '2_dedup_exact', 'a3')}
+      UNION ALL {audit('filter_first', '3_dedup_near', 'a4')}
+      UNION ALL {audit('dedup_first', '1_dedup_exact', 'b2')}
+      UNION ALL {audit('dedup_first', '2_dedup_near', 'b3')}
+      UNION ALL {audit('dedup_first', '3_quality', 'b4')}
+    ),
+    ing AS (SELECT lang, CAST(SUM(tokens) AS BIGINT) AS tokens0
+            FROM s1 GROUP BY lang)
+    SELECT r.ordering, r.stage, r.lang, r.n_docs, r.n_tokens, r.set_digest,
+           CAST(COALESCE(lag(r.n_tokens) OVER (PARTITION BY r.ordering, r.lang
+                                               ORDER BY r.stage), i.tokens0)
+                - r.n_tokens AS BIGINT) AS tokens_dropped
+    FROM rows_ r JOIN ing i USING (lang)
+    """
+
+
+@query("j143_gate_order_audit", oracle=_duck_gate_order_oracle())
+def j143_gate_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-ORDER audit for the corpus capstone (VERDICT r10 #7) —
+    j131 runs filter→dedup by fiat; j140 measures WHY the order
+    matters (duplication concentrates in low-quality bins). This op
+    runs the middle three stages in BOTH orders over the shared
+    normalized corpus and reports the per-stage audit rows side by
+    side: filter_first = quality gate → exact dedup → near dedup
+    (j131's order); dedup_first = exact dedup → near dedup → quality
+    gate. Each row carries (n_docs, n_tokens, set_digest,
+    tokens_dropped vs the previous stage), so the decision j140
+    informs is read directly: dedup_first loses extra content
+    wherever a kept cluster representative (lowest doc_id) fails the
+    quality gate that its dropped near-twins would have passed, and
+    filter_first pays its near-dup join over only the quality
+    survivors — the token deltas ARE the cost/benefit table.
+
+    Exactness: every stage decision is integer/string-exact (j131's
+    predicates, min-id dedup, deterministic prefix blocking); digests
+    are md5+XOR; tokens_dropped is a bounded 3-row lag per
+    (ordering, lang). Plan: the corpus scans ONCE into the shared
+    normalized+featured table (materialized, read by both orders);
+    each order then reuses j131's stage shapes (hash agg for min-id,
+    block self-join for near-dup — never all-pairs); audit rows are
+    |langs|-row aggregates; the final delta window runs over
+    2×3×|langs| rows. At 100 TB this costs ~one extra dedup pass over
+    the corpus vs j131 — exactly the experiment a data team runs ONCE
+    before freezing the gate order."""
+    from json2hbase_spark.operators.dedup import char_shingles, normalize_text
+
+    docs = load(spark, sf_dir, "documents")
+    w = whitespace_tokens(F.col("text"))
+    s1 = materialize(
+        widen(docs.filter(F.col("doc_id") >= CAP_BENCH_CUT)).select(
+            "doc_id",
+            "lang",
+            w.alias("w"),
+            normalize_text(F.col("text")).alias("norm"),
+            F.size(w).alias("tokens"),
+        )
+    )
+    wl = F.transform("w", lambda x: F.lower(x))
+    stops = F.array(*[F.lit(s) for s in _CAP_STOPS])
+    tl = F.aggregate("w", F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    aw = F.size(F.filter("w", lambda x: x.rlike("[A-Za-z]")))
+    sw = F.size(F.filter(stops, lambda s: F.array_contains(wl, s)))
+    q_ok = (
+        F.col("tokens").between(20, 100000)
+        & (3 * F.col("tokens") <= tl)
+        & (tl <= 10 * F.col("tokens"))
+        & (5 * aw > 4 * F.col("tokens"))
+        & (sw >= 2)
+    )
+    feats = materialize(
+        s1.select("doc_id", "lang", "norm", "tokens", q_ok.alias("q_ok"))
+    )
+
+    def exact(df: DataFrame) -> DataFrame:
+        keep = df.groupBy("norm").agg(F.min("doc_id").alias("doc_id"))
+        return materialize(df.join(keep, ["norm", "doc_id"], "left_semi"))
+
+    def near(df: DataFrame) -> DataFrame:
+        sh = materialize(
+            df.filter(F.length("norm") >= 8).select(
+                "doc_id",
+                F.substring("norm", 1, 40).alias("block"),
+                char_shingles(F.col("norm"), 8).alias("shingles"),
+            )
+        )
+        a = sh.select(
+            "block", F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+        )
+        b = sh.select(
+            F.col("block").alias("block_b"),
+            F.col("doc_id").alias("doc_b"),
+            F.col("shingles").alias("sh_b"),
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        drop = (
+            a.join(
+                b,
+                (F.col("block") == F.col("block_b"))
+                & (F.col("doc_a") < F.col("doc_b")),
+            )
+            .filter(inter.cast("double") / union >= 0.3)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        return materialize(df.join(F.broadcast(drop), "doc_id", "left_anti"))
+
+    a2 = materialize(feats.filter("q_ok"))
+    a3 = exact(a2)
+    a4 = near(a3)
+    b2 = exact(feats)
+    b3 = near(b2)
+    b4 = materialize(b3.filter("q_ok"))
+
+    def audit(ordering: str, stage: str, df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy("lang")
+            .agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.sum("tokens").cast("bigint").alias("n_tokens"),
+                F.bit_xor(_cap_h48(F.col("doc_id").cast("string")))
+                .cast("bigint")
+                .alias("set_digest"),
+            )
+            .select(
+                F.lit(ordering).alias("ordering"),
+                F.lit(stage).alias("stage"),
+                "lang",
+                "n_docs",
+                "n_tokens",
+                "set_digest",
+            )
+        )
+
+    rows = (
+        audit("filter_first", "1_quality", a2)
+        .unionByName(audit("filter_first", "2_dedup_exact", a3))
+        .unionByName(audit("filter_first", "3_dedup_near", a4))
+        .unionByName(audit("dedup_first", "1_dedup_exact", b2))
+        .unionByName(audit("dedup_first", "2_dedup_near", b3))
+        .unionByName(audit("dedup_first", "3_quality", b4))
+    )
+    ing = s1.groupBy("lang").agg(F.sum("tokens").cast("bigint").alias("tokens0"))
+    dw = Window.partitionBy("ordering", "lang").orderBy("stage")
+    return (
+        rows.join(F.broadcast(ing), "lang")
+        .select(
+            "ordering",
+            "stage",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "set_digest",
+            (
+                F.coalesce(F.lag("n_tokens").over(dw), F.col("tokens0"))
+                - F.col("n_tokens")
+            )
+            .cast("bigint")
+            .alias("tokens_dropped"),
+        )
+    )

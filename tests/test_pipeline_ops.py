@@ -531,3 +531,57 @@ def test_j131_audit_chain_tracks_planted_attrition(spark, tmp_path):
         "1_ingest_normalize", "2_quality_gate", "3_dedup_exact",
         "4_dedup_near", "5_decontaminated")]
     assert len(set(digs)) == 5
+
+
+# ---------------------------------------------------------------- j143
+
+
+def test_j143_gate_order_divergence_on_planted_cluster(spark):
+    """Planted near-dup pair where the LOWER id fails the quality gate
+    (zero stopwords) and the higher id passes: filter_first keeps the
+    passing twin; dedup_first drops the twin as a near-dup of the kept
+    low-quality representative, then drops the representative at the
+    quality stage — the content vanishes. A control doc in another
+    lang survives both orders with identical digests."""
+    base = " ".join(
+        f"alpha{i} bravo{i} charl{i} delta{i} orbit{i}" for i in range(5)
+    )  # 25 alpha tokens, 0 stopwords → fails sw>=2 only
+    twin = base + " the of and"  # +3 stopwords → passes the gate
+    ctrl = (
+        " ".join(f"zulu{i} metro{i} quart{i} vival{i} nimbu{i}" for i in range(5))
+        + " the of"
+    )
+    rows = [
+        (3, "below the bench cut " * 10, "en", "s0"),  # excluded by doc_id < 10
+        (10, base, "en", "s0"),
+        (11, twin, "en", "s0"),
+        (12, ctrl, "fr", "s0"),
+    ]
+    d = _docs_fixture(spark, rows)
+    out = registry.QUERIES["j143_gate_order_audit"](spark, d).collect()
+    ff = {(r.stage, r.lang): r for r in out if r.ordering == "filter_first"}
+    df_ = {(r.stage, r.lang): r for r in out if r.ordering == "dedup_first"}
+
+    # filter_first/en: base fails quality, twin survives everything
+    assert ff[("1_quality", "en")].n_docs == 1
+    assert ff[("3_dedup_near", "en")].n_docs == 1
+    n_twin = len([t for t in twin.split(" ") if t])
+    n_base = len([t for t in base.split(" ") if t])
+    assert ff[("1_quality", "en")].n_tokens == n_twin
+    assert ff[("1_quality", "en")].tokens_dropped == n_base
+
+    # dedup_first/en: exact keeps both, near drops the twin (higher id),
+    # quality then drops the representative — no en row at stage 3
+    assert df_[("1_dedup_exact", "en")].n_docs == 2
+    assert df_[("2_dedup_near", "en")].n_docs == 1
+    assert df_[("2_dedup_near", "en")].n_tokens == n_base
+    assert ("3_quality", "en") not in df_
+
+    # control lang: both orders end with the same single doc
+    assert ff[("3_dedup_near", "fr")].n_docs == 1
+    assert df_[("3_quality", "fr")].n_docs == 1
+    assert (
+        ff[("3_dedup_near", "fr")].set_digest == df_[("3_quality", "fr")].set_digest
+    )
+    # telescoping: per (ordering, lang), drops sum to tokens0 - final
+    assert ff[("3_dedup_near", "fr")].tokens_dropped == 0
