@@ -292,9 +292,14 @@ COV_SCALE = 1_000  # fixed-point quantizer: q = floor(x · 1000)
 def _cov_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared exact covariance terms over the quantized embedding
     pairs (i ≤ j): (i, j, n, Σqiqj, Σqi, Σqj, max|q|) as order-free
-    BIGINTs — j97's aggregation, reused by j121's power iteration."""
-    emb = load(spark, sf_dir, "embeddings")
-    q = widen(emb).select(
+    BIGINTs — j97's aggregation, reused by j121's power iteration and
+    (per-slice, via ``_cov_terms_of``) by j144's incremental merge."""
+    return _cov_terms_of(widen(load(spark, sf_dir, "embeddings")))
+
+
+def _cov_terms_of(emb: DataFrame) -> DataFrame:
+    """j97's term aggregation over an arbitrary embeddings slice."""
+    q = emb.select(
         F.transform(
             "embedding",
             lambda x: F.floor(x.cast("double") * COV_SCALE).cast("long"),

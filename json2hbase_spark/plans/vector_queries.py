@@ -1376,3 +1376,154 @@ def j139_whiten_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recall_white",
         F.round(F.col("recall_white") - F.col("recall_raw"), 4).alias("delta"),
     )
+
+
+# ---------------------------------------------------------------- j144
+
+INC_COV_CUT = 400  # vec_id < CUT = persisted base corpus; >= CUT =
+# the incoming delta batch (j24/j132's incremental convention on the
+# embeddings axis)
+
+
+def _duck_inc_cov_oracle() -> str:
+    terms = """
+      SELECT i, j,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(qi * qj) AS BIGINT) AS sxy,
+             CAST(SUM(qi) AS BIGINT) AS sx,
+             CAST(SUM(qj) AS BIGINT) AS sy
+      FROM p WHERE {pred} GROUP BY i, j"""
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * {COV_SCALE})
+                                      AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    p AS (
+      SELECT vec_id, i.i AS i, j.j AS j,
+             q.q[i.i + 1] AS qi, q.q[j.j + 1] AS qj
+      FROM q,
+           LATERAL (SELECT unnest(range(len(q.q))) AS i) i,
+           LATERAL (SELECT unnest(range(len(q.q))) AS j) j
+      WHERE j.j >= i.i
+    ),
+    base AS ({terms.format(pred=f"vec_id < {INC_COV_CUT}")}),
+    delta AS ({terms.format(pred=f"vec_id >= {INC_COV_CUT}")}),
+    oneshot AS ({terms.format(pred="TRUE")}),
+    merged AS (
+      SELECT COALESCE(b.i, d.i) AS i, COALESCE(b.j, d.j) AS j,
+             COALESCE(b.n, 0) AS n_base, COALESCE(d.n, 0) AS n_delta,
+             COALESCE(b.n, 0) + COALESCE(d.n, 0) AS n,
+             COALESCE(b.sxy, 0) + COALESCE(d.sxy, 0) AS sxy,
+             COALESCE(b.sx, 0) + COALESCE(d.sx, 0) AS sx,
+             COALESCE(b.sy, 0) + COALESCE(d.sy, 0) AS sy
+      FROM base b FULL JOIN delta d ON d.i = b.i AND d.j = b.j
+    )
+    SELECT CAST(m.i AS INT) AS i, CAST(m.j AS INT) AS j,
+           CAST(m.n_base AS BIGINT) AS n_base,
+           CAST(m.n_delta AS BIGINT) AS n_delta,
+           m.n * m.sxy - m.sx * m.sy AS cov_num,
+           round(CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+                 / (CAST(m.n AS DOUBLE) * m.n * {COV_SCALE} * {COV_SCALE}), 6)
+             AS cov,
+           (m.n * m.sxy - m.sx * m.sy)
+             = (o.n * o.sxy - o.sx * o.sy) AS matches_oneshot
+    FROM merged m JOIN oneshot o ON o.i = m.i AND o.j = m.j
+    """
+
+
+@query("j144_incremental_covariance", oracle=_duck_inc_cov_oracle())
+def j144_incremental_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL covariance maintenance (VERDICT r10 #8) — the
+    delta-batch merge that completes the whitening chain's streaming
+    story: j97's covariance terms (n, Σqiqj, Σqi, Σqj per dimension
+    pair) are plain additive BIGINTs, so a persisted base artifact
+    (vec_id < {INC_COV_CUT}) merges with an incoming batch's terms
+    (vec_id ≥ {INC_COV_CUT}) by COLUMN ADDITION — no corpus rescan —
+    and the merged covariance is BIT-IDENTICAL to the one-shot
+    recompute. The op emits the merged matrix (the artifact
+    j121/j127/j122/j128 consume) plus a per-cell matches_oneshot
+    proof column: the one-shot leg re-aggregates the full corpus
+    in-plan and every cell must read true (pinned by test; at 100 TB
+    the proof leg is dropped and the base terms are the persisted
+    d(d+1)/2-row table — only the delta batch ever scans, j24/j132's
+    incremental posture applied to vectors).
+
+    Exactness: term merging is integer addition; cov_num = n·Σxy −
+    Σx·Σy on the merged BIGINTs; the float cov divides/rounds once
+    (j97's convention, same int64 tripwire on the merged magnitudes).
+    Plan: two slice-filtered pair-explode hash aggs (each shuffle
+    ≤ d(d+1)/2 partial rows per partition, corpus-size-independent) +
+    one full-corpus agg for the proof leg; the merge is a d(d+1)/2-row
+    full-outer join (zero-filled for empty slices) and the proof join
+    is equi on (i, j) — everything after the scans is
+    dimension-bounded (2,080 rows at d=64)."""
+    from json2hbase_spark.plans.selection_queries import _cov_terms, _cov_terms_of
+
+    emb = widen(load(spark, sf_dir, "embeddings"))
+    base = _cov_terms_of(emb.filter(F.col("vec_id") < INC_COV_CUT))
+    delta = _cov_terms_of(emb.filter(F.col("vec_id") >= INC_COV_CUT))
+    b = base.select(
+        "i", "j", F.col("n").alias("n_b"), F.col("sxy").alias("sxy_b"),
+        F.col("sx").alias("sx_b"), F.col("sy").alias("sy_b"),
+        F.col("_qmax").alias("qmax_b"),
+    )
+    d = delta.select(
+        F.col("i").alias("i_d"), F.col("j").alias("j_d"),
+        F.col("n").alias("n_d"), F.col("sxy").alias("sxy_d"),
+        F.col("sx").alias("sx_d"), F.col("sy").alias("sy_d"),
+        F.col("_qmax").alias("qmax_d"),
+    )
+    merged = (
+        b.join(d, (F.col("i") == F.col("i_d")) & (F.col("j") == F.col("j_d")), "full")
+        .select(
+            F.coalesce("i", "i_d").alias("i"),
+            F.coalesce("j", "j_d").alias("j"),
+            F.coalesce("n_b", F.lit(0)).alias("n_base"),
+            F.coalesce("n_d", F.lit(0)).alias("n_delta"),
+            (F.coalesce("sxy_b", F.lit(0)) + F.coalesce("sxy_d", F.lit(0))).alias("sxy"),
+            (F.coalesce("sx_b", F.lit(0)) + F.coalesce("sx_d", F.lit(0))).alias("sx"),
+            (F.coalesce("sy_b", F.lit(0)) + F.coalesce("sy_d", F.lit(0))).alias("sy"),
+            F.greatest(
+                F.coalesce("qmax_b", F.lit(0)), F.coalesce("qmax_d", F.lit(0))
+            ).alias("_qmax"),
+        )
+        .withColumn("n", F.col("n_base") + F.col("n_delta"))
+    )
+    # j97's int64 tripwire on the MERGED magnitudes
+    guard = (
+        F.pow(F.col("n").cast("double"), 2) * F.pow(F.col("_qmax").cast("double"), 2)
+        < F.lit(4.5e18)
+    )
+    merged = merged.where(
+        F.assert_true(
+            guard, F.lit("j144: n²·qmax² near int64 — use the two-pass centered form")
+        ).isNull()
+    )
+    oneshot = _cov_terms(spark, sf_dir).select(
+        F.col("i").alias("i_o"),
+        F.col("j").alias("j_o"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cov_num_o"),
+    )
+    cov_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        merged.join(
+            oneshot,
+            (F.col("i") == F.col("i_o")) & (F.col("j") == F.col("j_o")),
+        )
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            F.col("n_base").cast("bigint").alias("n_base"),
+            F.col("n_delta").cast("bigint").alias("n_delta"),
+            cov_num.alias("cov_num"),
+            F.round(
+                cov_num.cast("double")
+                / (F.col("n").cast("double") * F.col("n") * COV_SCALE * COV_SCALE),
+                6,
+            ).alias("cov"),
+            (cov_num == F.col("cov_num_o")).alias("matches_oneshot"),
+        )
+    )

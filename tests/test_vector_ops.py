@@ -224,3 +224,40 @@ def test_j139_whitened_chain_preserves_planted_patterns(spark, tmp_path):
         assert r.recall_raw == 1.0, r
         assert r.recall_white == 1.0, r
         assert r.delta == 0.0, r
+
+
+def test_j144_incremental_merge_equals_oneshot_and_handles_empty_delta(
+    spark, tmp_path
+):
+    """Split fixture (ids straddling INC_COV_CUT): every cell's merged
+    cov_num matches the one-shot recompute (the op's own proof column
+    all-true) and the slice counts land where planted. Empty-delta
+    fixture (all ids below the cut): merge degenerates to the base
+    terms and still matches one-shot."""
+    import random
+
+    from json2hbase_spark import registry
+    from json2hbase_spark.plans.vector_queries import INC_COV_CUT
+
+    registry.load_all_query_modules()
+    rng = random.Random(7)
+    dim = 4
+
+    def rows(ids):
+        return [
+            (i, [rng.uniform(-1, 1) for _ in range(dim)], 0) for i in ids
+        ]
+
+    split = rows(list(range(INC_COV_CUT - 6, INC_COV_CUT + 5)))  # 6 base + 5 delta
+    d1 = _emb_dir(spark, tmp_path, "inc_split", split)
+    out = registry.QUERIES["j144_incremental_covariance"](spark, d1).collect()
+    assert len(out) == dim * (dim + 1) // 2
+    assert all(r.matches_oneshot for r in out)
+    assert all(r.n_base == 6 and r.n_delta == 5 for r in out)
+
+    base_only = rows(list(range(20)))  # all below the cut
+    d2 = _emb_dir(spark, tmp_path, "inc_empty", base_only)
+    out2 = registry.QUERIES["j144_incremental_covariance"](spark, d2).collect()
+    assert len(out2) == dim * (dim + 1) // 2
+    assert all(r.matches_oneshot for r in out2)
+    assert all(r.n_base == 20 and r.n_delta == 0 for r in out2)
