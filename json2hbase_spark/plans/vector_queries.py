@@ -1527,3 +1527,198 @@ def j144_incremental_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cov_num == F.col("cov_num_o")).alias("matches_oneshot"),
         )
     )
+
+
+# ---------------------------------------------------------------- j145
+
+
+def _duck_pca_ortho_oracle() -> str:
+    parts = _duck_base_matrix_parts()
+    A = f"m{MATPOW_SQUARINGS}"
+    for c in range(PCA_R):
+        parts += _duck_power_tagged_parts(A, c)
+        if c < PCA_R - 1:
+            parts += _duck_deflate_parts(A, c)
+            A = f"am{c + 1}"
+    # Gram-Schmidt chain: gu0 = vs0; gu{c} = vs{c} with gu0..gu{c-1}
+    # projected out (multiply-through form u·nn − vu·u_k, no division)
+    # + the _PI_S floor-rescale between projection steps.
+    parts.append("gu0 AS (SELECT dim, v AS u FROM vs0)")
+    for c in range(1, PCA_R):
+        parts.append(f"t{c}_0 AS (SELECT dim, v AS u FROM vs{c})")
+        for k in range(c):
+            parts.append(
+                f"""pj{c}_{k} AS (
+      SELECT t.dim,
+             t.u * (SELECT CAST(SUM(u * u) AS BIGINT) FROM gu{k})
+             - (SELECT CAST(SUM(t2.u * g2.u) AS BIGINT)
+                FROM t{c}_{k} t2 JOIN gu{k} g2 ON g2.dim = t2.dim) * g.u AS u
+      FROM t{c}_{k} t JOIN gu{k} g ON g.dim = t.dim
+    ),
+    te{c}_{k} AS (SELECT greatest(CAST(max(abs(u)) AS BIGINT) // {_PI_S}, 1)
+                    AS e FROM pj{c}_{k}),
+    t{c}_{k + 1} AS MATERIALIZED (
+      SELECT dim, CAST(floor(CAST(u AS DOUBLE) / e) AS BIGINT) AS u
+      FROM pj{c}_{k}, te{c}_{k}
+    )"""
+            )
+        parts.append(f"gu{c} AS (SELECT dim, u FROM t{c}_{c})")
+    for k in range(PCA_R):
+        parts.append(
+            f"onn{k} AS (SELECT CAST(SUM(u * u) AS BIGINT) AS nn FROM gu{k})"
+        )
+    selects = [
+        "SELECT 0 AS component, CAST(dim AS INT) AS dim,"
+        " CAST(u AS BIGINT) AS u, CAST(0 AS BIGINT) AS cross_q FROM gu0"
+    ]
+    for c in range(1, PCA_R):
+        for k in range(c):
+            parts.append(
+                f"""xt{c}_{k} AS (
+      SELECT CAST(SUM(a.u * b.u) AS BIGINT) AS dt
+      FROM gu{c} a JOIN gu{k} b ON b.dim = a.dim
+    )"""
+            )
+        terms = [
+            f"floor((CAST(x{k}.dt * x{k}.dt AS DOUBLE)"
+            f" / CAST(n{k}.nn * nc.nn AS DOUBLE)) * 1000000.0)"
+            for k in range(c)
+        ]
+        froms = ", ".join(
+            [f"xt{c}_{k} AS x{k}" for k in range(c)]
+            + [f"onn{k} AS n{k}" for k in range(c)]
+            + [f"onn{c} AS nc"]
+        )
+        body = terms[0] if c == 1 else f"greatest({', '.join(terms)})"
+        parts.append(
+            f"cq{c} AS (SELECT CAST({body} AS BIGINT) AS cross_q FROM {froms})"
+        )
+        selects.append(
+            f"SELECT {c} AS component, CAST(dim AS INT) AS dim,"
+            f" CAST(u AS BIGINT) AS u, cq{c}.cross_q FROM gu{c}, cq{c}"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+    )
+
+
+@query("j145_pca_orthobasis", oracle=_duck_pca_ortho_oracle())
+def j145_pca_orthobasis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORTHONORMALIZED principal subspace (VERDICT r10 #4) — j127's
+    documented caveat closed in-plan: the flat fixture spectrum
+    leaves j127's deflated components with cross-cosines up to ~0.16,
+    so consumers needing a true basis (multi-axis whitening à la
+    j128, subspace projection for j139-style OPQ) got a diagnostic,
+    not an orthonormal frame. This variant runs j127's exact chain
+    and then GRAM-SCHMIDTs the r×{64}-vector output with the same
+    integer disciplines: each projection step is the multiply-through
+    form u·(u_kᵀu_k) − (uᵀu_k)·u_k (division-free, exact BIGINT —
+    bounds: |u| < 2·{_PI_S} after rescale, so u·nn ≤ ~5.1e11 and the
+    difference stays far inside int64 and 2^53), followed by the
+    established _PI_S floor-rescale. Output per component: the
+    orthogonalized vector plus cross_q = max over earlier components
+    of floor(cos²·10⁶) — the tripwire column: j127's raw subspace
+    reads cross_q up to ~26,000; this basis reads single digits
+    (residual = floor-rescale rounding only; pinned by test).
+
+    Exactness: identical j127 iterates (bit-exact in both engines),
+    then 6 projection steps of integer arithmetic + the shared
+    floor-of-double-division rescale; cross_q divides two exact
+    int64 products as doubles (same IEEE ops both engines) and
+    floors once. Plan: corpus cost identical to j127 (ONE covariance
+    pass); GS adds 6 × (two 64-row joins + 1-row broadcasts) and the
+    quality columns are six 64-row dot products — all
+    dimension-bounded, nothing touches the corpus again."""
+    from json2hbase_spark.plans.selection_queries import _accel_matrix, _power_on
+
+    a = _accel_matrix(spark, sf_dir)
+    vs = []
+    for c in range(PCA_R):
+        v_signed, _ = _power_on(a)
+        vs.append(v_signed)
+        if c < PCA_R - 1:
+            a = _deflate(a, v_signed)
+
+    us = [vs[0].select("dim", F.col("v").alias("u"))]
+    for c in range(1, PCA_R):
+        t = vs[c].select("dim", F.col("v").alias("u"))
+        for k in range(c):
+            uk = us[k].select("dim", F.col("u").alias("uk"))
+            nn = us[k].agg(F.sum(F.col("u") * F.col("u")).cast("bigint").alias("nn"))
+            vu = (
+                t.join(uk, "dim")
+                .agg(F.sum(F.col("u") * F.col("uk")).cast("bigint").alias("vu"))
+            )
+            proj = (
+                t.join(F.broadcast(uk), "dim")
+                .crossJoin(F.broadcast(nn))
+                .crossJoin(F.broadcast(vu))
+                .select(
+                    "dim",
+                    (F.col("u") * F.col("nn") - F.col("vu") * F.col("uk")).alias("u"),
+                )
+            )
+            e = proj.agg(
+                F.greatest(
+                    F.expr(f"max(abs(u)) DIV {_PI_S}"), F.lit(1).cast("long")
+                ).alias("e")
+            )
+            t = materialize(
+                proj.crossJoin(F.broadcast(e))
+                .select(
+                    "dim",
+                    F.floor(F.col("u").cast("double") / F.col("e"))
+                    .cast("bigint")
+                    .alias("u"),
+                )
+                .coalesce(1)  # 64 rows at any scale
+            )
+        us.append(t)
+
+    nns = [
+        us[k].agg(F.sum(F.col("u") * F.col("u")).cast("bigint").alias(f"nn{k}"))
+        for k in range(PCA_R)
+    ]
+    outs = [
+        us[0].select(
+            F.lit(0).alias("component"),
+            F.col("dim").cast("int").alias("dim"),
+            F.col("u").cast("bigint").alias("u"),
+            F.lit(0).cast("bigint").alias("cross_q"),
+        )
+    ]
+    for c in range(1, PCA_R):
+        row = nns[c].select(F.col(f"nn{c}").alias("nn_c"))
+        for k in range(c):
+            dt = (
+                us[c]
+                .join(us[k].select("dim", F.col("u").alias("uk")), "dim")
+                .agg(F.sum(F.col("u") * F.col("uk")).cast("bigint").alias(f"dt{k}"))
+            )
+            row = row.crossJoin(F.broadcast(dt)).crossJoin(
+                F.broadcast(nns[k])
+            )
+        terms = [
+            F.floor(
+                (F.col(f"dt{k}") * F.col(f"dt{k}")).cast("double")
+                / (F.col(f"nn{k}") * F.col("nn_c")).cast("double")
+                * F.lit(1000000.0)
+            )
+            for k in range(c)
+        ]
+        body = terms[0] if c == 1 else F.greatest(*terms)
+        cross = row.select(body.cast("bigint").alias("cross_q"))
+        outs.append(
+            us[c]
+            .crossJoin(F.broadcast(cross))
+            .select(
+                F.lit(c).alias("component"),
+                F.col("dim").cast("int").alias("dim"),
+                F.col("u").cast("bigint").alias("u"),
+                "cross_q",
+            )
+        )
+    return reduce(DataFrame.unionByName, outs)

@@ -261,3 +261,49 @@ def test_j144_incremental_merge_equals_oneshot_and_handles_empty_delta(
     assert len(out2) == dim * (dim + 1) // 2
     assert all(r.matches_oneshot for r in out2)
     assert all(r.n_base == 20 and r.n_delta == 0 for r in out2)
+
+
+def test_j145_orthobasis_cross_cosines_are_rounding_only(spark):
+    """The GS output's cross_q (max floor(cos²·1e6) vs earlier
+    components) must be rounding residue (< 100, i.e. |cos| < 0.01)
+    — j127's raw deflated subspace reads up to ~26,000 on the flat
+    fixture spectrum. Component 0 is j127's component 0 unchanged."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    out = registry.QUERIES["j145_pca_orthobasis"](spark, SF).collect()
+    assert len(out) == 256
+    by_comp: dict[int, list] = {}
+    for r in out:
+        by_comp.setdefault(r.component, []).append(r)
+    assert sorted(by_comp) == [0, 1, 2, 3]
+    for c, rows in by_comp.items():
+        cq = {r.cross_q for r in rows}
+        assert len(cq) == 1  # one quality scalar per component
+        q = cq.pop()
+        if c == 0:
+            assert q == 0
+        else:
+            assert 0 <= q < 100, (c, q)
+    # component 0 passes through GS untouched = j127's component 0
+    j127 = {
+        (r.dim): r.v
+        for r in registry.QUERIES["j127_pca_topr"](spark, SF).collect()
+        if r.component == 0
+    }
+    for r in by_comp[0]:
+        assert r.u == j127[r.dim]
+    # exact double-check of one pairwise cosine in python
+    import math
+
+    vecs = {
+        c: [r.u for r in sorted(rows, key=lambda x: x.dim)]
+        for c, rows in by_comp.items()
+    }
+    for c in range(1, 4):
+        for k in range(c):
+            dot = sum(a * b for a, b in zip(vecs[c], vecs[k]))
+            cos = dot / math.sqrt(
+                sum(a * a for a in vecs[c]) * sum(b * b for b in vecs[k])
+            )
+            assert abs(cos) < 0.01, (c, k, cos)
