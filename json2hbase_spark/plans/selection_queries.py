@@ -318,9 +318,10 @@ def _cov_terms_of(emb: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "j97_embed_covariance",
-    oracle=f"""
+# j97's oracle, shared with the streaming twin i37 (same output
+# contract: the stream's complete-mode tally must equal the batch
+# covariance bit-for-bit).
+_DUCK_J97_COV = f"""
     WITH q AS (
       SELECT list_transform(embedding,
                             x -> CAST(floor(CAST(x AS DOUBLE) * {COV_SCALE}) AS BIGINT))
@@ -348,8 +349,10 @@ def _cov_terms_of(emb: DataFrame) -> DataFrame:
            round(CAST(n * sxy - sx * sy AS DOUBLE)
                  / (CAST(n AS DOUBLE) * n * {COV_SCALE} * {COV_SCALE}), 6) AS cov
     FROM s
-    """,
-)
+    """
+
+
+@query("j97_embed_covariance", oracle=_DUCK_J97_COV)
 def j97_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding covariance matrix (upper triangle) — the input to
     whitening, PCA projection, and anisotropy diagnostics over a

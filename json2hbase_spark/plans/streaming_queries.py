@@ -2654,3 +2654,75 @@ def i36_stream_energy_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_qe").cast("double") / (F.col("n_vecs") * 1000000), 6
         ).alias("mean_energy"),
     )
+
+
+# ---------------------------------------------------------------- i37
+
+
+def _i37_oracle() -> str:
+    from json2hbase_spark.plans.selection_queries import _DUCK_J97_COV
+
+    return _DUCK_J97_COV
+
+
+@query("i37_stream_cov_monitor", oracle=_i37_oracle())
+def i37_stream_cov_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING covariance maintenance — j144's incremental merge as
+    a LIVE accumulator (the i-twin VERDICT r10 #8 asks for): arriving
+    embeddings pair-explode into j97's quantized terms and the
+    (i, j)-keyed complete-mode state carries (n, Σqiqj, Σqi, Σqj) —
+    exactly the additive artifact j144 merges in batch, maintained
+    per micro-batch instead. The final tally derives cov_num/cov with
+    j97's formula and must equal the batch covariance BIT-FOR-BIT
+    (same oracle as j97 — the i25/i29–i36 stream≡batch equivalence
+    contract). At 100 TB of stream this is the covariance the
+    whitening chain (j121/j127/j128) reads WITHOUT a corpus rescan:
+    state is d(d+1)/2 rows (2,080 at d=64) regardless of stream
+    length, and each micro-batch's work is the same map-side
+    combinable pair agg j97 pays once.
+
+    Exactness: identical integer terms (order-free BIGINT sums —
+    micro-batch boundaries are just another summation order); the
+    float cov divides/rounds once at read time. Plan: stateless
+    pair explode (d(d+1)/2 rows per vector, codegen'd) into ONE
+    (i, j)-keyed streaming agg; the memory-sink read derives the two
+    final columns."""
+    from json2hbase_spark.io import load_table_stream
+    from json2hbase_spark.plans.selection_queries import COV_SCALE
+
+    stream = load_table_stream(spark, sf_dir, "embeddings")
+    q = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * COV_SCALE).cast("long")
+    )
+    p1 = stream.select(q.alias("q")).select("q", F.posexplode("q").alias("i", "qi"))
+    p2 = p1.select("i", "qi", F.posexplode("q").alias("j", "qj")).filter(
+        F.col("j") >= F.col("i")
+    )
+    terms = p2.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("qi") * F.col("qj")).alias("sxy"),
+        F.sum("qi").alias("sx"),
+        F.sum("qj").alias("sy"),
+    )
+    with scoped_stream_confs(spark):
+        _run_to_memory(terms, "i37_mem", "complete")
+    g = spark.table("i37_mem")
+    cov_num = (
+        F.col("n").cast("bigint") * F.col("sxy").cast("bigint")
+        - F.col("sx").cast("bigint") * F.col("sy").cast("bigint")
+    )
+    return g.select(
+        F.col("i").cast("int").alias("i"),
+        F.col("j").cast("int").alias("j"),
+        cov_num.alias("cov_num"),
+        F.round(
+            cov_num.cast("double")
+            / (
+                F.col("n").cast("double")
+                * F.col("n").cast("double")
+                * COV_SCALE
+                * COV_SCALE
+            ),
+            6,
+        ).alias("cov"),
+    )

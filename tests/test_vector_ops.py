@@ -307,3 +307,23 @@ def test_j145_orthobasis_cross_cosines_are_rounding_only(spark):
                 sum(a * a for a in vecs[c]) * sum(b * b for b in vecs[k])
             )
             assert abs(cos) < 0.01, (c, k, cos)
+
+
+def test_i37_stream_tally_equals_batch_covariance(spark):
+    """The streaming complete-mode covariance tally equals j97's batch
+    output bit-for-bit (cov_num and the rounded cov) — micro-batch
+    boundaries are just another summation order for the additive
+    integer terms."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    sf = "/root/testdata/sf0.001"
+    stream = {
+        (r.i, r.j): (r.cov_num, r.cov)
+        for r in registry.QUERIES["i37_stream_cov_monitor"](spark, sf).collect()
+    }
+    batch = {
+        (r.i, r.j): (r.cov_num, r.cov)
+        for r in registry.QUERIES["j97_embed_covariance"](spark, sf).collect()
+    }
+    assert stream == batch and len(stream) == 64 * 65 // 2

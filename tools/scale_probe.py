@@ -160,6 +160,13 @@ PROBES = [
     # j132 probes the fh-keyed containment join (winnow grain): a lost
     # equi key (pairwise drift) or an index-side re-fingerprint blows it.
     "j132_incremental_winnow",
+    # round-11: j142's merge application runs over the VOCABULARY
+    # (Heaps-bounded), so only the token explode + (lang, word) agg
+    # scales with the corpus; j143 runs the capstone's quality/dedup
+    # stages twice (both orders) — each stage's blocking already
+    # probed solo, so super-linearity means an order lost its block.
+    "j142_bpe_apply",
+    "j143_gate_order_audit",
 ]
 
 
@@ -219,6 +226,11 @@ EMB_PROBES = [
     "j128_whiten_rescore",
     "j129_pq_codebook",
     "j130_pq_adc_recall",
+    # round-11: j144's two slice aggs + proof leg are all j97's
+    # corpus-size-independent d(d+1)/2 shuffle; j145 = j127's chain +
+    # dimension-bounded GS steps (only the covariance pass scales).
+    "j144_incremental_covariance",
+    "j145_pca_orthobasis",
 ]
 
 
