@@ -1510,7 +1510,7 @@ def j144_incremental_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     return (
         merged.join(
-            oneshot,
+            F.broadcast(oneshot),  # d(d+1)/2 rows at any corpus size
             (F.col("i") == F.col("i_o")) & (F.col("j") == F.col("j_o")),
         )
         .select(
@@ -1648,8 +1648,10 @@ def j145_pca_orthobasis(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in range(c):
             uk = us[k].select("dim", F.col("u").alias("uk"))
             nn = us[k].agg(F.sum(F.col("u") * F.col("u")).cast("bigint").alias("nn"))
+            # 64-row sides: broadcast explicitly — AQE cannot size
+            # localCheckpoint-backed scans and would plan SMJ
             vu = (
-                t.join(uk, "dim")
+                t.join(F.broadcast(uk), "dim")
                 .agg(F.sum(F.col("u") * F.col("uk")).cast("bigint").alias("vu"))
             )
             proj = (
@@ -1695,7 +1697,7 @@ def j145_pca_orthobasis(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in range(c):
             dt = (
                 us[c]
-                .join(us[k].select("dim", F.col("u").alias("uk")), "dim")
+                .join(F.broadcast(us[k].select("dim", F.col("u").alias("uk"))), "dim")
                 .agg(F.sum(F.col("u") * F.col("uk")).cast("bigint").alias(f"dt{k}"))
             )
             row = row.crossJoin(F.broadcast(dt)).crossJoin(

@@ -178,6 +178,7 @@ SMJ_JUSTIFIED = {
     "j128_whiten_rescore": "j16's LSH-bucket-blocked pair self-join on the whitened residual table — both sides corpus-sized (j43's category); the eigvec itself broadcasts",
     "j132_incremental_winnow": "the fh containment join (new-batch fingerprints vs the persisted corpus index — both grow with data, j49's category) plus the doc-keyed audit joins of its batch-sized aggregates",
     "j138_lexical_semantic_agreement": "j48's banded candidate join + j16's bucket-blocked pair join (both corpus-sized, j43's category) + the full-outer pair-set merge (FULL OUTER has no broadcast form — j73's category, both sides bounded by duplication density) + pair-keyed attach joins",
+    "j144_incremental_covariance": "the base-vs-delta term merge is FULL OUTER (no broadcast form — j73's category) over two ≤ d(d+1)/2-row tables (2,080 at d=64, corpus-size-independent); the proof leg broadcasts",
 }
 
 
