@@ -3584,3 +3584,123 @@ def j141_bm25_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rank_shift"),
         )
     )
+
+
+# ---------------------------------------------------------------- j146
+
+
+def _duck_ppl_buckets_oracle() -> str:
+    return f"""
+    WITH toks AS ({_DUCK_TOKS}),
+    bg AS (
+      SELECT doc_id, lang, unnest({_duck_ngrams("w", 2)}) AS g
+      FROM toks WHERE len(w) >= 2
+    ),
+    b2 AS (SELECT g, COUNT(*) AS c2 FROM bg GROUP BY g),
+    b1 AS (SELECT split_part(g, ' ', 1) AS w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+    vv AS (SELECT COUNT(DISTINCT split_part(g, ' ', 2)) AS v FROM bg),
+    lm AS (
+      SELECT bg.doc_id, bg.lang,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             round(avg(ln(CAST(b2.c2 + 1 AS DOUBLE) / (b1.c1 + vv.v))), 4)
+               AS lm2_score
+      FROM bg
+      JOIN b2 ON b2.g = bg.g
+      JOIN b1 ON b1.w1 = split_part(bg.g, ' ', 1), vv
+      GROUP BY bg.doc_id, bg.lang
+    ),
+    per AS (
+      SELECT lang, lm2_score, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(n_bigrams) AS BIGINT) AS nb
+      FROM lm GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT *, SUM(c) OVER (PARTITION BY lang ORDER BY lm2_score DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM per
+    ),
+    tot AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM lm GROUP BY lang),
+    bucketed AS (
+      SELECT cum.*,
+             CASE WHEN 3 * (cum - c) < t.n THEN 'head'
+                  WHEN 3 * (cum - c) < 2 * t.n THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM cum JOIN tot t USING (lang)
+    )
+    SELECT lang, bucket,
+           CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(SUM(nb) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(CAST(lm2_score AS DECIMAL(18,4)) * 10000 AS BIGINT) * c)
+                AS DOUBLE)
+             / CAST(SUM(c) * 10000 AS DOUBLE) AS mean_lm2,
+           min(lm2_score) AS min_lm2,
+           max(lm2_score) AS max_lm2
+    FROM bucketed GROUP BY lang, bucket
+    """
+
+
+@query("j146_perplexity_buckets", oracle=_duck_ppl_buckets_oracle())
+def j146_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing — the famous head/middle/tail
+    split (Wenzek et al. 2020): every doc scored by the corpus bigram
+    LM (j44's add-one-smoothed avg log-prob — the perplexity proxy),
+    then each LANGUAGE's docs cut into fluency terciles by score
+    descending (head = most fluent third, the slice CCNet keeps
+    outright; tail = the slice that needs a reason to survive). Per
+    (lang, bucket): docs, bigram mass, mean/min/max score — the table
+    that turns "filter by perplexity" into an auditable, per-language
+    decision instead of one global threshold (a global cut starves
+    low-resource languages; the per-lang tercile is CCNet's fix).
+
+    Exactness: scores are j44's 4dp-rounded doubles; the tercile
+    assignment is pure integer arithmetic on exact counts (a score
+    GROUP is assigned by where its cumulative run starts:
+    3·(cum−c) < n → head, < 2n → middle — ties share a score group so
+    the cut is deterministic in both engines); the bucket mean is ONE
+    IEEE division of exact integers (scores recovered to ×10⁴ BIGINTs
+    through DECIMAL(18,4) — exact.py's int-ratio convention, chosen
+    because a re-round of the double quotient sits on 4dp boundaries).
+    Docs under 2 tokens have no bigram stream (j44's filter).
+
+    Plan: j44's three hash aggs + two joins score the corpus; the
+    tercile machinery then runs on the (lang, score)-DISTINCT domain
+    — the cumulative window is partitioned BY LANG over score-domain
+    rows (4dp-bounded, ≪ corpus — j50's value-domain category, never
+    a doc-level sort); totals broadcast. At 100 TB the LM counts
+    persist and new corpora score incrementally (j44's note); the
+    bucket report costs two domain-sized aggs."""
+    lm = j44_bigram_logprob(spark, sf_dir)
+    per = lm.groupBy("lang", "lm2_score").agg(
+        F.count("*").cast("bigint").alias("c"),
+        F.sum("n_bigrams").cast("bigint").alias("nb"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("lm2_score"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per.withColumn("cum", F.sum("c").over(w))
+    tot = lm.groupBy("lang").agg(F.count("*").cast("bigint").alias("n"))
+    bucket = (
+        F.when(3 * (F.col("cum") - F.col("c")) < F.col("n"), F.lit("head"))
+        .when(3 * (F.col("cum") - F.col("c")) < 2 * F.col("n"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    b = cum.join(F.broadcast(tot), "lang").withColumn("bucket", bucket)
+    return b.groupBy("lang", "bucket").agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.sum("nb").cast("bigint").alias("n_bigrams"),
+        # mean as ONE IEEE division of two exact ints (exact.py's
+        # int-ratio convention — a round() of the double quotient sat
+        # exactly on a 4dp boundary and split the engines by 1 ulp)
+        (
+            F.sum(
+                (F.col("lm2_score").cast("decimal(18,4)") * 10000).cast("bigint")
+                * F.col("c")
+            ).cast("double")
+            / (F.sum("c") * 10000).cast("double")
+        ).alias("mean_lm2"),
+        F.min("lm2_score").alias("min_lm2"),
+        F.max("lm2_score").alias("max_lm2"),
+    )

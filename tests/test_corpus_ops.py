@@ -793,3 +793,42 @@ def test_j142_bpe_apply_matches_python_greedy(spark, tmp_path):
         assert r.fertility == round(bpe_tokens / ws_tokens, 6)
         assert r.compression == round(chars / bpe_tokens, 6)
         assert r.merged_frac == round(merged_tokens / bpe_tokens, 6)
+
+
+def test_j146_terciles_are_balanced_and_ordered(spark, tmp_path):
+    """9 docs with three planted fluency tiers (shared bigrams repeat
+    3x/2x/1x across the corpus): terciles land 3/3/3, the head bucket
+    holds the highest LM scores, and bucket means are strictly
+    ordered head > middle > tail."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    rows = []
+    did = 0
+    for tier, words in [
+        (0, "aa bb cc dd ee ff gg hh"),          # 3 copies → common bigrams
+        (1, "ii jj kk ll mm nn oo pp"),          # 2 copies + 1 variant
+        (2, "qq rr ss tt uu vv ww xx"),          # 1 copy + 2 variants
+    ]:
+        base = words.split(" ")
+        for v in range(3):
+            if tier == 0 or (tier == 1 and v < 2) or (tier == 2 and v < 1):
+                text = " ".join(base)
+            else:
+                # rotate to break bigrams → rarer pairs → lower score
+                text = " ".join(base[v:] + base[:v][::-1])
+            rows.append((did, text, "s0"))
+            did += 1
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    df = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows], schema
+    )
+    d = str(tmp_path / "pplfix")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r.bucket: r for r in
+           registry.QUERIES["j146_perplexity_buckets"](spark, d).collect()}
+    assert set(out) == {"head", "middle", "tail"}
+    assert sum(r.n_docs for r in out.values()) == 9
+    assert out["head"].mean_lm2 > out["middle"].mean_lm2 > out["tail"].mean_lm2
+    assert out["head"].min_lm2 >= out["middle"].max_lm2
+    assert out["middle"].min_lm2 >= out["tail"].max_lm2
