@@ -327,3 +327,33 @@ def test_i37_stream_tally_equals_batch_covariance(spark):
         for r in registry.QUERIES["j97_embed_covariance"](spark, sf).collect()
     }
     assert stream == batch and len(stream) == 64 * 65 // 2
+
+
+def test_j147_subspace_energy_dominates_single_axis(spark):
+    """Orthonormal additivity: each vector's rank-4 subspace energy
+    must be ≥ its single-top-axis energy (j133's measure — the
+    subspace contains that axis; small slack for quantization and the
+    GS basis's rounding-level tilt), bounded by ~1, and component 0
+    must dominate for the vectors j133 puts in its top decile."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    sf = "/root/testdata/sf0.001"
+    sub = {
+        r.vec_id: r
+        for r in registry.QUERIES["j147_subspace_energy"](spark, sf).collect()
+    }
+    ax = {
+        r.vec_id: r
+        for r in registry.QUERIES["j133_residual_energy"](spark, sf).collect()
+    }
+    assert set(sub) == set(ax) and len(sub) > 0
+    for vid, r in sub.items():
+        assert -1 <= r.energy4_q <= 1_050_000, (vid, r.energy4_q)
+        # subspace ⊇ top axis: allow 2% slack for GS rescale tilt
+        assert r.energy4_q >= ax[vid].energy_frac * 1_000_000 - 20_000, (
+            vid,
+            r.energy4_q,
+            ax[vid].energy_frac,
+        )
+        assert 0 <= r.dom_component <= 3
