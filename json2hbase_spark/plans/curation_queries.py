@@ -1381,3 +1381,212 @@ def j93_dup_substring_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(rlen).cast("double") / F.col("n_chars"), 4).alias("dup_frac"),
         F.max(rlen).cast("bigint").alias("max_range_len"),
     ).select("doc_id", "n_ranges", "dup_chars", "dup_frac", "max_range_len")
+
+
+# ---------------------------------------------------------------- j148
+
+RESERVOIR_K = 50  # sample size
+_U48 = 281474976710656.0  # 2^48 — the md5-prefix uniform's denominator
+
+
+@query(
+    "j148_weighted_reservoir",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, source, n_tokens,
+             ln((('0x' || substr(md5('wres:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                 + 1) / {_U48}) / n_tokens AS k
+      FROM w WHERE n_tokens > 0
+    )
+    SELECT doc_id, source, n_tokens, round(k, 6) AS skey
+    FROM keyed ORDER BY k DESC, doc_id LIMIT {RESERVOIR_K}
+    """,
+)
+def j148_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sample WITHOUT replacement — Efraimidis &
+    Spirakis (2006) A-ES: each doc draws u ∈ (0,1] and enters the
+    sample iff its key u^(1/w) is among the top {RESERVOIR_K} (w =
+    token count, so inclusion tracks token mass without the
+    multiplicity j83's systematic PPS allows). The classic one-pass
+    distributed sample for "give me K docs ∝ size, each at most
+    once" — mixture construction, eval-slice picking, spot-audits.
+    u is content-addressed (md5 48-bit prefix, j62's no-RNG
+    contract: identical sample on any engine, any rerun, any
+    partitioning); keys compare as ln(u)/w (same ordering as
+    u^(1/w), no pow() — the family convention), computed on the
+    IDENTICAL exact-integer-ratio double in both engines (ln's
+    libm rounding is the j31/j44-established cross-engine posture;
+    a flip would need two 48-bit-hash keys within 1 ulp).
+
+    Plan: one narrow map pass (hash + ln per doc — no shuffle of
+    text) into a global top-K (TakeOrderedAndProject, f3's category:
+    per-partition heaps then a K-row merge — no corpus sort, no
+    single-partition funnel). At 100 TB: scan-bound, K rows cross
+    the wire per partition."""
+    docs = load(spark, sf_dir, "documents")
+    w = widen(docs).select(
+        "doc_id",
+        "source",
+        F.size(whitespace_tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("wres:"), F.col("doc_id").cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    key = F.log((h + 1).cast("double") / F.lit(_U48)) / F.col("n_tokens")
+    keyed = w.filter(F.col("n_tokens") > 0).select(
+        "doc_id", "source", "n_tokens", key.alias("k")
+    )
+    return (
+        keyed.orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(RESERVOIR_K)
+        .select("doc_id", "source", "n_tokens", F.round("k", 6).alias("skey"))
+    )
+
+
+# ---------------------------------------------------------------- j149
+
+UNIMAX_EPOCH_CAP = 4  # max epochs any language may repeat
+UNIMAX_BUDGET_PCT = 60  # training budget as % of total corpus tokens
+
+
+@query(
+    "j149_unimax_allocation",
+    oracle=f"""
+    WITH lt AS (
+      SELECT lang,
+             CAST(SUM(len(list_filter(string_split(text, ' '), x -> x != '')))
+                  AS BIGINT) AS tokens
+      FROM documents GROUP BY lang
+    ),
+    caps AS (SELECT lang, tokens, tokens * {UNIMAX_EPOCH_CAP} AS cap FROM lt),
+    tt AS (SELECT (SUM(tokens) * {UNIMAX_BUDGET_PCT}) // 100 AS t,
+                  CAST(COUNT(*) AS BIGINT) AS nl
+           FROM caps),
+    ranked AS (
+      SELECT a.lang, a.tokens, a.cap,
+             CAST(1 + COUNT(b.lang) AS BIGINT) AS rnk,
+             CAST(COALESCE(SUM(b.cap), 0) AS BIGINT) AS pre
+      FROM caps a LEFT JOIN caps b
+        ON b.cap < a.cap OR (b.cap = a.cap AND b.lang < a.lang)
+      GROUP BY a.lang, a.tokens, a.cap
+    ),
+    flagged AS (
+      SELECT r.*, (r.cap * (tt.nl - r.rnk + 1) + r.pre <= tt.t) AS capped
+      FROM ranked r, tt
+    ),
+    pool AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN capped THEN cap END), 0) AS BIGINT)
+               AS used,
+             CAST(SUM(CASE WHEN capped THEN 0 ELSE 1 END) AS BIGINT) AS m
+      FROM flagged
+    )
+    SELECT f.lang, f.tokens, f.cap, f.capped,
+           CAST(CASE WHEN f.capped THEN f.cap
+                     ELSE (tt.t - p.used) // p.m END AS BIGINT) AS allocation,
+           CAST((CASE WHEN f.capped THEN f.cap
+                      ELSE (tt.t - p.used) // p.m END) * 10000 // f.tokens
+                AS BIGINT) AS epochs_q
+    FROM flagged f, tt, pool p
+    """,
+)
+def j149_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIMAX language-budget allocation (Chung et al. 2023) — the
+    mixture planner for multilingual training: spread a total token
+    budget (={UNIMAX_BUDGET_PCT}% of the corpus here) as UNIFORMLY as
+    possible across languages while capping every language at
+    {UNIMAX_EPOCH_CAP} epochs of its own data (the repeat ceiling
+    that keeps low-resource languages from memorization-grade
+    repetition). Water-filling in closed form: languages sorted by
+    cap ascending; language i is capped iff cap_i·(L−i+1)+prefix_i ≤ T
+    (the standard threshold — monotone in i, so capped languages are
+    exactly a prefix); the uncapped share the remainder equally.
+    Output per language: tokens, cap, capped?, integer allocation,
+    and epochs_q = floor(allocation·10⁴/tokens) — the repeat factor
+    the sampler (j19/j61/j137) realizes.
+
+    Exactness: everything is BIGINT (budget = (Σ·{UNIMAX_BUDGET_PCT})
+    div 100, share = floor-division; leftover sub-token remainders
+    are deliberately unallocated — integer semantics identical in
+    both engines). The rank and prefix sums come from a ≤L²-row
+    broadcast theta self-join (j142's pattern — no single-partition
+    window). Plan: ONE token-count agg touches the corpus; the
+    allocation machinery runs on |langs| rows. At 100 TB: the scan
+    the mixture audit already pays, then constants."""
+    docs = load(spark, sf_dir, "documents")
+    lt = (
+        widen(docs)
+        .groupBy("lang")
+        .agg(
+            F.sum(F.size(whitespace_tokens(F.col("text"))))
+            .cast("bigint")
+            .alias("tokens")
+        )
+    )
+    caps = lt.select(
+        "lang", "tokens", (F.col("tokens") * UNIMAX_EPOCH_CAP).alias("cap")
+    )
+    tt = caps.agg(
+        F.expr(f"(sum(tokens) * {UNIMAX_BUDGET_PCT}) div 100").alias("t"),
+        F.count("*").cast("bigint").alias("nl"),
+    )
+    a, b = caps.alias("_ca"), caps.alias("_cb")
+    ranked = (
+        a.join(
+            F.broadcast(b),
+            (F.col("_cb.cap") < F.col("_ca.cap"))
+            | (
+                (F.col("_cb.cap") == F.col("_ca.cap"))
+                & (F.col("_cb.lang") < F.col("_ca.lang"))
+            ),
+            "left",
+        )
+        .groupBy(
+            F.col("_ca.lang").alias("lang"),
+            F.col("_ca.tokens").alias("tokens"),
+            F.col("_ca.cap").alias("cap"),
+        )
+        .agg(
+            (F.count(F.col("_cb.lang")) + 1).cast("bigint").alias("rnk"),
+            F.coalesce(F.sum(F.col("_cb.cap")), F.lit(0))
+            .cast("bigint")
+            .alias("pre"),
+        )
+    )
+    flagged = ranked.crossJoin(F.broadcast(tt)).withColumn(
+        "capped",
+        F.col("cap") * (F.col("nl") - F.col("rnk") + 1) + F.col("pre")
+        <= F.col("t"),
+    )
+    pool = flagged.agg(
+        F.coalesce(F.sum(F.when(F.col("capped"), F.col("cap"))), F.lit(0))
+        .cast("bigint")
+        .alias("used"),
+        F.sum(F.when(F.col("capped"), 0).otherwise(1)).cast("bigint").alias("m"),
+    )
+    alloc = F.when(F.col("capped"), F.col("cap")).otherwise(
+        F.expr("(t - used) div m")
+    )
+    return (
+        flagged.crossJoin(F.broadcast(pool))
+        .select(
+            "lang",
+            "tokens",
+            "cap",
+            "capped",
+            alloc.cast("bigint").alias("allocation"),
+            F.expr(
+                f"CAST((CASE WHEN capped THEN cap ELSE (t - used) div m END)"
+                f" * 10000 div tokens AS BIGINT)"
+            ).alias("epochs_q"),
+        )
+    )

@@ -322,3 +322,76 @@ def test_j93_finds_a_constructed_shared_substring(spark, tmp_path):
         # of at least 64 chars, and with 50/30-char fillers (< 2·GRAM
         # runs produce self-dup grams only when run length ≥ GRAM+1)…
         assert out[i].max_range_len >= len(shared)
+
+
+# ---------------------------------------------------------------- j148
+
+
+def test_j148_reservoir_matches_python_aes(spark, tmp_path):
+    """The selected K docs equal a pure-Python Efraimidis-Spirakis
+    recompute (same md5-derived uniforms, same ln(u)/w keys), and a
+    huge-weight doc is effectively always in the sample."""
+    import hashlib
+    import math
+
+    from json2hbase_spark import registry
+    from json2hbase_spark.plans.curation_queries import RESERVOIR_K, _U48
+
+    registry.load_all_query_modules()
+    rows = [(i, " ".join(["tok"] * (5 + (i * 7) % 90)), "en", "s0")
+            for i in range(120)]
+    rows.append((999, " ".join(["tok"] * 100000), "en", "s0"))  # whale
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    df = spark.createDataFrame([(i, t, la, s, len(t)) for i, t, la, s in rows], schema)
+    d = str(tmp_path / "wresfix")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = registry.QUERIES["j148_weighted_reservoir"](spark, d).collect()
+    assert len(out) == RESERVOIR_K
+
+    def key(i, w):
+        h = int(hashlib.md5(f"wres:{i}".encode()).hexdigest()[:12], 16)
+        return math.log((h + 1) / _U48) / w
+
+    keys = {i: key(i, len(t.split(" "))) for i, t, _, _ in rows}
+    want = sorted(keys, key=lambda i: (-keys[i], i))[:RESERVOIR_K]
+    assert sorted(r.doc_id for r in out) == sorted(want)
+    assert 999 in {r.doc_id for r in out}
+
+
+# ---------------------------------------------------------------- j149
+
+
+def test_j149_unimax_water_filling(spark, tmp_path):
+    """Planted 3-lang skew: the tiny language hits its epoch cap, the
+    two big ones split the remaining budget equally; allocations never
+    exceed caps and sum to ≤ the budget with sub-token remainder."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.plans.curation_queries import (
+        UNIMAX_BUDGET_PCT,
+        UNIMAX_EPOCH_CAP,
+    )
+
+    registry.load_all_query_modules()
+    rows, did = [], 0
+    for lang, ndocs, tok_per in [("aa", 2, 10), ("bb", 40, 50), ("cc", 60, 50)]:
+        for _ in range(ndocs):
+            rows.append((did, " ".join(["w"] * tok_per), lang))
+            did += 1
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    df = spark.createDataFrame([(i, t, la, "s0", len(t)) for i, t, la in rows], schema)
+    d = str(tmp_path / "unimaxfix")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r.lang: r for r in
+           registry.QUERIES["j149_unimax_allocation"](spark, d).collect()}
+    tokens = {"aa": 20, "bb": 2000, "cc": 3000}
+    total = sum(tokens.values())
+    T = total * UNIMAX_BUDGET_PCT // 100
+    assert out["aa"].capped and out["aa"].allocation == 20 * UNIMAX_EPOCH_CAP
+    share = (T - 20 * UNIMAX_EPOCH_CAP) // 2
+    assert not out["bb"].capped and out["bb"].allocation == share
+    assert not out["cc"].capped and out["cc"].allocation == share
+    for lang, r in out.items():
+        assert r.allocation <= r.cap
+        assert r.epochs_q == r.allocation * 10000 // tokens[lang]
+    assert sum(r.allocation for r in out.values()) <= T
+    assert T - sum(r.allocation for r in out.values()) < 2  # sub-token remainder
