@@ -1459,9 +1459,7 @@ UNIMAX_EPOCH_CAP = 4  # max epochs any language may repeat
 UNIMAX_BUDGET_PCT = 60  # training budget as % of total corpus tokens
 
 
-@query(
-    "j149_unimax_allocation",
-    oracle=f"""
+_DUCK_J149_UNIMAX = f"""
     WITH lt AS (
       SELECT lang,
              CAST(SUM(len(list_filter(string_split(text, ' '), x -> x != '')))
@@ -1497,8 +1495,10 @@ UNIMAX_BUDGET_PCT = 60  # training budget as % of total corpus tokens
                       ELSE (tt.t - p.used) // p.m END) * 10000 // f.tokens
                 AS BIGINT) AS epochs_q
     FROM flagged f, tt, pool p
-    """,
-)
+    """
+
+
+@query("j149_unimax_allocation", oracle=_DUCK_J149_UNIMAX)
 def j149_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNIMAX language-budget allocation (Chung et al. 2023) — the
     mixture planner for multilingual training: spread a total token
@@ -1532,6 +1532,13 @@ def j149_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tokens")
         )
     )
+    return _unimax_from_tokens(lt)
+
+
+def _unimax_from_tokens(lt: DataFrame) -> DataFrame:
+    """j149's closed-form water-filling over a (lang, tokens) table —
+    shared with the streaming twin i38 (which maintains the tally in
+    complete mode and re-derives the allocation at read time)."""
     caps = lt.select(
         "lang", "tokens", (F.col("tokens") * UNIMAX_EPOCH_CAP).alias("cap")
     )
@@ -1539,25 +1546,23 @@ def j149_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(sum(tokens) * {UNIMAX_BUDGET_PCT}) div 100").alias("t"),
         F.count("*").cast("bigint").alias("nl"),
     )
-    a, b = caps.alias("_ca"), caps.alias("_cb")
+    # the b side is column-RENAMED rather than plan-aliased: alias
+    # resolution over a self-join breaks when the shared lineage runs
+    # through a temp view (i38's memory sink); renames are unambiguous
+    b = caps.select(
+        F.col("lang").alias("b_lang"), F.col("cap").alias("b_cap")
+    )
     ranked = (
-        a.join(
+        caps.join(
             F.broadcast(b),
-            (F.col("_cb.cap") < F.col("_ca.cap"))
-            | (
-                (F.col("_cb.cap") == F.col("_ca.cap"))
-                & (F.col("_cb.lang") < F.col("_ca.lang"))
-            ),
+            (F.col("b_cap") < F.col("cap"))
+            | ((F.col("b_cap") == F.col("cap")) & (F.col("b_lang") < F.col("lang"))),
             "left",
         )
-        .groupBy(
-            F.col("_ca.lang").alias("lang"),
-            F.col("_ca.tokens").alias("tokens"),
-            F.col("_ca.cap").alias("cap"),
-        )
+        .groupBy("lang", "tokens", "cap")
         .agg(
-            (F.count(F.col("_cb.lang")) + 1).cast("bigint").alias("rnk"),
-            F.coalesce(F.sum(F.col("_cb.cap")), F.lit(0))
+            (F.count(F.col("b_lang")) + 1).cast("bigint").alias("rnk"),
+            F.coalesce(F.sum(F.col("b_cap")), F.lit(0))
             .cast("bigint")
             .alias("pre"),
         )
@@ -1589,4 +1594,169 @@ def j149_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" * 10000 div tokens AS BIGINT)"
             ).alias("epochs_q"),
         )
+    )
+
+
+# ---------------------------------------------------------------- j150
+
+C4_LINE_WORDS = 5  # C4: retain lines with >= 5 words
+C4_MIN_SENT = 3  # C4: drop pages with < 3 retained sentences
+_C4_LOREM = "lorem ipsum dolor sit amet."
+_C4_JS = "you must enable javascript to view this page."
+
+
+def _duck_c4_oracle() -> str:
+    wc = "len(list_filter(string_split({l}, ' '), x -> x != ''))"
+    kept = (
+        f"ends_with({{l}}, '.') AND {wc.format(l='{l}')} >= {C4_LINE_WORDS}"
+        f" AND NOT contains({{l}}, 'javascript')"
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM documents
+    ),
+    lined AS (
+      SELECT doc_id, source,
+             list_concat(
+               list_transform(range(0, (len(w) + 7) // 8), ci ->
+                 array_to_string(list_slice(w, ci * 8 + 1, ci * 8 + 8), ' ')
+                 || CASE WHEN (doc_id + ci) % 5 != 0 THEN '.' ELSE '' END),
+               list_filter([
+                 CASE WHEN doc_id % 7 = 0 THEN '{_C4_LOREM}' END,
+                 CASE WHEN doc_id % 5 = 0 THEN '{_C4_JS}' END,
+                 'ok.'], x -> x IS NOT NULL)) AS lines
+      FROM base WHERE len(w) >= 1
+    ),
+    perdoc AS (
+      SELECT doc_id, source,
+             CAST(len(lines) AS BIGINT) AS lines_total,
+             CAST(len(list_filter(lines, l -> {kept.format(l='l')}))
+                  AS BIGINT) AS lines_kept,
+             CAST(COALESCE(list_aggregate(
+                    list_transform(list_filter(lines, l -> {kept.format(l='l')}),
+                                   l -> {wc.format(l='l')}), 'sum'), 0)
+                  AS BIGINT) AS tok_kept,
+             len(list_filter(lines, l -> contains(l, 'lorem ipsum'))) > 0
+               AS has_lorem
+      FROM lined
+    ),
+    judged AS (
+      SELECT *, (NOT has_lorem AND lines_kept >= {C4_MIN_SENT}) AS doc_kept
+      FROM perdoc
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_kept,
+           CAST(SUM(CASE WHEN has_lorem THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lorem_docs,
+           CAST(SUM(CASE WHEN NOT has_lorem AND lines_kept < {C4_MIN_SENT}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_thin_docs,
+           CAST(SUM(lines_total) AS BIGINT) AS lines_total,
+           CAST(SUM(lines_kept) AS BIGINT) AS lines_kept,
+           CAST(SUM(CASE WHEN doc_kept THEN tok_kept ELSE 0 END) AS BIGINT)
+             AS tokens_kept
+    FROM judged GROUP BY source
+    """
+
+
+@query("j150_c4_line_filters", oracle=_duck_c4_oracle())
+def j150_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's line-level cleaning rules (Raffel et al. 2020 §2.2) — the
+    most-copied filter bundle in corpus building: keep only lines
+    that end in terminal punctuation AND have ≥ {C4_LINE_WORDS}
+    words AND don't mention 'javascript'; then drop any page
+    containing 'lorem ipsum' or left with < {C4_MIN_SENT} retained
+    sentences. The fixture text has no line structure, so lines are
+    SYNTHESIZED deterministically (the j100/j110 pattern): 8-token
+    chunks with a terminal '.' on (doc_id+i) % 5 != 0 — every fifth
+    line unterminated, exercising rule 1 — plus planted dirt (a
+    lorem-ipsum line on doc_id % 7 = 0 pages, a javascript boiler
+    line on doc_id % 5 = 0, and a 1-word 'ok.' everywhere). Output
+    per source: doc/line/token survival and the two page-kill
+    reasons — the shape a crawl-cleaning report publishes.
+
+    Exactness: pure string/integer predicates (endswith, word count,
+    substring containment) — no floats anywhere. Plan: ONE corpus
+    scan; lines live as per-row arrays inside codegen'd HOFs (never
+    exploded — the line grain stays inside the row, so no
+    corpus×lines shuffle), then one source-keyed hash agg. At
+    100 TB: scan-bound, map-side combinable."""
+    docs = load(spark, sf_dir, "documents")
+    w = whitespace_tokens(F.col("text"))
+    base = widen(docs).select("doc_id", "source", w.alias("w")).filter(
+        F.size("w") >= 1
+    )
+    chunk = F.transform(
+        F.sequence(F.lit(0), F.expr("(size(w) + 7) div 8 - 1")),
+        lambda ci: F.concat(
+            F.array_join(F.slice(F.col("w"), ci.cast("int") * 8 + 1, 8), " "),
+            F.when((F.col("doc_id") + ci) % 5 != 0, F.lit(".")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    extra = F.filter(
+        F.array(
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_C4_LOREM)),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(_C4_JS)),
+            F.lit("ok."),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    lined = base.select(
+        "doc_id", "source", F.concat(chunk, extra).alias("lines")
+    )
+    wc = lambda l: F.size(F.filter(F.split(l, " "), lambda t: t != ""))  # noqa: E731
+    kept = lambda l: (  # noqa: E731
+        l.endswith(".")
+        & (wc(l) >= C4_LINE_WORDS)
+        & ~l.contains("javascript")
+    )
+    kept_lines = F.filter(F.col("lines"), kept)
+    perdoc = lined.select(
+        "doc_id",
+        "source",
+        F.size("lines").cast("bigint").alias("lines_total"),
+        F.size(kept_lines).cast("bigint").alias("lines_kept"),
+        F.coalesce(
+            F.aggregate(
+                F.transform(kept_lines, wc),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("tok_kept"),
+        (
+            F.size(F.filter(F.col("lines"), lambda l: l.contains("lorem ipsum")))
+            > 0
+        ).alias("has_lorem"),
+    )
+    judged = perdoc.withColumn(
+        "doc_kept", ~F.col("has_lorem") & (F.col("lines_kept") >= C4_MIN_SENT)
+    )
+    return judged.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("doc_kept"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_kept"),
+        F.sum(F.when(F.col("has_lorem"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_lorem_docs"),
+        F.sum(
+            F.when(
+                ~F.col("has_lorem") & (F.col("lines_kept") < C4_MIN_SENT), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_thin_docs"),
+        F.sum("lines_total").cast("bigint").alias("lines_total"),
+        F.sum("lines_kept").cast("bigint").alias("lines_kept"),
+        F.sum(F.when(F.col("doc_kept"), F.col("tok_kept")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_kept"),
     )

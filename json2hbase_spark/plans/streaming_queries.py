@@ -2726,3 +2726,48 @@ def i37_stream_cov_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cov"),
     )
+
+
+# ---------------------------------------------------------------- i38
+
+
+def _i38_oracle() -> str:
+    from json2hbase_spark.plans.curation_queries import _DUCK_J149_UNIMAX
+
+    return _DUCK_J149_UNIMAX
+
+
+@query("i38_stream_unimax_monitor", oracle=_i38_oracle())
+def i38_stream_unimax_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING UNIMAX re-planner — j149 watched live: per-language
+    token tallies accumulate in complete mode as documents arrive,
+    and the closed-form water-filling (j149's exact integer
+    arithmetic, shared helper) re-derives the allocation from the
+    ≤|langs|-row tally at every read — the mixture planner that
+    tracks an ingest INSTEAD of waiting for the corpus to close. A
+    language flipping capped→uncapped as its share of arrivals drops
+    is the signal to re-balance samplers mid-crawl. Final answer ≡
+    j149's batch allocation (same oracle — the stream≡batch
+    contract).
+
+    Plan: stateless per-row token count into ONE lang-keyed complete
+    state (|langs| rows at any stream length); all allocation math
+    runs on the tally at read time (broadcast theta rank join,
+    j149's shape). At 100 TB of stream: scan-bound per batch, a
+    |langs|-row exchange."""
+    from json2hbase_spark.io import load_table_stream
+    from json2hbase_spark.operators.text import whitespace_tokens
+    from json2hbase_spark.plans.curation_queries import _unimax_from_tokens
+
+    stream = load_table_stream(spark, sf_dir, "documents")
+    tally = (
+        stream.select("lang", F.size(whitespace_tokens(F.col("text"))).alias("nt"))
+        .groupBy("lang")
+        .agg(F.sum("nt").alias("tokens"))
+    )
+    with scoped_stream_confs(spark):
+        _run_to_memory(tally, "i38_mem", "complete")
+    lt = spark.table("i38_mem").select(
+        "lang", F.col("tokens").cast("bigint").alias("tokens")
+    )
+    return _unimax_from_tokens(lt)

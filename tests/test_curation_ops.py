@@ -395,3 +395,77 @@ def test_j149_unimax_water_filling(spark, tmp_path):
         assert r.epochs_q == r.allocation * 10000 // tokens[lang]
     assert sum(r.allocation for r in out.values()) <= T
     assert T - sum(r.allocation for r in out.values()) < 2  # sub-token remainder
+
+
+# ---------------------------------------------------------------- j150
+
+
+def test_j150_c4_rules_on_planted_lines(spark, tmp_path):
+    """16-token docs make two full 8-word lines + the planted dirt;
+    the python recompute of C4's three line rules + two page rules
+    matches every report column."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.plans.curation_queries import (
+        C4_LINE_WORDS,
+        C4_MIN_SENT,
+        _C4_JS,
+        _C4_LOREM,
+    )
+
+    registry.load_all_query_modules()
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(16)), "s" + str(i % 2))
+            for i in range(40)]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    df = spark.createDataFrame([(i, t, "en", s, len(t)) for i, t, s in rows], schema)
+    d = str(tmp_path / "c4fix")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r.source: r for r in
+           registry.QUERIES["j150_c4_line_filters"](spark, d).collect()}
+
+    agg = {}
+    for i, t, s in rows:
+        w = t.split(" ")
+        lines = []
+        for ci in range((len(w) + 7) // 8):
+            lines.append(" ".join(w[ci * 8:ci * 8 + 8])
+                         + ("." if (i + ci) % 5 != 0 else ""))
+        if i % 7 == 0:
+            lines.append(_C4_LOREM)
+        if i % 5 == 0:
+            lines.append(_C4_JS)
+        lines.append("ok.")
+        keep = [l for l in lines
+                if l.endswith(".") and len(l.split(" ")) >= C4_LINE_WORDS
+                and "javascript" not in l]
+        has_lorem = any("lorem ipsum" in l for l in lines)
+        doc_kept = not has_lorem and len(keep) >= C4_MIN_SENT
+        a = agg.setdefault(s, dict(n=0, k=0, lor=0, thin=0, lt=0, lk=0, tk=0))
+        a["n"] += 1
+        a["k"] += doc_kept
+        a["lor"] += has_lorem
+        a["thin"] += (not has_lorem) and len(keep) < C4_MIN_SENT
+        a["lt"] += len(lines)
+        a["lk"] += len(keep)
+        a["tk"] += sum(len(l.split(" ")) for l in keep) if doc_kept else 0
+    for s, a in agg.items():
+        r = out[s]
+        assert (r.n_docs, r.n_docs_kept, r.n_lorem_docs, r.n_thin_docs,
+                r.lines_total, r.lines_kept, r.tokens_kept) == (
+            a["n"], a["k"], a["lor"], a["thin"], a["lt"], a["lk"], a["tk"])
+
+
+# ---------------------------------------------------------------- i38
+
+
+def test_i38_stream_allocation_equals_batch(spark):
+    """The streaming tally's allocation equals j149's batch answer
+    row-for-row (the stream≡batch contract)."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    sf = "/root/testdata/sf0.001"
+    srows = {tuple(r) for r in
+             registry.QUERIES["i38_stream_unimax_monitor"](spark, sf).collect()}
+    brows = {tuple(r) for r in
+             registry.QUERIES["j149_unimax_allocation"](spark, sf).collect()}
+    assert srows == brows and len(srows) > 0
