@@ -93,6 +93,10 @@ def main() -> None:
         # data; also warms j128/j133/j139's shared covariance+matvec
         # kernels)
         "j127_pca_topr",
+        # round-11: j147's per-vector subspace fold compiles ~20 s of
+        # unique codegen on first touch (isolated profile: 43.7 s cold,
+        # 19-20 s steady) — j127's category; also warms j145/_gs_basis
+        "j147_subspace_energy",
     ):
         registry.QUERIES[warm](spark, warm_dir).write.format("noop").mode("overwrite").save()
 

@@ -167,6 +167,15 @@ PROBES = [
     # probed solo, so super-linearity means an order lost its block.
     "j142_bpe_apply",
     "j143_gate_order_audit",
+    # round-11 second batch: j146 = j44's LM aggs + score-domain
+    # tercile (vocabulary/domain-bounded after the agg); j148 map pass
+    # + global top-K; j149/i38 one token agg + |langs|-row arithmetic;
+    # j150 one scan of in-row line HOFs (lines never explode).
+    "j146_perplexity_buckets",
+    "j148_weighted_reservoir",
+    "j149_unimax_allocation",
+    "j150_c4_line_filters",
+    "i38_stream_unimax_monitor",
 ]
 
 
@@ -231,6 +240,8 @@ EMB_PROBES = [
     # dimension-bounded GS steps (only the covariance pass scales).
     "j144_incremental_covariance",
     "j145_pca_orthobasis",
+    # j147 = j145's chain + one scan-shaped per-vector fold
+    "j147_subspace_energy",
 ]
 
 
