@@ -1760,3 +1760,209 @@ def j150_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("tokens_kept"),
     )
+
+
+# ---------------------------------------------------------------- j151
+
+# Gopher repetition thresholds (Rae et al. 2021, Table A1):
+# duplicate-line fraction > 0.30, top-2-gram char fraction > 0.20,
+# duplicated-5-gram char fraction > 0.15 — expressed below as integer
+# cross-multiplications (the family convention, no float compares).
+
+
+def _duck_gopher_rep_oracle() -> str:
+    from json2hbase_spark.plans.corpus_queries import _duck_ngrams
+
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, source,
+             len(array_to_string(w, ' ')) AS tl,
+             list_transform(range(0, (len(w) + 7) // 8), ci ->
+               array_to_string(list_slice(w, ci * 8 + 1, ci * 8 + 8), ' '))
+               AS lines,
+             CASE WHEN len(w) >= 2 THEN {_duck_ngrams("w", 2)}
+                  ELSE []::VARCHAR[] END AS g2,
+             CASE WHEN len(w) >= 5 THEN {_duck_ngrams("w", 5)}
+                  ELSE []::VARCHAR[] END AS g5
+      FROM base WHERE len(w) >= 1
+    ),
+    perdoc AS (
+      SELECT doc_id, source, tl,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_distinct(lines)) AS BIGINT) AS n_dlines,
+             CAST(COALESCE(list_aggregate(list_transform(lines, l -> len(l)),
+                                          'sum'), 0) AS BIGINT) AS lc,
+             CAST(COALESCE(list_aggregate(
+                    list_transform(list_distinct(lines), l -> len(l)), 'sum'),
+                  0) AS BIGINT) AS dlc,
+             CAST(COALESCE(list_max(list_transform(list_distinct(g2), d ->
+                    len(list_filter(g2, x -> x = d)) * len(d))), 0)
+                  AS BIGINT) AS top2_chars,
+             CAST(COALESCE(list_aggregate(
+                    list_transform(
+                      list_filter(list_distinct(g5),
+                                  d -> len(list_filter(g5, x -> x = d)) >= 2),
+                      d -> len(list_filter(g5, x -> x = d)) * len(d)),
+                    'sum'), 0) AS BIGINT) AS dup5_chars
+      FROM feats
+    ),
+    judged AS (
+      SELECT *,
+             10 * (n_lines - n_dlines) > 3 * n_lines AS f_dupline,
+             5 * top2_chars > tl AS f_top2,
+             20 * dup5_chars > 3 * tl AS f_dup5
+      FROM perdoc
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN f_dupline THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dupline_flag,
+           CAST(SUM(CASE WHEN f_top2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_top2_flag,
+           CAST(SUM(CASE WHEN f_dup5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup5_flag,
+           CAST(SUM(CASE WHEN NOT (f_dupline OR f_top2 OR f_dup5)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+           CAST(SUM(lc - dlc) AS DOUBLE) / CAST(SUM(lc) AS DOUBLE)
+             AS dupline_char_frac,
+           CAST(SUM(top2_chars) AS DOUBLE) / CAST(SUM(tl) AS DOUBLE)
+             AS top2_char_frac,
+           CAST(SUM(dup5_chars) AS DOUBLE) / CAST(SUM(tl) AS DOUBLE)
+             AS dup5_char_frac
+    FROM judged GROUP BY source
+    """
+
+
+@query("j151_gopher_repetition", oracle=_duck_gopher_rep_oracle())
+def j151_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's REPETITION filter bundle (Rae et al. 2021, Table A1 —
+    the other half of j80's quality rules): per doc, the
+    duplicate-line fraction (over the synthesized 8-token lines,
+    j150's structure without the planted dirt), the character share
+    of the single most frequent word 2-gram, and the character share
+    of duplicated word 5-grams (occurrence-weighted coverage proxy —
+    Gopher's non-overlapping coverage needs positional suppression;
+    the proxy upper-bounds it and is documented). Flags at the
+    paper's thresholds (0.30 / 0.20 / 0.15) via integer
+    cross-multiplications; per source: docs, per-rule flag counts,
+    docs clean of all three, and the corpus-level char-fraction
+    aggregates as single IEEE divisions of exact integer sums.
+
+    Exactness: every per-doc quantity is an exact integer (counts,
+    char sums over in-row arrays); flags are integer inequalities;
+    only the three final corpus ratios touch doubles (one division
+    each, no rounding). Plan: ONE corpus scan — lines and n-grams
+    stay INSIDE the row as arrays (the per-doc O(G²) distinct-count
+    walk is doc-length-bounded, never a shuffle) — then one
+    source-keyed hash agg. At 100 TB: scan-bound, map-side
+    combinable; the famous failure mode (a repetition check that
+    explodes grams corpus-wide and self-joins) never appears."""
+    docs = load(spark, sf_dir, "documents")
+    from json2hbase_spark.plans.corpus_queries import word_ngrams
+
+    w = whitespace_tokens(F.col("text"))
+    base = widen(docs).select("doc_id", "source", w.alias("w")).filter(
+        F.size("w") >= 1
+    )
+    lines = F.transform(
+        F.sequence(F.lit(0), F.expr("(size(w) + 7) div 8 - 1")),
+        lambda ci: F.array_join(F.slice(F.col("w"), ci.cast("int") * 8 + 1, 8), " "),
+    )
+    empty_s = F.expr("CAST(array() AS ARRAY<STRING>)")
+    g2 = F.when(F.size("w") >= 2, word_ngrams(F.col("w"), 2)).otherwise(empty_s)
+    g5 = F.when(F.size("w") >= 5, word_ngrams(F.col("w"), 5)).otherwise(empty_s)
+    feats = base.select(
+        "doc_id",
+        "source",
+        F.length(F.array_join("w", " ")).cast("bigint").alias("tl"),
+        lines.alias("lines"),
+        g2.alias("g2"),
+        g5.alias("g5"),
+    )
+    charsum = lambda arr: F.coalesce(  # noqa: E731
+        F.aggregate(
+            F.transform(arr, F.length),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+        F.lit(0),
+    )
+    cnt_of = lambda garr, d: F.size(F.filter(garr, lambda x: x == d))  # noqa: E731
+    perdoc = feats.select(
+        "doc_id",
+        "source",
+        "tl",
+        F.size("lines").cast("bigint").alias("n_lines"),
+        F.size(F.array_distinct("lines")).cast("bigint").alias("n_dlines"),
+        charsum(F.col("lines")).cast("bigint").alias("lc"),
+        charsum(F.array_distinct("lines")).cast("bigint").alias("dlc"),
+        F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.array_distinct("g2"),
+                    lambda d: cnt_of(F.col("g2"), d) * F.length(d),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("top2_chars"),
+        F.coalesce(
+            F.aggregate(
+                F.transform(
+                    F.filter(
+                        F.array_distinct("g5"),
+                        lambda d: cnt_of(F.col("g5"), d) >= 2,
+                    ),
+                    lambda d: cnt_of(F.col("g5"), d) * F.length(d),
+                ),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("dup5_chars"),
+    )
+    judged = perdoc.select(
+        "*",
+        (10 * (F.col("n_lines") - F.col("n_dlines")) > 3 * F.col("n_lines")).alias(
+            "f_dupline"
+        ),
+        (5 * F.col("top2_chars") > F.col("tl")).alias("f_top2"),
+        (20 * F.col("dup5_chars") > 3 * F.col("tl")).alias("f_dup5"),
+    )
+    return judged.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("f_dupline"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dupline_flag"),
+        F.sum(F.when(F.col("f_top2"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_top2_flag"),
+        F.sum(F.when(F.col("f_dup5"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup5_flag"),
+        F.sum(
+            F.when(
+                ~(F.col("f_dupline") | F.col("f_top2") | F.col("f_dup5")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_clean"),
+        (
+            F.sum(F.col("lc") - F.col("dlc")).cast("double")
+            / F.sum("lc").cast("double")
+        ).alias("dupline_char_frac"),
+        (F.sum("top2_chars").cast("double") / F.sum("tl").cast("double")).alias(
+            "top2_char_frac"
+        ),
+        (F.sum("dup5_chars").cast("double") / F.sum("tl").cast("double")).alias(
+            "dup5_char_frac"
+        ),
+    )

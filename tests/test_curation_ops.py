@@ -469,3 +469,38 @@ def test_i38_stream_allocation_equals_batch(spark):
     brows = {tuple(r) for r in
              registry.QUERIES["j149_unimax_allocation"](spark, sf).collect()}
     assert srows == brows and len(srows) > 0
+
+
+# ---------------------------------------------------------------- j151
+
+
+def test_j151_flags_planted_repetition(spark, tmp_path):
+    """Three planted docs: a line-looper (same 8 words over and over
+    → duplicate lines + duplicated 5-grams), a bigram-looper ('na na
+    na ...' → top-2-gram char fraction ~1), and clean prose — each
+    trips exactly its own rule(s)."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    looper = " ".join(["la li lu le lo lem lim lam"] * 6)      # 48 tokens
+    nana = " ".join(["na"] * 40)
+    clean = " ".join(f"word{i} item{i} thing{i} misc{i}" for i in range(6))
+    rows = [(0, looper, "sA"), (1, nana, "sB"), (2, clean, "sC")]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    df = spark.createDataFrame([(i, t, "en", s, len(t)) for i, t, s in rows], schema)
+    d = str(tmp_path / "gopherrep")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r.source: r for r in
+           registry.QUERIES["j151_gopher_repetition"](spark, d).collect()}
+    # looper: 6 identical lines -> dup-line frac 5/6 > 0.3; its
+    # 5-grams all repeat -> dup5 flag too
+    assert out["sA"].n_dupline_flag == 1 and out["sA"].n_dup5_flag == 1
+    assert out["sA"].n_clean == 0
+    assert out["sA"].dupline_char_frac > 0.5
+    # nana: single bigram 'na na' covers ~everything
+    assert out["sB"].n_top2_flag == 1 and out["sB"].n_clean == 0
+    assert out["sB"].top2_char_frac > 0.9
+    # clean: no flags
+    assert out["sC"].n_clean == 1
+    assert (out["sC"].n_dupline_flag, out["sC"].n_top2_flag,
+            out["sC"].n_dup5_flag) == (0, 0, 0)

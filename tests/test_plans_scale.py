@@ -953,3 +953,34 @@ def test_bucketed_cumsum_matches_pure_python(spark):
         acc += v
         want[k] = acc
     assert got == want
+
+
+def test_bucketed_cumsum_multi_matches_chained(spark):
+    """The fused multi-column cumsum equals chaining bucketed_cumsum
+    per column on a skewed synthetic (empty bucket, 1-row bucket)."""
+    from json2hbase_spark.operators.prefix import (
+        bucketed_cumsum,
+        bucketed_cumsum_multi,
+    )
+
+    rows = [
+        (0, 1, 5, 2), (0, 2, 0, 0), (0, 3, 7, 1),
+        (1, 4, 1, 9),
+        (3, 5, 2, 3), (3, 6, 9, 0), (3, 7, 4, 4), (3, 8, 8, 1),
+    ]
+    df = spark.createDataFrame(rows, "b int, k int, v long, w long")
+    fused = {
+        r["k"]: (r["cv"], r["cw"])
+        for r in bucketed_cumsum_multi(
+            df, "b", ["k"], [("v", "cv"), ("w", "cw")]
+        ).collect()
+    }
+    chain = bucketed_cumsum(df, "b", ["k"], "v", "cv")
+    chain = bucketed_cumsum(chain, "b", ["k"], "w", "cw")
+    want = {r["k"]: (r["cv"], r["cw"]) for r in chain.collect()}
+    assert fused == want
+    # the fused plan carries ONE window spec
+    plan = bucketed_cumsum_multi(
+        df, "b", ["k"], [("v", "cv"), ("w", "cw")]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") <= 2  # one WindowExec (+ possible reuse line)
