@@ -38,3 +38,42 @@ def test_cli_end_to_end(spark, tmp_path):
     assert cells[("1", "tags.1")] == "b"
     assert ("2", "addr.city") not in cells
     assert cells[("2", "name")] == "bob"
+
+
+def test_avro_lite_spec_roundtrip():
+    """Pure-python Avro codec: zig-zag edge values, unicode strings,
+    IEEE double bit-exactness, both required codecs, multi-block
+    files, and rejection of corrupt sync markers."""
+    import math
+    import struct
+
+    import pytest
+
+    from json2hbase_spark.operators.avro_lite import (
+        read_container,
+        record_schema,
+        write_container,
+    )
+
+    schema = record_schema(
+        "t", [("k", "long"), ("s", "string"), ("i", "int"), ("d", "double")]
+    )
+    rows = [
+        (0, "", 0, 0.0),
+        (-1, "a", -1, -0.0),
+        (2**62, "émü ✓ é", -(2**31) + 1, 1e308),
+        (-(2**62), "x" * 300, 2**31 - 1, 5e-324),
+        (63, "zig", 64, math.pi),
+    ]
+    for codec in ("null", "deflate"):
+        data = write_container(schema, iter(rows), codec=codec, block_rows=2)
+        fields, back = read_container(data)
+        assert [n for n, _ in fields] == ["k", "s", "i", "d"]
+        assert len(back) == len(rows)
+        for want, got in zip(rows, back):
+            assert want[:3] == got[:3]
+            assert struct.pack("<d", want[3]) == struct.pack("<d", got[3])
+    corrupt = bytearray(write_container(schema, iter(rows), block_rows=100))
+    corrupt[-1] ^= 0xFF  # trailing sync byte
+    with pytest.raises(ValueError, match="sync"):
+        read_container(bytes(corrupt))
