@@ -1892,8 +1892,50 @@ def j151_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(0),
     )
-    cnt_of = lambda garr, d: F.size(F.filter(garr, lambda x: x == d))  # noqa: E731
-    perdoc = feats.select(
+    # Spark side runs the SORTED-RUN forms instead of the naive
+    # O(G²) nested count walks the oracle keeps: on the ×10 probe the
+    # quadratic in-row walk went ×26 (GC-bound on the transient
+    # arrays), while these are O(G log G) per doc and probe linear.
+    # Values are identical — run-length statistics over the sorted
+    # gram array are exactly per-gram occurrence counts.
+    #   top2_chars: max over runs of runlen · len(gram)
+    #   dup5_chars: Σ over occurrences in runs of length ≥ 2 of len —
+    #               an occurrence is in such a run iff it equals its
+    #               left or right sorted neighbor.
+    feats = feats.select(
+        "*",
+        F.array_sort("g2").alias("ls2"),
+        F.array_sort("g5").alias("ls5"),
+    )
+    bpos2 = F.expr(
+        """CASE WHEN size(ls2) = 0 THEN CAST(array() AS ARRAY<INT>)
+        ELSE filter(sequence(1, size(ls2)), i ->
+          CASE WHEN i = 1 THEN true
+               ELSE element_at(ls2, i) != element_at(ls2, i - 1) END)
+        END"""
+    )
+    top2 = F.expr(
+        """CASE WHEN size(_bpos2) = 0 THEN CAST(0 AS BIGINT)
+        ELSE CAST(array_max(transform(sequence(1, size(_bpos2)), k ->
+          (CASE WHEN k = size(_bpos2) THEN size(ls2) + 1
+                ELSE element_at(_bpos2, k + 1) END
+           - element_at(_bpos2, k))
+          * length(element_at(ls2, element_at(_bpos2, k))))) AS BIGINT)
+        END"""
+    )
+    dup5 = F.expr(
+        """CASE WHEN size(ls5) = 0 THEN CAST(0 AS BIGINT)
+        ELSE CAST(aggregate(sequence(1, size(ls5)), 0L, (acc, i) ->
+          acc + CASE WHEN i > 1
+                      AND element_at(ls5, i) = element_at(ls5, i - 1)
+                     THEN length(element_at(ls5, i))
+                     WHEN i < size(ls5)
+                      AND element_at(ls5, i) = element_at(ls5, i + 1)
+                     THEN length(element_at(ls5, i))
+                     ELSE 0 END) AS BIGINT)
+        END"""
+    )
+    perdoc = feats.withColumn("_bpos2", bpos2).select(
         "doc_id",
         "source",
         "tl",
@@ -1901,33 +1943,8 @@ def j151_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct("lines")).cast("bigint").alias("n_dlines"),
         charsum(F.col("lines")).cast("bigint").alias("lc"),
         charsum(F.array_distinct("lines")).cast("bigint").alias("dlc"),
-        F.coalesce(
-            F.array_max(
-                F.transform(
-                    F.array_distinct("g2"),
-                    lambda d: cnt_of(F.col("g2"), d) * F.length(d),
-                )
-            ),
-            F.lit(0),
-        )
-        .cast("bigint")
-        .alias("top2_chars"),
-        F.coalesce(
-            F.aggregate(
-                F.transform(
-                    F.filter(
-                        F.array_distinct("g5"),
-                        lambda d: cnt_of(F.col("g5"), d) >= 2,
-                    ),
-                    lambda d: cnt_of(F.col("g5"), d) * F.length(d),
-                ),
-                F.lit(0).cast("long"),
-                lambda a, x: a + x,
-            ),
-            F.lit(0),
-        )
-        .cast("bigint")
-        .alias("dup5_chars"),
+        top2.alias("top2_chars"),
+        dup5.alias("dup5_chars"),
     )
     judged = perdoc.select(
         "*",

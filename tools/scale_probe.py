@@ -176,6 +176,11 @@ PROBES = [
     "j149_unimax_allocation",
     "j150_c4_line_filters",
     "i38_stream_unimax_monitor",
+    # third batch: j151's per-doc in-row gram walks are
+    # doc-length-bounded (scan-shaped); i39 = j150's stateless rules
+    # + a |sources|-row complete tally.
+    "j151_gopher_repetition",
+    "i39_stream_c4_gate",
 ]
 
 
