@@ -42,6 +42,12 @@ MAGIC = b"Obj\x01"
 
 
 def _zigzag_encode(n: int) -> bytes:
+    # Bound-check BEFORE shifting: a Python int outside int64 would
+    # otherwise encode as a >10-byte varint that spec-compliant Avro
+    # readers (Java/C) reject or truncate — only this codec could read
+    # such a file back. Fail at write time instead (ADVICE r11).
+    if not -(1 << 63) <= n < (1 << 63):
+        raise ValueError(f"avro_lite: value {n} outside Avro long (int64) range")
     z = (n << 1) ^ (n >> 63)
     out = bytearray()
     while True:
@@ -72,8 +78,15 @@ def _enc_string(s: str) -> bytes:
 
 
 def _enc_value(typ: str, v) -> bytes:
-    if typ in ("long", "int"):
+    if typ == "long":
         return _zigzag_encode(int(v))
+    if typ == "int":
+        n = int(v)
+        # Avro 'int' is 32-bit on the wire semantics even though the
+        # varint encoding is shared; enforce the schema's promise here.
+        if not -(1 << 31) <= n < (1 << 31):
+            raise ValueError(f"avro_lite: value {n} outside Avro int (int32) range")
+        return _zigzag_encode(n)
     if typ == "double":
         return struct.pack("<d", float(v))
     if typ == "string":
@@ -107,6 +120,12 @@ def write_container(
 ) -> bytes:
     """Serialize an iterable of tuples (schema field order) into one
     Avro Object Container File, returned as bytes."""
+    # Mirror the reader's explicit unsupported-codec error: without this
+    # an unknown codec (e.g. 'snappy') would stamp that name in the file
+    # metadata over an UNCOMPRESSED payload — a corrupt container that
+    # fails far from the cause at decode time (ADVICE r11).
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"avro_lite: unsupported codec {codec}")
     fields = [(f["name"], f["type"]) for f in json.loads(schema_json)["fields"]]
     out = io.BytesIO()
     out.write(MAGIC)

@@ -3704,3 +3704,303 @@ def j146_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("lm2_score").alias("min_lm2"),
         F.max("lm2_score").alias("max_lm2"),
     )
+
+
+# ---------------------------------------------------------------- j152
+
+EXSUB_W = 50  # Lee et al. 2022: duplicate substrings of >= 50 tokens
+# canonical-occurrence key packs (doc_id, pos) into one BIGINT; sound
+# while every document holds < 2^20 (~1M) tokens — a pack/shard bound
+# the j27/j115 packing family already enforces upstream at 100 TB
+_EXSUB_POSK = 1 << 20
+
+
+@query(
+    "j152_exact_substring_dedup",
+    oracle=f"""
+    WITH toks AS ({_DUCK_TOKS}),
+    grams AS (
+      SELECT doc_id, pos,
+             array_to_string(list_slice(w, pos + 1, pos + {EXSUB_W}), ' ') AS g
+      FROM (SELECT doc_id, w,
+                   unnest(range(0, greatest(len(w) - {EXSUB_W - 1}, 0))) AS pos
+            FROM toks)
+    ),
+    gstat AS (
+      SELECT g, COUNT(*) AS cnt,
+             MIN(doc_id * {_EXSUB_POSK} + pos) AS canon
+      FROM grams GROUP BY g
+    ),
+    marked AS (
+      SELECT gr.doc_id, gr.pos
+      FROM grams gr JOIN gstat s USING (g)
+      WHERE s.cnt >= 2 AND gr.doc_id * {_EXSUB_POSK} + gr.pos != s.canon
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, pos + o.off AS idx
+      FROM marked, (SELECT unnest(range(1, {EXSUB_W + 1})) AS off) o
+    ),
+    cov AS (SELECT doc_id, list(idx ORDER BY idx) AS cv
+            FROM covered GROUP BY doc_id),
+    clean AS (
+      SELECT t.doc_id, len(t.w) AS n_tokens, cov.cv,
+             list_filter(
+               list_transform(range(1, len(t.w) + 1),
+                 i -> CASE WHEN cov.cv IS NULL OR NOT list_contains(cov.cv, i)
+                           THEN t.w[i] END),
+               x -> x IS NOT NULL) AS cw
+      FROM toks t LEFT JOIN cov ON cov.doc_id = t.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_tokens - len(cw) AS BIGINT) AS n_removed,
+           CAST(CASE WHEN cv IS NULL OR len(cv) = 0 THEN 0
+                     WHEN len(cv) = 1 THEN 1
+                     ELSE 1 + len(list_filter(
+                            list_transform(range(2, len(cv) + 1),
+                                           i -> cv[i] - cv[i - 1]),
+                            d -> d > 1)) END AS BIGINT) AS n_dup_extents,
+           md5(COALESCE(array_to_string(cw, ' '), '')) AS cleaned_md5
+    FROM clean
+    """,
+)
+def j152_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup at the token grain (Lee et al. 2022's
+    ExactSubstr, VERDICT r11 #4) — the missing rung of the dedup
+    grain ladder between j58's short shared spans (w=6, cross-doc
+    only, drop ALL copies) and j53/j99's fingerprint diagnostics:
+    any token {EXSUB_W}-gram occurring MORE THAN ONCE corpus-wide
+    (within a document or across documents) is a duplicated extent,
+    and every occurrence except the global canonical first — the
+    minimum (doc_id, position) — is removed from the text, keeping
+    exactly one copy of the duplicated material (the paper's
+    keep-one semantics; j58 keeps zero). Overlapping duplicated
+    grams merge into maximal extents: per doc the output reports the
+    token count, tokens removed, the number of MAXIMAL removed
+    extents (runs of covered positions), and the md5 of the cut text
+    (j58/j54's cross-engine surgery check — one out-of-order or
+    off-by-one token fails the gate).
+
+    Exactness: the canonical occurrence is the minimum of the packed
+    BIGINT doc_id·2^20+pos (identical total order both engines);
+    removal is an order-preserving higher-order filter over the
+    original token array; md5 over the space-joined survivors.
+
+    Plan (j58's shape + a canonical twist): 50-grams posexplode
+    map-side into xxhash64 keys (the gram STRING never shuffles —
+    only an 8-byte key + position), one (key, doc) pre-agg keeping
+    the position list, corpus-wide occurrence count and canonical
+    min as window functions over the key (rows at this point are
+    distinct (key, doc) pairs — the heavy duplication is already
+    collapsed), non-canonical occurrences re-explode into per-doc
+    covered-index sets, ONE order-preserving HOF filter re-emits the
+    cut text. No pairwise stage, no sort of the corpus: the paper's
+    suffix array is replaced by the fingerprint shuffle — O(n·L)
+    8-byte keys, the same I/O class, embarrassingly parallel. At
+    100 TB the only caveat is a boilerplate gram whose (key, doc)
+    pre-agg rows skew one reducer — AQE skew-split handles it, and
+    the pre-agg keeps per-row state to one position list per doc."""
+    docs = load(spark, sf_dir, "documents")
+    toks = widen(docs).select(
+        "doc_id", whitespace_tokens(F.col("text")).alias("w")
+    )
+    grams = (
+        toks.filter(F.size("w") >= EXSUB_W)
+        .select(
+            "doc_id",
+            F.posexplode(word_ngrams(F.col("w"), EXSUB_W)).alias("pos0", "g"),
+        )
+        .select("doc_id", "pos0", F.xxhash64("g").alias("gk"))
+    )
+    occ = grams.groupBy("gk", "doc_id").agg(
+        F.collect_list("pos0").alias("ps"),
+        F.min("pos0").alias("minp"),
+    )
+    wgk = Window.partitionBy("gk")
+    stats = occ.withColumn("cnt", F.sum(F.size("ps")).over(wgk)).withColumn(
+        "canon",
+        F.min(F.col("doc_id") * _EXSUB_POSK + F.col("minp")).over(wgk),
+    )
+    marked = (
+        stats.filter(F.col("cnt") >= 2)
+        .select("doc_id", F.explode("ps").alias("pos0"), "canon")
+        .filter(F.col("doc_id") * _EXSUB_POSK + F.col("pos0") != F.col("canon"))
+        .select("doc_id", "pos0")
+    )
+    return _exsub_cut(toks, marked)
+
+
+def _exsub_cut(toks: DataFrame, marked: DataFrame) -> DataFrame:
+    """Shared ExactSubstr surgery (j152/j153): ``marked`` (doc_id,
+    pos0) occurrence STARTS expand to 1-based covered token indices;
+    one order-preserving HOF filter over the original token array
+    re-emits the cut text with maximal-extent stats and the md5
+    cross-engine check."""
+    covered = (
+        marked.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos0") + 1, F.col("pos0") + EXSUB_W)
+            ).alias("idx"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("idx").alias("cv"))
+    )
+    cleaned = F.filter(
+        F.col("w"),
+        lambda t, i: F.col("cv").isNull() | ~F.array_contains(F.col("cv"), i + 1),
+    )
+    scv = F.array_sort(F.col("cv"))
+    breaks = F.size(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(2), F.size("cv")),
+                lambda i: F.element_at(scv, i) - F.element_at(scv, i - 1),
+            ),
+            lambda d: d > 1,
+        )
+    )
+    n_ext = (
+        F.when(F.col("cv").isNull() | (F.size("cv") == 0), F.lit(0))
+        .when(F.size("cv") == 1, F.lit(1))
+        .otherwise(breaks + 1)
+    )
+    return (
+        toks.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("w").cast("bigint").alias("n_tokens"),
+            (F.size("w") - F.size(cleaned)).cast("bigint").alias("n_removed"),
+            n_ext.cast("bigint").alias("n_dup_extents"),
+            F.md5(F.encode(F.concat_ws(" ", cleaned), "UTF-8")).alias(
+                "cleaned_md5"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------- j153
+
+
+def _duck_exsub_tail(doc_filter: str) -> str:
+    """Oracle tail shared by j152/j153: covered (doc_id, idx) rows →
+    per-doc surgery + extent stats over docs matching ``doc_filter``."""
+    return f"""
+    cov AS (SELECT doc_id, list(idx ORDER BY idx) AS cv
+            FROM covered GROUP BY doc_id),
+    clean AS (
+      SELECT t.doc_id, len(t.w) AS n_tokens, cov.cv,
+             list_filter(
+               list_transform(range(1, len(t.w) + 1),
+                 i -> CASE WHEN cov.cv IS NULL OR NOT list_contains(cov.cv, i)
+                           THEN t.w[i] END),
+               x -> x IS NOT NULL) AS cw
+      FROM (SELECT * FROM toks WHERE {doc_filter}) t
+      LEFT JOIN cov ON cov.doc_id = t.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_tokens - len(cw) AS BIGINT) AS n_removed,
+           CAST(CASE WHEN cv IS NULL OR len(cv) = 0 THEN 0
+                     WHEN len(cv) = 1 THEN 1
+                     ELSE 1 + len(list_filter(
+                            list_transform(range(2, len(cv) + 1),
+                                           i -> cv[i] - cv[i - 1]),
+                            d -> d > 1)) END AS BIGINT) AS n_dup_extents,
+           md5(COALESCE(array_to_string(cw, ' '), '')) AS cleaned_md5
+    FROM clean
+    """
+
+
+@query(
+    "j153_incremental_exsub",
+    oracle=f"""
+    WITH toks AS ({_DUCK_TOKS}),
+    grams AS (
+      SELECT doc_id, pos,
+             array_to_string(list_slice(w, pos + 1, pos + {EXSUB_W}), ' ') AS g
+      FROM (SELECT doc_id, w,
+                   unnest(range(0, greatest(len(w) - {EXSUB_W - 1}, 0))) AS pos
+            FROM toks)
+    ),
+    cidx AS (SELECT DISTINCT g FROM grams WHERE doc_id % 2 = 0),
+    batch AS (SELECT doc_id, pos, g FROM grams WHERE doc_id % 2 = 1),
+    hitc AS (
+      SELECT b.doc_id, b.pos FROM batch b JOIN cidx USING (g)
+    ),
+    miss AS (
+      SELECT b.* FROM batch b ANTI JOIN cidx USING (g)
+    ),
+    mstat AS (
+      SELECT g, COUNT(*) AS cnt,
+             MIN(doc_id * {_EXSUB_POSK} + pos) AS canon
+      FROM miss GROUP BY g
+    ),
+    mmark AS (
+      SELECT m.doc_id, m.pos
+      FROM miss m JOIN mstat s USING (g)
+      WHERE s.cnt >= 2 AND m.doc_id * {_EXSUB_POSK} + m.pos != s.canon
+    ),
+    marked AS (SELECT * FROM hitc UNION ALL SELECT * FROM mmark),
+    covered AS (
+      SELECT DISTINCT doc_id, pos + o.off AS idx
+      FROM marked, (SELECT unnest(range(1, {EXSUB_W + 1})) AS off) o
+    ),
+    {_duck_exsub_tail("doc_id % 2 = 1")}
+    """,
+)
+def j153_incremental_exsub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL exact-substring dedup — j152's surgery in the
+    batch-vs-corpus posture j24/j132 established (and VERDICT r11 #4's
+    "scale shape already exists" pointer realized): the corpus (even
+    doc_ids, already ingested) contributes only its PERSISTED distinct
+    50-gram index; the incoming batch (odd doc_ids) is cut against
+    (a) that index — any batch occurrence of a corpus gram is removed,
+    the corpus copy is canonical by seniority — and (b) itself — grams
+    ABSENT from the corpus but duplicated inside the batch keep their
+    batch-canonical first occurrence (j152's min (doc_id, pos) rule
+    applied to the batch slice). Output = j152's per-doc contract
+    restricted to the new docs. This is what a crawler runs per
+    ingest cycle: the corpus is never re-fingerprinted, and the index
+    grows by exactly the batch's kept grams.
+
+    Exactness: same packed-BIGINT canonical order, same HOF surgery,
+    md5-verified cut text. Plan: ONE gram pass serves both slices at
+    fixture scale (at 100 TB the corpus side is the persisted index —
+    j132's reason to exist); the batch probes the index with one
+    left-semi + one left-anti equi join on the 8-byte key (gram
+    strings never shuffle), then j152's window machinery runs on the
+    batch's MISS slice only — the corpus never enters a window."""
+    docs = load(spark, sf_dir, "documents")
+    toks = widen(docs).select(
+        "doc_id", whitespace_tokens(F.col("text")).alias("w")
+    )
+    grams = (
+        toks.filter(F.size("w") >= EXSUB_W)
+        .select(
+            "doc_id",
+            F.posexplode(word_ngrams(F.col("w"), EXSUB_W)).alias("pos0", "g"),
+        )
+        .select("doc_id", "pos0", F.xxhash64("g").alias("gk"))
+    )
+    cidx = grams.filter(F.col("doc_id") % 2 == 0).select("gk").distinct()
+    batch = grams.filter(F.col("doc_id") % 2 == 1)
+    hitc = batch.join(cidx, "gk", "left_semi").select("doc_id", "pos0")
+    miss = batch.join(cidx, "gk", "left_anti")
+    occ = miss.groupBy("gk", "doc_id").agg(
+        F.collect_list("pos0").alias("ps"),
+        F.min("pos0").alias("minp"),
+    )
+    wgk = Window.partitionBy("gk")
+    stats = occ.withColumn("cnt", F.sum(F.size("ps")).over(wgk)).withColumn(
+        "canon",
+        F.min(F.col("doc_id") * _EXSUB_POSK + F.col("minp")).over(wgk),
+    )
+    mmark = (
+        stats.filter(F.col("cnt") >= 2)
+        .select("doc_id", F.explode("ps").alias("pos0"), "canon")
+        .filter(F.col("doc_id") * _EXSUB_POSK + F.col("pos0") != F.col("canon"))
+        .select("doc_id", "pos0")
+    )
+    toks_new = toks.filter(F.col("doc_id") % 2 == 1)
+    return _exsub_cut(toks_new, hitc.unionByName(mmark))

@@ -1490,10 +1490,13 @@ _DUCK_J149_UNIMAX = f"""
     )
     SELECT f.lang, f.tokens, f.cap, f.capped,
            CAST(CASE WHEN f.capped THEN f.cap
+                     WHEN p.m = 0 THEN NULL
                      ELSE (tt.t - p.used) // p.m END AS BIGINT) AS allocation,
-           CAST((CASE WHEN f.capped THEN f.cap
+           CAST(CASE WHEN f.tokens = 0 THEN NULL ELSE
+                (CASE WHEN f.capped THEN f.cap
+                      WHEN p.m = 0 THEN NULL
                       ELSE (tt.t - p.used) // p.m END) * 10000 // f.tokens
-                AS BIGINT) AS epochs_q
+                END AS BIGINT) AS epochs_q
     FROM flagged f, tt, pool p
     """
 
@@ -1578,9 +1581,17 @@ def _unimax_from_tokens(lt: DataFrame) -> DataFrame:
         .alias("used"),
         F.sum(F.when(F.col("capped"), 0).otherwise(1)).cast("bigint").alias("m"),
     )
-    alloc = F.when(F.col("capped"), F.col("cap")).otherwise(
-        F.expr("(t - used) div m")
-    )
+    # m = 0 guard (VERDICT r11 ADVICE): if EVERY language is capped the
+    # uncapped-share branch would divide by zero. The threshold
+    # invariant makes that unreachable on real tallies — all capped
+    # implies Σcap ≤ T, i.e. 4×Σtokens ≤ 60%×Σtokens, impossible for a
+    # non-empty corpus — but the hazard class was guarded in j136/j137,
+    # so mirror the CASE pattern here: the share is NULL when m = 0
+    # (there are no uncapped rows to receive it), identically in both
+    # engines. Lazy CASE evaluation means capped rows never touch the
+    # division either way; the guard makes the plan total.
+    share = F.when(F.col("m") > 0, F.expr("(t - used) div m"))
+    alloc = F.when(F.col("capped"), F.col("cap")).otherwise(share)
     return (
         flagged.crossJoin(F.broadcast(pool))
         .select(
@@ -1589,9 +1600,17 @@ def _unimax_from_tokens(lt: DataFrame) -> DataFrame:
             "cap",
             "capped",
             alloc.cast("bigint").alias("allocation"),
+            # tokens = 0 guard alongside m = 0: the ONE way every
+            # language caps through this function is an all-zero tally
+            # (cap 0 ≤ T 0), where epochs of an empty language is
+            # undefined — NULL, not a DIVIDE_BY_ZERO (ANSI mode throws,
+            # it does not NULL-fill).
             F.expr(
-                f"CAST((CASE WHEN capped THEN cap ELSE (t - used) div m END)"
-                f" * 10000 div tokens AS BIGINT)"
+                "CAST(CASE WHEN tokens = 0 THEN NULL ELSE"
+                " (CASE WHEN capped THEN cap"
+                " WHEN m = 0 THEN NULL"
+                " ELSE (t - used) div m END)"
+                " * 10000 div tokens END AS BIGINT)"
             ).alias("epochs_q"),
         )
     )
@@ -1982,4 +2001,121 @@ def j151_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("dup5_chars").cast("double") / F.sum("tl").cast("double")).alias(
             "dup5_char_frac"
         ),
+    )
+
+
+# ---------------------------------------------------------------- j154
+
+# Repeat-value decay for data-constrained training (Muennighoff et al.
+# 2023): the paper fits the value of the e-th repeat of a token at
+# ~exp(-e/R*) with R* ≈ 15; the engine uses the documented rational
+# δ = 9/10 per epoch so every term is EXACT integer arithmetic
+# (tokens·9^e div 10^e) identical in both engines. Epoch cap is
+# j149's {UNIMAX_EPOCH_CAP}, so powers are bounded literal arrays.
+RD_P9 = [9**e for e in range(UNIMAX_EPOCH_CAP + 1)]
+RD_P10 = [10**e for e in range(UNIMAX_EPOCH_CAP + 1)]
+
+
+def _duck_j154() -> str:
+    p9 = ", ".join(str(x) for x in RD_P9)
+    p10 = ", ".join(str(x) for x in RD_P10)
+    return f"""
+    WITH alloc AS ({_DUCK_J149_UNIMAX}),
+    ep AS (
+      SELECT lang, tokens, allocation,
+             CASE WHEN tokens = 0 THEN NULL
+                  ELSE allocation // tokens END AS epochs_full,
+             CASE WHEN tokens = 0 THEN NULL
+                  ELSE allocation % tokens END AS rem
+      FROM alloc
+    )
+    SELECT lang, tokens, allocation,
+           CAST(epochs_full AS BIGINT) AS epochs_full,
+           CAST(CASE WHEN epochs_full IS NULL THEN NULL ELSE
+             COALESCE(list_sum(list_transform(range(0, epochs_full),
+               e -> (tokens * ([{p9}])[e + 1]) // ([{p10}])[e + 1])), 0)
+             + (rem * ([{p9}])[epochs_full + 1]) // ([{p10}])[epochs_full + 1]
+           END AS BIGINT) AS effective_tokens,
+           CAST(CASE WHEN allocation IS NULL OR allocation = 0 THEN NULL ELSE
+             (CASE WHEN epochs_full IS NULL THEN NULL ELSE
+               COALESCE(list_sum(list_transform(range(0, epochs_full),
+                 e -> (tokens * ([{p9}])[e + 1]) // ([{p10}])[e + 1])), 0)
+               + (rem * ([{p9}])[epochs_full + 1]) // ([{p10}])[epochs_full + 1]
+             END) * 10000 // allocation
+           END AS BIGINT) AS efficiency_q
+    FROM ep
+    """
+
+
+@query("j154_repeat_discount_budget", oracle=_duck_j154())
+def j154_repeat_discount_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EFFECTIVE-data budget under repeat decay (round 12, Muennighoff
+    et al. 2023 "Scaling Data-Constrained Language Models") — the
+    audit that prices j149's allocation: UNIMAX hands a language an
+    allocation of up to {UNIMAX_EPOCH_CAP} epochs, but repeated
+    tokens are worth less each epoch (the paper fits ~exp(-e/R*));
+    with the documented rational decay δ = 9/10, a language trained
+    for E full epochs plus a partial one contributes
+    Σ_{{e=0}}^{{E-1}} ⌊tokens·9^e/10^e⌋ + ⌊rem·9^E/10^E⌋ effective
+    tokens. Per language: tokens, allocation, full epochs, effective
+    tokens, and efficiency_q = ⌊effective·10⁴/allocation⌋ — the
+    number that says WHICH languages' budget is being spent on
+    low-value repeats (efficiency 10000 = all-fresh data; a capped
+    low-resource language at 4 epochs reads ~8146), directly the
+    paper's argument for why UNIMAX caps epochs at all.
+
+    Exactness: j149's closed-form allocation (pure BIGINT), then
+    every decay term is one integer multiply by a bounded literal
+    power and one floor division — no float ever enters. Plan: the
+    ONE corpus token agg j149 already pays; the decay math is a
+    per-row HOF over ≤{UNIMAX_EPOCH_CAP} elements on |langs| rows —
+    constants at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    lt = (
+        widen(docs)
+        .groupBy("lang")
+        .agg(
+            F.sum(F.size(whitespace_tokens(F.col("text"))))
+            .cast("bigint")
+            .alias("tokens")
+        )
+    )
+    alloc = _unimax_from_tokens(lt).select("lang", "tokens", "allocation")
+    p9 = f"array({', '.join(f'{x}L' for x in RD_P9)})"
+    p10 = f"array({', '.join(f'{x}L' for x in RD_P10)})"
+    ep = alloc.select(
+        "lang",
+        "tokens",
+        "allocation",
+        F.expr(
+            "CASE WHEN tokens = 0 THEN NULL ELSE allocation div tokens END"
+        ).alias("epochs_full"),
+        F.expr(
+            "CASE WHEN tokens = 0 THEN NULL ELSE allocation % tokens END"
+        ).alias("rem"),
+    )
+    # epochs_full = 0 is its own branch: Spark's sequence(0, -1) counts
+    # DOWN (word_ngrams' documented hazard), and the partial term alone
+    # is the answer (rem·9⁰/10⁰ = allocation — all-fresh data)
+    eff = (
+        f"CASE WHEN epochs_full IS NULL THEN NULL "
+        f"WHEN epochs_full = 0 THEN rem ELSE "
+        f"aggregate(sequence(0, epochs_full - 1), 0L, (acc, e) -> "
+        f"acc + (tokens * element_at({p9}, CAST(e + 1 AS INT)))"
+        f" div element_at({p10}, CAST(e + 1 AS INT))) "
+        f"+ (rem * element_at({p9}, CAST(epochs_full + 1 AS INT)))"
+        f" div element_at({p10}, CAST(epochs_full + 1 AS INT)) END"
+    )
+    return ep.select(
+        "lang",
+        "tokens",
+        "allocation",
+        F.col("epochs_full").cast("bigint").alias("epochs_full"),
+        F.expr(eff).cast("bigint").alias("effective_tokens"),
+        F.expr(
+            f"CASE WHEN allocation IS NULL OR allocation = 0 THEN NULL"
+            f" ELSE ({eff}) * 10000 div allocation END"
+        )
+        .cast("bigint")
+        .alias("efficiency_q"),
     )

@@ -1249,10 +1249,20 @@ def a25_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = [n for n, _ in _AVRO_FIELDS]
 
     def write_part(rows) -> None:
-        it = ((r[c] for c in cols) for r in rows)
-        data = write_container(schema_json, (tuple(t) for t in it), codec="deflate")
-        # header-only files for empty partitions are valid avro; skip
-        # them to keep the read side's file list meaningful
+        # Peek the first row so empty partitions genuinely produce no
+        # file (header-only containers are valid Avro, but skipping
+        # them keeps the read side's file list meaningful).
+        it = iter(rows)
+        try:
+            first = next(it)
+        except StopIteration:
+            return
+        import itertools
+
+        tuples = (
+            tuple(r[c] for c in cols) for r in itertools.chain((first,), it)
+        )
+        data = write_container(schema_json, tuples, codec="deflate")
         path = os.path.join(out, f"part-{uuid.uuid4().hex}.avro")
         with open(path, "wb") as f:
             f.write(data)

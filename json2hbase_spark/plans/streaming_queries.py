@@ -2881,3 +2881,147 @@ def i39_stream_c4_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
     )
+
+
+# ---------------------------------------------------------------- i40
+
+
+def _i40_oracle() -> str:
+    from json2hbase_spark.plans.corpus_queries import EXSUB_W
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x != '') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, pos,
+             array_to_string(list_slice(w, pos + 1, pos + {EXSUB_W}), ' ') AS g
+      FROM (SELECT doc_id, w,
+                   unnest(range(0, greatest(len(w) - {EXSUB_W - 1}, 0))) AS pos
+            FROM toks)
+    ),
+    cidx AS (SELECT DISTINCT g FROM grams WHERE doc_id % 2 = 0),
+    bhits AS (
+      SELECT b.doc_id, b.pos FROM grams b JOIN cidx USING (g)
+      WHERE b.doc_id % 2 = 1
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, pos + o.off AS idx
+      FROM bhits, (SELECT unnest(range(1, {EXSUB_W + 1})) AS off) o
+    ),
+    perdoc AS (SELECT doc_id, COUNT(*) AS n_cov FROM covered GROUP BY doc_id)
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN p.n_cov > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(SUM(COALESCE(p.n_cov, 0)) AS BIGINT) AS tokens_covered
+    FROM (SELECT doc_id, source FROM toks WHERE doc_id % 2 = 1) t
+    LEFT JOIN perdoc p ON p.doc_id = t.doc_id
+    GROUP BY t.source
+    """
+
+
+@query("i40_stream_exsub_gate", oracle=_i40_oracle())
+def i40_stream_exsub_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact-substring gate — j152/j153 live (round 12; the
+    i-twin the grain ladder was missing, i33's posture at the token
+    grain): every ARRIVING document (odd doc_ids) is 50-gram
+    fingerprinted per micro-batch and probed against the STATIC
+    corpus gram index (even doc_ids — in production the persisted
+    index j153 maintains); gram hits land in an append sink, and the
+    per-source report — docs seen, docs carrying any duplicated
+    extent, and the total tokens those extents cover — accumulates as
+    the crawl runs. Final ≡ the batch computation over the same
+    corpus (the i25/i28/i33 stream≡batch contract, same oracle).
+
+    Plan: the index is ONE materialized distinct-hash table that
+    broadcasts into a stream-static equi join (8-byte keys; gram
+    strings never leave the executor that hashed them); arriving work
+    is scan-shaped per micro-batch (repartition → in-row gram HOFs →
+    posexplode → hashed probe), sink state = gram HITS only (≈0 in a
+    healthy crawl, duplicated extents in a contaminated one) plus a
+    |sources|-row complete tally — corpus-length-independent. At
+    100 TB the index is the big invariant; sharding it turns the
+    broadcast into a bucketed join, same contract."""
+    from json2hbase_spark.io import load_table_stream, widen
+    from json2hbase_spark.operators.text import whitespace_tokens
+    from json2hbase_spark.plans.corpus_queries import EXSUB_W, word_ngrams
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = (
+        widen(docs.filter(F.col("doc_id") % 2 == 0))
+        .select("doc_id", whitespace_tokens(F.col("text")).alias("w"))
+        .filter(F.size("w") >= EXSUB_W)
+        .select(F.explode(word_ngrams(F.col("w"), EXSUB_W)).alias("g"))
+        .select(F.xxhash64("g").alias("gk"))
+        .distinct()
+    )
+    cidx = materialize(corpus)
+
+    stream = load_table_stream(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 1
+    )
+    arriving = (
+        stream.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", whitespace_tokens(F.col("text")).alias("w"))
+        .filter(F.size("w") >= EXSUB_W)
+        .select(
+            "doc_id",
+            F.posexplode(word_ngrams(F.col("w"), EXSUB_W)).alias("pos0", "g"),
+        )
+        .select("doc_id", "pos0", F.xxhash64("g").alias("gk"))
+    )
+    hits = arriving.join(F.broadcast(cidx), "gk").select("doc_id", "pos0")
+    tally = (
+        stream.select("source")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    with scoped_stream_confs(spark):
+        _run_to_memory(tally, "i40_all_mem", "complete")
+        q = (
+            hits.writeStream.format("memory")
+            .queryName("i40_hits_mem")
+            .outputMode("append")
+            .option("checkpointLocation", scratch_dir("ckpt_i40_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    hd = spark.table("i40_hits_mem")
+    perdoc = (
+        hd.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos0") + 1, F.col("pos0") + EXSUB_W)
+            ).alias("idx"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cov"))
+    )
+    odd_docs = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "source")
+    per_source = (
+        odd_docs.join(perdoc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("n_cov") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.sum(F.coalesce("n_cov", F.lit(0))).cast("bigint").alias(
+                "tokens_covered"
+            ),
+        )
+    )
+    return (
+        spark.table("i40_all_mem")
+        .join(per_source, "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            "n_flagged",
+            "tokens_covered",
+        )
+    )

@@ -77,3 +77,32 @@ def test_avro_lite_spec_roundtrip():
     corrupt[-1] ^= 0xFF  # trailing sync byte
     with pytest.raises(ValueError, match="sync"):
         read_container(bytes(corrupt))
+
+
+def test_avro_lite_write_validation():
+    """Writer-side validation (ADVICE r11): unknown codecs fail AT
+    WRITE instead of stamping their name over an uncompressed payload,
+    and out-of-range ints fail at write instead of emitting >10-byte
+    varints only this codec could read back."""
+    import pytest
+
+    from json2hbase_spark.operators.avro_lite import (
+        record_schema,
+        write_container,
+    )
+
+    schema = record_schema("t", [("k", "long"), ("i", "int")])
+    with pytest.raises(ValueError, match="unsupported codec"):
+        write_container(schema, iter([(1, 1)]), codec="snappy")
+    with pytest.raises(ValueError, match="int64"):
+        write_container(schema, iter([(2**63, 0)]))
+    with pytest.raises(ValueError, match="int64"):
+        write_container(schema, iter([(-(2**63) - 1, 0)]))
+    with pytest.raises(ValueError, match="int32"):
+        write_container(schema, iter([(0, 2**31)]))
+    # boundary values still round-trip
+    from json2hbase_spark.operators.avro_lite import read_container
+
+    ok = [(2**63 - 1, 2**31 - 1), (-(2**63), -(2**31))]
+    _, back = read_container(write_container(schema, iter(ok)))
+    assert back == ok

@@ -832,3 +832,208 @@ def test_j146_terciles_are_balanced_and_ordered(spark, tmp_path):
     assert out["head"].mean_lm2 > out["middle"].mean_lm2 > out["tail"].mean_lm2
     assert out["head"].min_lm2 >= out["middle"].max_lm2
     assert out["middle"].min_lm2 >= out["tail"].max_lm2
+
+
+# ---------------------------------------------------------------- j152
+
+
+def _exsub_truth(texts: dict[int, str], w: int):
+    """Pure-python reimplementation of j152's spec: every token w-gram
+    with corpus-wide occurrence count >= 2 keeps only its canonical
+    (min (doc_id, pos)) occurrence; all other occurrences' token
+    positions are removed, order preserved."""
+    import hashlib
+    from collections import defaultdict
+
+    toks = {d: [t for t in s.split(" ") if t] for d, s in texts.items()}
+    occs = defaultdict(list)
+    for d in sorted(toks):
+        ws = toks[d]
+        for p in range(len(ws) - w + 1):
+            occs[" ".join(ws[p : p + w])].append((d, p))
+    covered = defaultdict(set)
+    for g, os_ in occs.items():
+        if len(os_) < 2:
+            continue
+        canon = min(os_)
+        for d, p in os_:
+            if (d, p) != canon:
+                covered[d].update(range(p, p + w))
+    out = {}
+    for d, ws in toks.items():
+        cv = covered.get(d, set())
+        kept = [t for i, t in enumerate(ws) if i not in cv]
+        runs = 0
+        prev = None
+        for i in sorted(cv):
+            if prev is None or i - prev > 1:
+                runs += 1
+            prev = i
+        out[d] = (
+            len(ws),
+            len(ws) - len(kept),
+            runs,
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    return out
+
+
+def test_j152_exact_substring_dedup_planted(spark, tmp_path):
+    """Planted Lee-et-al duplicates: a 70-token run shared across two
+    docs (canonical copy in the lower doc_id survives, the other is
+    cut), an in-doc 55-token block repeated twice (second copy cut,
+    first kept), and a below-grain doc (untouched). Engine output
+    must equal the pure-python truth token for token (md5)."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.plans.corpus_queries import EXSUB_W
+
+    registry.load_all_query_modules()
+    a = [f"a{i}" for i in range(120)]
+    b = [f"b{i}" for i in range(10)] + a[20:90] + [f"bb{i}" for i in range(10)]
+    x = [f"x{i}" for i in range(55)]
+    c = (
+        [f"c{i}" for i in range(5)]
+        + x
+        + [f"cc{i}" for i in range(5)]
+        + x
+        + [f"ccc{i}" for i in range(5)]
+    )
+    d = [f"d{i}" for i in range(40)]
+    texts = {0: " ".join(a), 1: " ".join(b), 2: " ".join(c), 3: " ".join(d)}
+    truth = _exsub_truth(texts, EXSUB_W)
+    # sanity on the planting itself: doc 0 untouched (all canonical),
+    # doc 1 loses the whole shared run, doc 2 loses one block copy,
+    # doc 3 below grain
+    assert truth[0][1] == 0 and truth[3][1] == 0
+    assert truth[1][1] == 70 and truth[1][2] == 1
+    assert truth[2][1] == 55 and truth[2][2] == 1
+    df = spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    fx = str(tmp_path / "exsubfix")
+    df.write.mode("overwrite").parquet(f"{fx}/documents.parquet")
+    out = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.n_dup_extents, r.cleaned_md5)
+        for r in registry.QUERIES["j152_exact_substring_dedup"](spark, fx).collect()
+    }
+    assert out == truth
+
+
+def _j153_truth(texts: dict[int, str], w: int):
+    """Pure-python truth for j153: corpus = even doc_ids (index only),
+    batch = odd. Batch occurrences of corpus grams are always removed;
+    grams absent from the corpus keep their batch-canonical first."""
+    import hashlib
+    from collections import defaultdict
+
+    toks = {d: [t for t in s.split(" ") if t] for d, s in texts.items()}
+    cidx = set()
+    for d, ws in toks.items():
+        if d % 2 == 0:
+            for p in range(len(ws) - w + 1):
+                cidx.add(" ".join(ws[p : p + w]))
+    occs = defaultdict(list)
+    covered = defaultdict(set)
+    for d in sorted(toks):
+        if d % 2 == 0:
+            continue
+        ws = toks[d]
+        for p in range(len(ws) - w + 1):
+            g = " ".join(ws[p : p + w])
+            if g in cidx:
+                covered[d].update(range(p, p + w))
+            else:
+                occs[g].append((d, p))
+    for g, os_ in occs.items():
+        if len(os_) < 2:
+            continue
+        canon = min(os_)
+        for d, p in os_:
+            if (d, p) != canon:
+                covered[d].update(range(p, p + w))
+    out = {}
+    for d, ws in toks.items():
+        if d % 2 == 0:
+            continue
+        cv = covered.get(d, set())
+        kept = [t for i, t in enumerate(ws) if i not in cv]
+        runs, prev = 0, None
+        for i in sorted(cv):
+            if prev is None or i - prev > 1:
+                runs += 1
+            prev = i
+        out[d] = (
+            len(ws),
+            len(ws) - len(kept),
+            runs,
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    return out
+
+
+def test_j153_incremental_exsub_planted(spark, tmp_path):
+    """Planted incremental posture: an odd doc quoting a corpus block
+    loses it (corpus canonical by seniority); two odd docs sharing a
+    corpus-absent block keep exactly the batch-canonical copy; a
+    clean odd doc is untouched; corpus docs never appear in the
+    output."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.plans.corpus_queries import EXSUB_W
+
+    registry.load_all_query_modules()
+    corp = [f"k{i}" for i in range(80)]  # corpus block lives in doc 0
+    y = [f"y{i}" for i in range(60)]  # corpus-absent shared block
+    texts = {
+        0: " ".join(corp),
+        1: " ".join([f"p{i}" for i in range(5)] + corp[10:70] + ["pz"]),
+        3: " ".join([f"q{i}" for i in range(8)] + y),
+        5: " ".join(y + [f"r{i}" for i in range(8)]),
+        7: " ".join([f"s{i}" for i in range(55)]),
+    }
+    truth = _j153_truth(texts, EXSUB_W)
+    assert truth[1][1] == 60 and truth[1][2] == 1  # corpus quote cut
+    # batch-canonical: doc 3 (lower id) keeps y, doc 5 loses it
+    assert truth[3][1] == 0 and truth[5][1] == 60
+    assert truth[7][1] == 0
+    df = spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    fx = str(tmp_path / "incexsubfix")
+    df.write.mode("overwrite").parquet(f"{fx}/documents.parquet")
+    out = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.n_dup_extents, r.cleaned_md5)
+        for r in registry.QUERIES["j153_incremental_exsub"](spark, fx).collect()
+    }
+    assert out == truth  # odd docs only, values token-exact
+
+
+def test_i40_stream_exsub_gate_planted(spark, tmp_path):
+    """Streaming gate: an arriving doc quoting a 60-token corpus block
+    is flagged with exactly that extent's token count; clean arrivals
+    pass; per-source tallies match."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    corp = [f"k{i}" for i in range(80)]
+    rows = [
+        (0, " ".join(corp), "en", "s0"),
+        (1, " ".join([f"p{i}" for i in range(5)] + corp[10:70] + ["pz"]), "en", "s0"),
+        (3, " ".join(f"q{i}" for i in range(70)), "en", "s0"),
+        (5, " ".join(f"r{i}" for i in range(70)), "en", "s1"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, la, s, len(t)) for i, t, la, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    fx = str(tmp_path / "i40fix")
+    df.write.mode("overwrite").parquet(f"{fx}/documents.parquet")
+    out = {
+        r.source: r
+        for r in registry.QUERIES["i40_stream_exsub_gate"](spark, fx).collect()
+    }
+    assert out["s0"].n_docs == 2 and out["s0"].n_flagged == 1
+    assert out["s0"].tokens_covered == 60
+    assert out["s1"].n_docs == 1 and out["s1"].n_flagged == 0
+    assert out["s1"].tokens_covered == 0

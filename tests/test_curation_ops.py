@@ -397,6 +397,24 @@ def test_j149_unimax_water_filling(spark, tmp_path):
     assert T - sum(r.allocation for r in out.values()) < 2  # sub-token remainder
 
 
+def test_j149_unimax_all_capped_guard(spark):
+    """m = 0 guard (VERDICT r11 ADVICE): the only tally that caps EVERY
+    language through _unimax_from_tokens is all-zero tokens (cap 0 ≤
+    T 0), which leaves no uncapped pool — the guarded share/epochs are
+    NULL and the plan executes instead of raising DIVIDE_BY_ZERO
+    (ANSI mode throws on integer div-0; it does not NULL-fill)."""
+    from json2hbase_spark.plans.curation_queries import _unimax_from_tokens
+
+    lt = spark.createDataFrame(
+        [("aa", 0), ("bb", 0), ("cc", 0)], "lang string, tokens bigint"
+    )
+    out = {r.lang: r for r in _unimax_from_tokens(lt).collect()}
+    assert len(out) == 3
+    assert all(r.capped for r in out.values())
+    assert all(r.allocation == 0 for r in out.values())  # capped -> cap = 0
+    assert all(r.epochs_q is None for r in out.values())  # 0-token language
+
+
 # ---------------------------------------------------------------- j150
 
 
@@ -504,3 +522,43 @@ def test_j151_flags_planted_repetition(spark, tmp_path):
     assert out["sC"].n_clean == 1
     assert (out["sC"].n_dupline_flag, out["sC"].n_top2_flag,
             out["sC"].n_dup5_flag) == (0, 0, 0)
+
+
+# ---------------------------------------------------------------- j154
+
+
+def test_j154_repeat_discount_closed_form(spark, tmp_path):
+    """The capped 3-lang j149 fixture priced: the capped language at
+    4 full epochs reads effective = t+⌊.9t⌋+⌊.81t⌋+⌊.729t⌋ and
+    efficiency 8500; uncapped languages (allocation < tokens, 0 full
+    epochs) are all-fresh at efficiency 10000."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    rows, did = [], 0
+    for lang, ndocs, tok_per in [("aa", 2, 10), ("bb", 40, 50), ("cc", 60, 50)]:
+        for _ in range(ndocs):
+            rows.append((did, " ".join(["w"] * tok_per), lang))
+            did += 1
+    df = spark.createDataFrame(
+        [(i, t, la, "s0", len(t)) for i, t, la in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "rdfix")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {
+        r.lang: r
+        for r in registry.QUERIES["j154_repeat_discount_budget"](
+            spark, d
+        ).collect()
+    }
+    t = 20  # aa tokens; capped at 4 epochs, rem 0
+    want_eff = t + 9 * t // 10 + 81 * t // 100 + 729 * t // 1000
+    assert out["aa"].epochs_full == 4
+    assert out["aa"].effective_tokens == want_eff
+    assert out["aa"].efficiency_q == want_eff * 10000 // (4 * t)
+    for lang in ("bb", "cc"):
+        r = out[lang]
+        assert r.epochs_full == 0  # allocation < tokens
+        assert r.effective_tokens == r.allocation  # all-fresh
+        assert r.efficiency_q == 10000

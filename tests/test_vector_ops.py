@@ -357,3 +357,27 @@ def test_j147_subspace_energy_dominates_single_axis(spark):
             ax[vid].energy_frac,
         )
         assert 0 <= r.dom_component <= 3
+
+
+def test_gs_basis_memo_bit_equals_recompute(spark):
+    """The session memo j147 rides (VERDICT r11 #1) must return the
+    exact integer basis a fresh recompute produces — collect →
+    local-relation round-trips bigints losslessly, and the refresh
+    path (j145, the definer) repopulates the same values."""
+    from json2hbase_spark.plans.vector_queries import (
+        _GS_BASIS_CACHE,
+        _gs_basis,
+    )
+
+    fresh = [
+        sorted((r.dim, r.u) for r in t.collect())
+        for t in _gs_basis(spark, SF, refresh=True)
+    ]
+    memo = [
+        sorted((r.dim, r.u) for r in t.collect()) for t in _gs_basis(spark, SF)
+    ]
+    assert memo == fresh
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.realpath(SF))
+    assert _GS_BASIS_CACHE[key] == fresh

@@ -32,6 +32,17 @@ def frozen_medians() -> dict[str, float]:
     return out
 
 
+def frozen_canary_floor() -> float:
+    """The frozen canary reference from BASELINE.md (0.0 if absent).
+
+    Anchors host-noise adjudication to a recorded healthy-run baseline
+    instead of the current run's own minimum, which a sustained host
+    load episode can inflate uniformly (ADVICE r11)."""
+    txt = (REPO / "BASELINE.md").read_text()
+    m = re.findall(r"Frozen-canary-floor:\s*([0-9.]+)\s*s", txt)
+    return float(m[-1]) if m else 0.0
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--bench", default=str(REPO / "bench_full.json"))
@@ -59,22 +70,42 @@ def main() -> None:
     # regression — say so machine-readably instead of arguing from
     # rerun lists.
     canary = payload.get("canary", [])
-    canary_floor = min((c["t"] for c in canary), default=0.0)
+    run_floor = min((c["t"] for c in canary), default=0.0)
+    # adjudicate against the FROZEN reference, not the run's own
+    # minimum: a sustained load episode covering the whole run keeps
+    # every sample near an inflated floor and would self-certify as
+    # "clean" (ADVICE r11). Fall back to the run floor only when no
+    # reference is frozen yet.
+    frozen_floor = frozen_canary_floor()
+    canary_ref = frozen_floor or run_floor
+    run_inflated = frozen_floor > 0 and run_floor > 1.5 * frozen_floor
     qpos = {n: i for i, n in enumerate(sorted(bench))}
 
     def canary_note(name: str) -> str:
-        if not canary or canary_floor <= 0:
+        if not canary or canary_ref <= 0:
             return ""
         near = [c for c in canary if abs(c["pos"] - qpos.get(name, -99)) <= 25]
         if not near:
             return ""
-        worst = max(c["t"] / canary_floor for c in near)
+        worst = max(c["t"] / canary_ref for c in near)
         if worst > 1.5:
             return (
-                f" [canary x{worst:.1f} at nearby positions — host noise"
-                " suspected]"
+                f" [canary x{worst:.1f} vs frozen ref at nearby positions"
+                " — host noise suspected]"
             )
-        return f" [canary clean nearby (x{worst:.1f}) — plan cost is real]"
+        if run_inflated:
+            # the whole run's floor is above the frozen reference: a
+            # locally-quiet canary proves nothing, so never say "clean"
+            return (
+                f" [canary x{worst:.1f} nearby, but run floor"
+                f" {run_floor:.3f}s exceeds 1.5x frozen ref"
+                f" {frozen_floor:.3f}s — run is load-inflated, verdict"
+                " withheld]"
+            )
+        return (
+            f" [canary clean nearby (x{worst:.1f} vs frozen ref) —"
+            " plan cost is real]"
+        )
 
     def join_mix(name: str) -> str:
         fp = snap.get(name)
@@ -122,11 +153,28 @@ def main() -> None:
         )
     for name, t in unfrozen:
         print(f"NOFREEZE  {name}: {t:.2f}s (add a median row to BASELINE.md)")
+    # in-run breach adjudication (round 12): bench.py now samples the
+    # canary at the moment each landed gate breach is final and records
+    # the verdict machine-readably — surface it here so no prose
+    # adjudication is needed
+    for b in payload.get("breaches", []):
+        print(
+            f"BREACH-ADJUDICATED  {b['name']}: kept {b['t']:.2f}s vs frozen"
+            f" {b['frozen']}s (x{b['ratio']:.1f}) — canary {b['canary_t']:.3f}s"
+            f" at settle time (x{b['canary_vs_ref']:.1f} vs frozen ref):"
+            f" {b['verdict']}"
+        )
     if canary:
         ts = [c["t"] for c in canary]
         print(
             f"canary: {len(ts)} samples floor={min(ts):.3f}s max={max(ts):.3f}s"
             f" (x{max(ts) / min(ts):.1f} spread)"
+            + (
+                f"; frozen ref {frozen_floor:.3f}s"
+                + (" — RUN LOAD-INFLATED (floor >1.5x ref)" if run_inflated else "")
+                if frozen_floor
+                else ""
+            )
         )
     n = len(bench)
     print(f"{n - len(slow) - len(unfrozen) - len(failed)} within {args.factor}x "

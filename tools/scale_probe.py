@@ -181,6 +181,13 @@ PROBES = [
     # + a |sources|-row complete tally.
     "j151_gopher_repetition",
     "i39_stream_c4_gate",
+    # round-12: j152 = j58's fingerprint-shuffle shape at the 50-token
+    # grain (a lost pre-agg or a gram STRING reaching the shuffle
+    # blows the ratio); i31 streams the per-batch packing tally into
+    # bin-count-bounded complete state (restart cost at 10× arrival
+    # volume was the unmeasured leg VERDICT r11 #6 flagged).
+    "j152_exact_substring_dedup",
+    "i31_stream_packing_monitor",
 ]
 
 
@@ -245,8 +252,17 @@ EMB_PROBES = [
     # dimension-bounded GS steps (only the covariance pass scales).
     "j144_incremental_covariance",
     "j145_pca_orthobasis",
-    # j147 = j145's chain + one scan-shaped per-vector fold
+    # j147 = j145's chain + one scan-shaped per-vector fold. NOTE on
+    # the round-12 basis memo: j145 passes refresh=True (recomputes
+    # every run — its min-of-3 measures the CHAIN's scaling); j147
+    # rides the session memo after its first run, so its min-of-3
+    # measures the MARGINAL per-vector fold — exactly j147's own
+    # contribution; the chain's scaling is j145's row.
     "j147_subspace_energy",
+    # round-12: i32 streams embeddings into k-center coreset state
+    # (bounded |coreset| rows; the unmeasured complete-mode restart
+    # leg, VERDICT r11 #6).
+    "i32_stream_coreset_monitor",
 ]
 
 
@@ -278,9 +294,9 @@ def build_scaled_embeddings(spark, sf_dir: str, mult: int, out_dir: str) -> None
     )
 
 
-def run_emb_suite(spark, sf_dir: str) -> dict[str, float]:
+def run_emb_suite(spark, sf_dir: str, only: list[str] | None = None) -> dict[str, float]:
     times = {}
-    for name in EMB_PROBES:
+    for name in only if only is not None else EMB_PROBES:
         best = None
         for _ in range(3):
             t0 = time.perf_counter()
@@ -306,12 +322,50 @@ def main() -> None:
         "to SCALE.md's main table (incremental mode for newly added "
         "ops; the full rewrite re-measures everything)",
     )
+    ap.add_argument(
+        "--only-emb",
+        nargs="+",
+        help="probe just these embeddings-family queries (×emb-mult "
+        "volume) and APPEND their rows to SCALE.md's embeddings table",
+    )
     args = ap.parse_args()
 
     import tempfile
 
     spark = get_spark("scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.only_emb:
+        m = args.emb_mult
+        emb_dir = f"{tempfile.gettempdir()}/j2h_scale_emb_{m}x"
+        build_scaled_embeddings(spark, args.sf, m, emb_dir)
+        run_emb_suite(spark, args.sf, args.only_emb)  # warm
+        ebase = run_emb_suite(spark, args.sf, args.only_emb)
+        escaled = run_emb_suite(spark, emb_dir, args.only_emb)
+        rows = [
+            "",
+            f"## Incremental embeddings probe (×{m} volume)",
+            "",
+            f"| query | base s | ×{m} s | ratio |",
+            "| --- | --- | --- | --- |",
+        ]
+        for name in args.only_emb:
+            r = (
+                round(escaled[name] / ebase[name], 1)
+                if ebase[name] > 0
+                else float("nan")
+            )
+            rows.append(
+                f"| {name} | {ebase[name]:.2f} | {escaled[name]:.2f} | ×{r} |"
+            )
+        # append a self-contained table at the end (SCALE.md accretes
+        # round sections chronologically)
+        text = (REPO / "SCALE.md").read_text()
+        (REPO / "SCALE.md").write_text(
+            text.rstrip("\n") + "\n" + "\n".join(rows) + "\n"
+        )
+        print("\n".join(rows))
+        return
 
     big_dir = f"{tempfile.gettempdir()}/j2h_scale_{args.mult}x"
     build_scaled(spark, args.sf, args.mult, big_dir)
