@@ -1611,3 +1611,66 @@ def j140_dup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_quality"),
         )
     )
+
+
+# ---------------------------------------------------------------- j156
+
+KANON_K = 5  # groups smaller than this are re-identification risks
+KANON_BUCKET = 100  # n_chars quasi-identifier bucket width
+
+
+@query(
+    "j156_k_anonymity",
+    oracle=f"""
+    WITH qi AS (
+      SELECT source, lang, n_chars // {KANON_BUCKET} AS bucket,
+             COUNT(*) AS sz
+      FROM documents GROUP BY source, lang, n_chars // {KANON_BUCKET}
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(sz) AS BIGINT) AS k_anonymity,
+           CAST(SUM(CASE WHEN sz < {KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_small_groups,
+           CAST(SUM(CASE WHEN sz < {KANON_K} THEN sz ELSE 0 END) AS BIGINT)
+             AS n_docs_at_risk
+    FROM qi GROUP BY source
+    """,
+)
+def j156_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY audit (round 12, Sweeney 2002) — the privacy-family
+    rung between j22's per-document PII detection and j74's
+    differentially-private release: treat (lang, source,
+    length-bucket) as the quasi-identifier tuple a release would
+    expose, and measure how small the smallest equivalence class per
+    source is. A source whose k_anonymity is 1 publishes documents
+    that are UNIQUE under the quasi-identifiers — joinable back to an
+    individual record by anyone holding an auxiliary table; the
+    {KANON_K}-threshold columns count the risky classes and the docs
+    inside them (the rows a suppression/generalization pass would
+    have to touch before release).
+
+    Exactness: pure integer group-bys. Plan: ONE scan into a
+    (source, lang, bucket) hash agg (map-side combinable), then a
+    source-keyed re-agg over the group table — group count ≤
+    |sources|·|langs|·|buckets|, constants at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    qi = (
+        widen(docs)
+        .groupBy(
+            "source",
+            "lang",
+            F.expr(f"n_chars div {KANON_BUCKET}").alias("bucket"),
+        )
+        .agg(F.count("*").alias("sz"))
+    )
+    return qi.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.min("sz").cast("bigint").alias("k_anonymity"),
+        F.sum(F.when(F.col("sz") < KANON_K, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_small_groups"),
+        F.sum(F.when(F.col("sz") < KANON_K, F.col("sz")).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_at_risk"),
+    )

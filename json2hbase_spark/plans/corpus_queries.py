@@ -4004,3 +4004,163 @@ def j153_incremental_exsub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks_new = toks.filter(F.col("doc_id") % 2 == 1)
     return _exsub_cut(toks_new, hitc.unionByName(mmark))
+
+
+# ---------------------------------------------------------------- j155
+
+NDCG_CUTS = (1, 3, 5, 10)
+NDCG_REL_BIN = 2  # binary relevance (MRR / P@k) = >= 2 distinct terms
+# exact graded gains 2^rel - 1 for rel = 0..|terms| (literal lookup, no
+# float pow): rel = number of distinct query terms the doc contains
+_NDCG_GAINS = [2**r - 1 for r in range(len(BM25_TERMS) + 1)]
+
+
+def _duck_ndcg_oracle() -> str:
+    gains = ", ".join(str(g) for g in _NDCG_GAINS)
+    cuts = ", ".join(str(k) for k in NDCG_CUTS)
+    return f"""
+    WITH {_duck_bm25_ctes()},
+    ranked AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS pos
+      FROM (SELECT * FROM sparse ORDER BY score DESC, doc_id LIMIT {BM25_TOPK})
+    ),
+    rel AS (SELECT doc_id, COUNT(DISTINCT t) AS rel FROM tf GROUP BY doc_id),
+    rr AS (
+      SELECT r.pos, COALESCE(rel.rel, 0) AS rel
+      FROM ranked r LEFT JOIN rel ON rel.doc_id = r.doc_id
+    ),
+    ideal AS (
+      SELECT row_number() OVER (ORDER BY rel DESC, doc_id) AS pos, rel
+      FROM (SELECT * FROM rel ORDER BY rel DESC, doc_id LIMIT {BM25_TOPK})
+    ),
+    ks AS (SELECT unnest([{cuts}]) AS k),
+    dcg AS (
+      SELECT k,
+             CAST(SUM(CASE WHEN rr.pos <= k THEN
+               CAST(round(([{gains}])[rel + 1] / log2(rr.pos + 1.0), 6)
+                    AS DECIMAL(18,6))
+               ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS dcg,
+             CASE WHEN MIN(CASE WHEN rr.rel >= {NDCG_REL_BIN}
+                                 AND rr.pos <= k THEN rr.pos END) IS NULL
+                  THEN 0.0
+                  ELSE round(1.0 / MIN(CASE WHEN rr.rel >= {NDCG_REL_BIN}
+                                    AND rr.pos <= k THEN rr.pos END), 6)
+             END AS mrr,
+             CAST(SUM(CASE WHEN rr.rel >= {NDCG_REL_BIN} AND rr.pos <= k
+                           THEN 1 ELSE 0 END) AS DOUBLE) / k AS p_at_k
+      FROM ks, rr GROUP BY k
+    ),
+    idcg AS (
+      SELECT k,
+             CAST(SUM(CASE WHEN i.pos <= k THEN
+               CAST(round(([{gains}])[rel + 1] / log2(i.pos + 1.0), 6)
+                    AS DECIMAL(18,6))
+               ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS idcg
+      FROM ks, ideal i GROUP BY k
+    )
+    SELECT CAST(d.k AS BIGINT) AS k, d.dcg, i.idcg,
+           d.dcg / i.idcg AS ndcg, d.mrr, d.p_at_k
+    FROM dcg d JOIN idcg i USING (k)
+    """
+
+
+@query("j155_retrieval_ndcg", oracle=_duck_ndcg_oracle())
+def j155_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANKING-quality metrics for the BM25 searcher (round 12,
+    Järvelin & Kekäläinen 2002's nDCG + classic MRR/P@k) — the eval
+    harness j60's search and j73's fusion were missing: j33/j38/j130
+    audit RECALL of approximate retrieval against an exact scan; this
+    audits the RANKING itself against graded relevance. Relevance is
+    deterministic from the corpus (rel(doc) = distinct query terms it
+    contains, 0..{len(BM25_TERMS)}; binary relevance for MRR/P@k =
+    ≥{NDCG_REL_BIN}); per cutoff k ∈ {NDCG_CUTS}: DCG@k with gains
+    2^rel−1, the ideal DCG from the relevance-sorted corpus, their
+    ratio (nDCG), the reciprocal best rank of a binary-relevant doc,
+    and binary precision@k.
+
+    Exactness: gains are literal integers (no float pow); each DCG
+    term rounds once at 6dp and sums as DECIMAL(18,6) (j60's
+    convention — order-free); nDCG is ONE IEEE division; MRR is one
+    rounded reciprocal of an integer rank; P@k one exact int/int
+    division. Plan: j60's scan + score (top-{BM25_TOPK} via
+    TakeOrdered, never a global sort), relevance = a second term-
+    filtered scan into a tiny agg (ideal ranking is another
+    TakeOrdered over it); the metric math runs on ≤ {BM25_TOPK}×
+    {len(NDCG_CUTS)} rows — constants at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    toks = widen(docs).select(
+        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("t")
+    )
+    w_rank = Window.orderBy(F.desc("score"), "doc_id")
+    ranked = (
+        bm25_scores(toks)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(BM25_TOPK)
+        .select("doc_id", F.row_number().over(w_rank).alias("pos"))
+    )
+    toks2 = widen(docs).select(
+        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("t")
+    )
+    rel = (
+        toks2.filter(F.col("t").isin(*BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("t").cast("int").alias("rel"))
+    )
+    rr = ranked.join(F.broadcast(rel), "doc_id", "left").select(
+        "pos", F.coalesce("rel", F.lit(0)).alias("rel")
+    )
+    w_ideal = Window.orderBy(F.desc("rel"), "doc_id")
+    ideal = (
+        rel.orderBy(F.desc("rel"), "doc_id")
+        .limit(BM25_TOPK)
+        .select(F.row_number().over(w_ideal).alias("pos"), "rel")
+    )
+    ks = spark.createDataFrame([(k,) for k in NDCG_CUTS], "k int")
+    gains = f"array({', '.join(str(g) for g in _NDCG_GAINS)})"
+    gain_term = (
+        f"CAST(round(element_at({gains}, rel + 1) / log2(pos + 1.0), 6)"
+        f" AS DECIMAL(18,6))"
+    )
+    dcg = (
+        ks.crossJoin(rr)
+        .groupBy("k")
+        .agg(
+            F.expr(
+                f"CAST(SUM(CASE WHEN pos <= k THEN {gain_term}"
+                f" ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)"
+            ).alias("dcg"),
+            F.expr(
+                f"CASE WHEN MIN(CASE WHEN rel >= {NDCG_REL_BIN} AND pos <= k"
+                f" THEN pos END) IS NULL THEN 0.0D"
+                f" ELSE round(1.0D / MIN(CASE WHEN rel >= {NDCG_REL_BIN}"
+                f" AND pos <= k THEN pos END), 6) END"
+            ).alias("mrr"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN rel >= {NDCG_REL_BIN} AND pos <= k"
+                f" THEN 1 ELSE 0 END) AS DOUBLE) / k"
+            ).alias("p_at_k"),
+        )
+    )
+    idcg = (
+        ks.crossJoin(ideal)
+        .groupBy("k")
+        .agg(
+            F.expr(
+                f"CAST(SUM(CASE WHEN pos <= k THEN {gain_term}"
+                f" ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)"
+            ).alias("idcg")
+        )
+    )
+    # both sides are |cuts|-row aggregates; broadcast explicitly — the
+    # static plan can't size the crossJoin-backed agg and falls to SMJ
+    return (
+        dcg.join(F.broadcast(idcg), "k")
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            "dcg",
+            "idcg",
+            (F.col("dcg") / F.col("idcg")).alias("ndcg"),
+            "mrr",
+            "p_at_k",
+        )
+    )

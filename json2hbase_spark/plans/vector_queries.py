@@ -1960,3 +1960,87 @@ def j147_subspace_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         dom.alias("dom_component"),
         F.floor(esum * 1000000).cast("bigint").alias("energy4_q"),
     )
+
+
+# ---------------------------------------------------------------- j157
+
+MRL_PREFIXES = (8, 16, 32, 64)  # nested representation sizes audited
+MRL_SELF_NUM, MRL_SELF_DEN = 9, 10  # "self-contained" = >= 90% energy
+
+
+@query(
+    "j157_matryoshka_energy",
+    oracle=f"""
+    WITH qt AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {COV_SCALE}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    ss AS (
+      SELECT vec_id, label, p.p,
+             CAST(list_sum(list_transform(range(1, p.p + 1),
+                  i -> q[i] * q[i])) AS BIGINT) AS pss,
+             CAST(list_sum(list_transform(range(1, 65),
+                  i -> q[i] * q[i])) AS BIGINT) AS tss
+      FROM qt, (SELECT unnest([{", ".join(str(p) for p in MRL_PREFIXES)}]) AS p) p
+    )
+    SELECT label, p,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(pss) AS DOUBLE) / CAST(SUM(tss) AS DOUBLE) AS energy_frac,
+           CAST(SUM(CASE WHEN {MRL_SELF_DEN} * pss >= {MRL_SELF_NUM} * tss
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_selfcontained
+    FROM ss GROUP BY label, p
+    """,
+)
+def j157_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA prefix-dimension energy audit (round 12, Kusupati
+    et al. 2022) — the question a vector store asks before shipping
+    truncated embeddings: how much of each vector's energy lives in
+    its first {MRL_PREFIXES} dimensions? MRL-trained encoders front-
+    load information so a 64-dim vector can serve 8/16/32-dim callers
+    by truncation; a NON-front-loaded embedding (this fixture's — PCA
+    j127/j145 exists precisely to rotate it) truncates badly, and
+    this table is the evidence. Per (label, prefix): vectors, the
+    corpus energy fraction inside the prefix (ONE IEEE division of
+    two exact int64 sums), and how many vectors are individually
+    ≥{MRL_SELF_NUM * 10}% self-contained at that prefix (integer
+    cross-multiplication, no division).
+
+    Exactness: j97's fixed-point quantizer (floor ×{COV_SCALE}),
+    order-free BIGINT sums, one final division. Plan: ONE scan,
+    per-row HOF folds (prefix sums ride the same q array, never
+    re-read), a (label, p)-keyed hash agg over a ×{len(MRL_PREFIXES)}
+    literal fan-out — map-side combinable, scan-shaped at 100 TB."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * COV_SCALE).cast("long")
+    )
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    qt = widen(emb).select("vec_id", "label", q.alias("q"))
+    ps = spark.createDataFrame([(p,) for p in MRL_PREFIXES], "p int")
+    ss = qt.crossJoin(F.broadcast(ps)).select(
+        "label",
+        "p",
+        fold(
+            F.transform(
+                F.slice("q", 1, F.col("p")), lambda x: x * x
+            )
+        ).alias("pss"),
+        fold(F.transform("q", lambda x: x * x)).alias("tss"),
+    )
+    return ss.groupBy("label", "p").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        (
+            F.sum("pss").cast("double") / F.sum("tss").cast("double")
+        ).alias("energy_frac"),
+        F.sum(
+            F.when(
+                MRL_SELF_DEN * F.col("pss") >= MRL_SELF_NUM * F.col("tss"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_selfcontained"),
+    )

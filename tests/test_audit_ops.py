@@ -788,3 +788,42 @@ def test_j141_sweep_matches_python_bm25_truth(spark, tmp_path):
         assert r.n_overlap == len(shared), (cfg, r, ranks, base)
         assert r.rank_shift == sum(abs(ranks[i] - base[i]) for i in shared), (cfg, r)
     assert out[0].n_overlap == BM25_TOPK and out[0].rank_shift == 0
+
+
+# ---------------------------------------------------------------- j156
+
+
+def test_j156_k_anonymity_planted(spark, tmp_path):
+    """Planted quasi-identifier classes: source s0 holds one singleton
+    class (k=1) and one size-6 class; s1 holds a single size-5 class
+    (exactly at threshold — not risky)."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.plans.audit_queries import KANON_BUCKET
+
+    registry.load_all_query_modules()
+    rows = []
+    did = 0
+    # s0: 6 docs in (en, bucket 0), 1 doc in (fr, bucket 2) -> k=1
+    for _ in range(6):
+        rows.append((did, "x" * 10, "en", "s0", 10)); did += 1
+    rows.append((did, "y" * 10, "fr", "s0", 2 * KANON_BUCKET + 5)); did += 1
+    # s1: exactly 5 docs in one class -> k=5, nothing at risk
+    for _ in range(5):
+        rows.append((did, "z" * 10, "en", "s1", 50)); did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    fx = str(tmp_path / "kanonfix")
+    df.write.mode("overwrite").parquet(f"{fx}/documents.parquet")
+    out = {
+        r.source: r
+        for r in registry.QUERIES["j156_k_anonymity"](spark, fx).collect()
+    }
+    assert out["s0"].n_groups == 2
+    assert out["s0"].k_anonymity == 1
+    assert out["s0"].n_small_groups == 1
+    assert out["s0"].n_docs_at_risk == 1
+    assert out["s1"].n_groups == 1
+    assert out["s1"].k_anonymity == 5
+    assert out["s1"].n_small_groups == 0
+    assert out["s1"].n_docs_at_risk == 0

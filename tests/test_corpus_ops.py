@@ -1037,3 +1037,67 @@ def test_i40_stream_exsub_gate_planted(spark, tmp_path):
     assert out["s0"].tokens_covered == 60
     assert out["s1"].n_docs == 1 and out["s1"].n_flagged == 0
     assert out["s1"].tokens_covered == 0
+
+
+# ---------------------------------------------------------------- j155
+
+
+def test_j155_ndcg_planted_perfect_ranking(spark, tmp_path):
+    """Three docs with graded relevance 3/2/1 (all/two/one of the
+    query terms, frequencies arranged so BM25 ranks them in relevance
+    order) → the ranking IS the ideal: ndcg = 1.0 at every cutoff,
+    MRR = 1 (rel-3 doc first), and P@k counts the two binary-relevant
+    docs."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.plans.corpus_queries import BM25_TERMS
+
+    registry.load_all_query_modules()
+    t1, t2, t3 = BM25_TERMS
+    texts = {
+        0: " ".join([t1, t2, t3] * 5),          # rel 3
+        1: " ".join([t1, t2] * 3 + ["pad"]),    # rel 2
+        2: " ".join([t1] + ["pad"] * 5),        # rel 1
+        3: "no query terms here at all",
+        4: "still nothing relevant",
+    }
+    df = spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    fx = str(tmp_path / "ndcgfix")
+    df.write.mode("overwrite").parquet(f"{fx}/documents.parquet")
+    out = {
+        r.k: r
+        for r in registry.QUERIES["j155_retrieval_ndcg"](spark, fx).collect()
+    }
+    assert sorted(out) == [1, 3, 5, 10]
+    for k, r in out.items():
+        assert r.ndcg == 1.0, (k, r)  # ranking == ideal exactly
+        assert r.dcg == r.idcg
+        assert r.mrr == 1.0  # rel-3 doc at position 1
+    assert out[1].p_at_k == 1.0
+    assert out[3].p_at_k == 2 / 3  # two binary-relevant docs in top 3
+    assert out[10].p_at_k == 0.2
+
+
+def test_j155_ndcg_invariants_on_fixture(spark):
+    """On the standard fixture: dcg ≤ idcg (ndcg ≤ 1), metrics
+    monotone where the definition demands it (dcg/idcg non-decreasing
+    in k), and all values in range."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    rows = sorted(
+        registry.QUERIES["j155_retrieval_ndcg"](
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r.k,
+    )
+    assert [r.k for r in rows] == [1, 3, 5, 10]
+    for a, b in zip(rows, rows[1:]):
+        assert a.dcg <= b.dcg + 1e-12
+        assert a.idcg <= b.idcg + 1e-12
+    for r in rows:
+        assert 0.0 < r.ndcg <= 1.0 + 1e-12
+        assert 0.0 <= r.mrr <= 1.0
+        assert 0.0 <= r.p_at_k <= 1.0

@@ -381,3 +381,34 @@ def test_gs_basis_memo_bit_equals_recompute(spark):
 
     key = (spark.sparkContext.applicationId, os.path.realpath(SF))
     assert _GS_BASIS_CACHE[key] == fresh
+
+
+def test_j157_matryoshka_energy_planted(spark, tmp_path):
+    """Planted nesting: label 0 vectors live entirely in dims 1-8
+    (energy_frac 1.0 and self-contained at every prefix); label 1
+    vectors are uniform across 64 dims (energy_frac = p/64, self-
+    contained only at p=64)."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    front = [1.0] * 8 + [0.0] * 56
+    flat = [1.0] * 64
+    rows = [(i, front, 0) for i in range(3)] + [(10 + i, flat, 1) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    fx = str(tmp_path / "mrlfix")
+    df.write.mode("overwrite").parquet(f"{fx}/embeddings.parquet")
+    out = {
+        (r.label, r.p): r
+        for r in registry.QUERIES["j157_matryoshka_energy"](spark, fx).collect()
+    }
+    for p in (8, 16, 32, 64):
+        r0 = out[(0, p)]
+        assert r0.n_vecs == 3
+        assert r0.energy_frac == 1.0
+        assert r0.n_selfcontained == 3
+        r1 = out[(1, p)]
+        assert r1.n_vecs == 4
+        assert abs(r1.energy_frac - p / 64) < 1e-12
+        assert r1.n_selfcontained == (4 if p == 64 else 0)

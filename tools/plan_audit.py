@@ -122,6 +122,10 @@ AUDIT = {
     "j139_whiten_pq_recall": "covariance pass + one materialized residual scan, then two j129-shaped trainings and two j130-shaped recall harnesses (LUT broadcasts, bounded-query exact sides, candidate-bounded top-k windows)",
     "j140_dup_quality_interaction": "j48's banded pipeline yields the dup id set, broadcast-tagged onto one quality-projection scan; ≤7-row rollup; decimal(18,4) order-free quality sums",
     "j141_bm25_param_sweep": "term-filtered explode + config-independent dl/avgdl/idf + a 4-row broadcast grid riding one scan; per-config rank window pre-reduced by partial WindowGroupLimit; compare joins 4×10 rows",
+    "j152_exact_substring_dedup": "50-gram fingerprints: gram strings hash map-side (xxhash64 before any Exchange — only 8-byte keys + positions shuffle), ONE (key, doc) pre-agg, canonical-min + count as windows over the key, surgery is a per-doc HOF filter — no pairwise stage, no corpus sort",
+    "j153_incremental_exsub": "index probes are LEFT SEMI + LEFT ANTI equi joins on the hashed key; the window machinery runs on the batch MISS slice only (the corpus side is index-shaped, never windowed)",
+    "i40_stream_exsub_gate": "static gram index materialized once and broadcast into the stream-static equi join; arriving side scan-shaped per micro-batch; sink state = gram hits + a |sources|-row complete tally",
+    "j155_retrieval_ndcg": "j60's term-filtered scan + TakeOrdered top-k, second term-filtered relevance scan, metric math on ≤40 rows with the idcg side broadcast-pinned",
 }
 
 MARKERS = (

@@ -188,6 +188,15 @@ PROBES = [
     # volume was the unmeasured leg VERDICT r11 #6 flagged).
     "j152_exact_substring_dedup",
     "i31_stream_packing_monitor",
+    # j153 probes the index semi/anti probe + batch-slice window; i40
+    # the stream-static gate (both j152's shuffle class); j155 rides
+    # j60's term-filtered scans (flat — the filter leaves a constant
+    # row set); j156 is one bounded hash agg; j154 rides j149.
+    "j153_incremental_exsub",
+    "i40_stream_exsub_gate",
+    "j154_repeat_discount_budget",
+    "j155_retrieval_ndcg",
+    "j156_k_anonymity",
 ]
 
 
@@ -261,8 +270,9 @@ EMB_PROBES = [
     "j147_subspace_energy",
     # round-12: i32 streams embeddings into k-center coreset state
     # (bounded |coreset| rows; the unmeasured complete-mode restart
-    # leg, VERDICT r11 #6).
+    # leg, VERDICT r11 #6); j157 is one scan of per-row prefix folds.
     "i32_stream_coreset_monitor",
+    "j157_matryoshka_energy",
 ]
 
 
