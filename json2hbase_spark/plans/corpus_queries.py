@@ -4164,3 +4164,204 @@ def j155_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_at_k",
         )
     )
+
+
+# ---------------------------------------------------------------- j158
+
+PRF_FB_DOCS = 5   # pseudo-relevant docs taken from the base ranking
+PRF_FB_TERMS = 3  # expansion terms added to the query
+
+
+def _duck_prf_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+    WITH {_duck_bm25_ctes()},
+    base AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS pos_base
+      FROM (SELECT * FROM sparse ORDER BY score DESC, doc_id LIMIT {BM25_TOPK})
+    ),
+    fb AS (SELECT doc_id FROM base WHERE pos_base <= {PRF_FB_DOCS}),
+    cand AS (
+      SELECT t, COUNT(*) AS tf_fb FROM toks JOIN fb USING (doc_id)
+      WHERE t NOT IN ({terms}) GROUP BY t
+    ),
+    cdf AS (
+      SELECT toks.t, COUNT(DISTINCT toks.doc_id) AS df
+      FROM toks JOIN (SELECT t FROM cand) c ON c.t = toks.t
+      GROUP BY toks.t
+    ),
+    wts AS (
+      SELECT c.t,
+             c.tf_fb * CAST(floor(ln(1.0 + (s.n_docs - d.df + 0.5)
+                                       / (d.df + 0.5)) * 1000000)
+                            AS BIGINT) AS w
+      FROM cand c JOIN cdf d USING (t), stats s
+    ),
+    expt AS (SELECT t FROM wts ORDER BY w DESC, t LIMIT {PRF_FB_TERMS}),
+    qterms AS (SELECT unnest([{terms}]) AS t UNION SELECT t FROM expt),
+    tf2 AS (
+      SELECT doc_id, t, COUNT(*) AS tf FROM toks
+      WHERE t IN (SELECT t FROM qterms) GROUP BY doc_id, t
+    ),
+    idf2 AS (
+      SELECT t, ln(1.0 + (s.n_docs - df + 0.5) / (df + 0.5)) AS idf
+      FROM (SELECT t, COUNT(DISTINCT doc_id) AS df FROM tf2 GROUP BY t), stats s
+    ),
+    contrib2 AS (
+      SELECT tf2.doc_id,
+             round(idf2.idf * (tf2.tf * ({BM25_K1} + 1.0))
+                   / (tf2.tf + {BM25_K1} * (1.0 - {BM25_B}
+                      + {BM25_B} * (CAST(dl.len AS DOUBLE) / s.avgdl))), 6)
+               AS c
+      FROM tf2
+      JOIN dl ON dl.doc_id = tf2.doc_id
+      JOIN idf2 ON idf2.t = tf2.t, stats s
+    ),
+    sparse2 AS (
+      SELECT doc_id, CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) AS score
+      FROM contrib2 GROUP BY doc_id
+    ),
+    expd AS (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS pos_exp
+      FROM (SELECT * FROM sparse2 ORDER BY score DESC, doc_id LIMIT {BM25_TOPK})
+    )
+    SELECT e.doc_id,
+           CAST(e.pos_exp AS BIGINT) AS pos_exp,
+           e.score AS score_exp,
+           CAST(b.pos_base AS BIGINT) AS pos_base
+    FROM expd e LEFT JOIN base b ON b.doc_id = e.doc_id
+    """
+
+
+@query("j158_prf_expansion", oracle=_duck_prf_oracle())
+def j158_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSEUDO-RELEVANCE-FEEDBACK query expansion (round 12, Rocchio
+    1971 / classic PRF) — the retrieval-family loop-closer: take
+    j60's base BM25 ranking, assume the top {PRF_FB_DOCS} docs are
+    relevant, mine them for the {PRF_FB_TERMS} strongest expansion
+    terms (Rocchio weight = feedback term frequency × quantized
+    corpus idf — the centroid-of-relevant-docs direction, in exact
+    integers: tf_fb · ⌊ln-idf·10⁶⌋, ties to the lexicographically
+    first term), append them to the query, and RE-RANK the corpus
+    under the expanded query with the identical BM25 discipline. The
+    output is the expanded top-{BM25_TOPK} with each doc's base rank
+    attached (NULL = surfaced only through expansion — the recall
+    PRF exists to buy; j155 prices the trade on the ranking side).
+
+    Exactness: expansion selection is pure-integer (quantized idf
+    weights, deterministic ties); the re-scoring reuses j60's
+    6dp-round + DECIMAL(18,6) order-free sum convention; rank
+    windows follow j73's LIMIT→row_number shape. Plan: the base
+    chain is j60's (term-filtered scans, TakeOrdered top-k); the
+    feedback mine is ONE corpus-scan join against a {PRF_FB_DOCS}-row
+    broadcast + a candidate-bounded df agg; the re-rank joins the
+    corpus explode against a ≤{len(BM25_TERMS) + PRF_FB_TERMS}-row
+    broadcast term table instead of a literal IN — same shuffle
+    class, data-driven query. At 100 TB: three term-filtered scans,
+    no pair stage, every small side broadcast."""
+    docs = load(spark, sf_dir, "documents")
+    toks = widen(docs).select(
+        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("t")
+    )
+    toks = materialize(toks)
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("len"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("len").cast("double") / F.count("*")).alias("avgdl"),
+    )
+
+    def rank_topk(scores, pos_name):
+        w = Window.orderBy(F.desc("score"), "doc_id")
+        return (
+            scores.orderBy(F.desc("score"), "doc_id")
+            .limit(BM25_TOPK)
+            .select(
+                "doc_id", "score", F.row_number().over(w).alias(pos_name)
+            )
+        )
+
+    def score_terms(term_df):
+        """j60's scoring with the query as DATA (broadcast join
+        instead of a literal IN) — same rounding discipline."""
+        tf = toks.join(F.broadcast(term_df), "t").groupBy("doc_id", "t").agg(
+            F.count("*").alias("tf")
+        )
+        df_tbl = tf.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+        idf = df_tbl.crossJoin(F.broadcast(stats)).select(
+            "t",
+            F.log(
+                1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+        contrib = (
+            tf.join(dl, "doc_id")
+            .join(F.broadcast(idf), "t")
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "doc_id",
+                F.round(
+                    F.col("idf")
+                    * (F.col("tf") * (BM25_K1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + BM25_K1
+                        * (
+                            1.0
+                            - BM25_B
+                            + BM25_B
+                            * (F.col("len").cast("double") / F.col("avgdl"))
+                        )
+                    ),
+                    6,
+                ).alias("c"),
+            )
+        )
+        return contrib.groupBy("doc_id").agg(
+            F.sum(F.col("c").cast("decimal(18,6)")).cast("double").alias("score")
+        )
+
+    base_terms = spark.createDataFrame([(t,) for t in BM25_TERMS], "t string")
+    base = rank_topk(score_terms(base_terms), "pos_base")
+    fb = base.filter(F.col("pos_base") <= PRF_FB_DOCS).select("doc_id")
+    cand = (
+        toks.join(F.broadcast(fb), "doc_id")
+        .filter(~F.col("t").isin(*BM25_TERMS))
+        .groupBy("t")
+        .agg(F.count("*").alias("tf_fb"))
+    )
+    cdf = (
+        toks.join(F.broadcast(cand.select("t")), "t")
+        .groupBy("t")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    wts = (
+        cand.join(cdf, "t")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "t",
+            (
+                F.col("tf_fb")
+                * F.floor(
+                    F.log(
+                        1.0
+                        + (F.col("n_docs") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5)
+                    )
+                    * 1000000
+                ).cast("bigint")
+            ).alias("w"),
+        )
+    )
+    expt = wts.orderBy(F.desc("w"), "t").limit(PRF_FB_TERMS).select("t")
+    qterms = base_terms.unionByName(expt).distinct()
+    expd = rank_topk(score_terms(qterms), "pos_exp")
+    return (
+        expd.join(F.broadcast(base.select("doc_id", "pos_base")), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("pos_exp").cast("bigint").alias("pos_exp"),
+            F.col("score").alias("score_exp"),
+            F.col("pos_base").cast("bigint").alias("pos_base"),
+        )
+    )

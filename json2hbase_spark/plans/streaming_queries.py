@@ -3025,3 +3025,62 @@ def i40_stream_exsub_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_covered",
         )
     )
+
+
+# ---------------------------------------------------------------- i41
+
+
+def _i41_oracle() -> str:
+    # importing the module registers j156 and its oracle (no cycle:
+    # audit_queries never imports streaming_queries)
+    import json2hbase_spark.plans.audit_queries  # noqa: F401
+    from json2hbase_spark.registry import ORACLES
+
+    return ORACLES["j156_k_anonymity"]
+
+
+@query("i41_stream_k_anonymity", oracle=_i41_oracle())
+def i41_stream_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING k-anonymity monitor — j156 watched live (round 12;
+    the privacy twin of i38's mixture re-planner): every arriving
+    document lands in its (lang, source, length-bucket)
+    quasi-identifier class, class sizes accumulate in complete mode,
+    and the per-source k-anonymity report is re-derived from the
+    bounded class tally at every read. The ingest-time floor a
+    release pipeline watches: a NEW quasi-identifier class appears
+    with size 1 the moment its first document arrives, so the
+    monitor flags the k=1 exposure DURING the crawl instead of at
+    release review. Final ≡ j156's batch audit (same oracle — the
+    stream≡batch contract).
+
+    Plan: stateless per-row bucket derivation into ONE
+    (source, lang, bucket)-keyed complete state (≤ |sources|·|langs|·
+    |buckets| rows at any stream length — corpus-independent); the
+    per-source re-agg runs on the tally at read time. Scan-bound per
+    batch."""
+    from json2hbase_spark.io import load_table_stream
+    from json2hbase_spark.plans.audit_queries import KANON_BUCKET, KANON_K
+
+    stream = load_table_stream(spark, sf_dir, "documents")
+    tally = (
+        stream.select(
+            "source",
+            "lang",
+            F.expr(f"n_chars div {KANON_BUCKET}").alias("bucket"),
+        )
+        .groupBy("source", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    with scoped_stream_confs(spark):
+        _run_to_memory(tally, "i41_mem", "complete")
+    qi = spark.table("i41_mem")
+    return qi.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.min("sz").cast("bigint").alias("k_anonymity"),
+        F.sum(F.when(F.col("sz") < KANON_K, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_small_groups"),
+        F.sum(F.when(F.col("sz") < KANON_K, F.col("sz")).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_at_risk"),
+    )

@@ -827,3 +827,21 @@ def test_j156_k_anonymity_planted(spark, tmp_path):
     assert out["s1"].k_anonymity == 5
     assert out["s1"].n_small_groups == 0
     assert out["s1"].n_docs_at_risk == 0
+
+
+def test_i41_stream_equals_batch_k_anonymity(spark):
+    """Stream≡batch contract: i41's complete-mode tally re-derives
+    exactly j156's per-source report."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.source: (r.n_groups, r.k_anonymity, r.n_small_groups, r.n_docs_at_risk)
+        for r in registry.QUERIES["i41_stream_k_anonymity"](spark, sf).collect()
+    }
+    want = {
+        r.source: (r.n_groups, r.k_anonymity, r.n_small_groups, r.n_docs_at_risk)
+        for r in registry.QUERIES["j156_k_anonymity"](spark, sf).collect()
+    }
+    assert got == want

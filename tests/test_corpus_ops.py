@@ -1101,3 +1101,41 @@ def test_j155_ndcg_invariants_on_fixture(spark):
         assert 0.0 < r.ndcg <= 1.0 + 1e-12
         assert 0.0 <= r.mrr <= 1.0
         assert 0.0 <= r.p_at_k <= 1.0
+
+
+# ---------------------------------------------------------------- j158
+
+
+def test_j158_prf_surfaces_expansion_only_doc(spark, tmp_path):
+    """Planted PRF: feedback docs carry the query terms plus
+    'shuffle'; a doc containing ONLY 'shuffle' is invisible to the
+    base query and must surface in the expanded ranking with
+    pos_base NULL, while the feedback docs keep base ranks 1-5."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.plans.corpus_queries import BM25_TERMS
+
+    registry.load_all_query_modules()
+    t1, t2, t3 = BM25_TERMS
+    texts = {}
+    for i in range(5):  # feedback docs: all terms + the expansion term
+        texts[i] = " ".join([t1, t2, t3] * (5 - i) + ["shuffle"] * 5)
+    texts[10] = " ".join(["shuffle"] * 20)  # expansion-only doc
+    for i in range(20, 40):  # noise
+        texts[i] = " ".join(f"w{i}_{k}" for k in range(30))
+    df = spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    fx = str(tmp_path / "prffix")
+    df.write.mode("overwrite").parquet(f"{fx}/documents.parquet")
+    out = {
+        r.doc_id: r
+        for r in registry.QUERIES["j158_prf_expansion"](spark, fx).collect()
+    }
+    assert 10 in out, "expansion-only doc missing from expanded ranking"
+    assert out[10].pos_base is None
+    for i in range(5):
+        assert out[i].pos_base == i + 1  # feedback docs keep base order
+    # expanded ranking is a valid permutation prefix
+    poss = sorted(r.pos_exp for r in out.values())
+    assert poss == list(range(1, len(out) + 1))

@@ -197,6 +197,11 @@ PROBES = [
     "j154_repeat_discount_budget",
     "j155_retrieval_ndcg",
     "j156_k_anonymity",
+    # i41 = one stateless bucket map into bounded complete state;
+    # j158 = three term-filtered scans (a lost term filter or a
+    # non-broadcast term join blows the ratio).
+    "i41_stream_k_anonymity",
+    "j158_prf_expansion",
 ]
 
 
