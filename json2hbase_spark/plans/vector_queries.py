@@ -1987,7 +1987,9 @@ MRL_SELF_NUM, MRL_SELF_DEN = 9, 10  # "self-contained" = >= 90% energy
     )
     SELECT label, p,
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
-           CAST(SUM(pss) AS DOUBLE) / CAST(SUM(tss) AS DOUBLE) AS energy_frac,
+           CASE WHEN SUM(tss) = 0 THEN NULL
+                ELSE CAST(SUM(pss) AS DOUBLE) / CAST(SUM(tss) AS DOUBLE)
+           END AS energy_frac,
            CAST(SUM(CASE WHEN {MRL_SELF_DEN} * pss >= {MRL_SELF_NUM} * tss
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_selfcontained
     FROM ss GROUP BY label, p
@@ -2033,9 +2035,12 @@ def j157_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ss.groupBy("label", "p").agg(
         F.count("*").cast("bigint").alias("n_vecs"),
-        (
-            F.sum("pss").cast("double") / F.sum("tss").cast("double")
-        ).alias("energy_frac"),
+        # an all-zero label group (unreachable on real embeddings)
+        # would make this 0/0 = NaN in both engines — NULL instead,
+        # mirroring the j136/j137/j149 degenerate-denominator pattern
+        F.when(F.sum("tss") == 0, F.lit(None))
+        .otherwise(F.sum("pss").cast("double") / F.sum("tss").cast("double"))
+        .alias("energy_frac"),
         F.sum(
             F.when(
                 MRL_SELF_DEN * F.col("pss") >= MRL_SELF_NUM * F.col("tss"), 1
