@@ -158,10 +158,15 @@ def main() -> None:
     # the verdict machine-readably — surface it here so no prose
     # adjudication is needed
     for b in payload.get("breaches", []):
+        near = (
+            f", x{b['canary_near_vs_ref']:.1f} in-run"
+            if "canary_near_vs_ref" in b
+            else ""
+        )
         print(
             f"BREACH-ADJUDICATED  {b['name']}: kept {b['t']:.2f}s vs frozen"
             f" {b['frozen']}s (x{b['ratio']:.1f}) — canary {b['canary_t']:.3f}s"
-            f" at settle time (x{b['canary_vs_ref']:.1f} vs frozen ref):"
+            f" at settle time (x{b['canary_vs_ref']:.1f} vs frozen ref{near}):"
             f" {b['verdict']}"
         )
     if canary:
