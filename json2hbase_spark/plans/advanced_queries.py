@@ -365,15 +365,29 @@ def _kmeans_oracle(iters: int = 3) -> str:
 
 
 def kmeans_assign(
-    spark: SparkSession, sf_dir: str, iters: int = 3, k: int = 10
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = 3,
+    k: int = 10,
+    materialize_every: int = 8,
 ) -> DataFrame:
     """Lloyd's k-means assignment plan (k seeded from vec_id 0..k-1,
     deterministic argmin tie-break by cluster id): returns
-    (vec_id, v, cluster) after ``iters`` rounds, with the centroid
-    table materialized per iteration so lineage stays flat. Spark twin
-    of ``kmeans_ctes``'s ``af`` at the oracle-pinned k=10; larger k is
+    (vec_id, v, cluster) after ``iters`` rounds. Spark twin of
+    ``kmeans_ctes``'s ``af`` at the oracle-pinned k=10; larger k is
     the scale dial (operators/scaling.auto_kmeans_k chooses k ∝ n so
-    SemDeDup cells stay bounded). Shared by j21 and j43."""
+    SemDeDup cells stay bounded). Shared by j21 and j43.
+
+    Iterations CHAIN as one lineage (each centroid subtree appears
+    exactly once in the final tree, so total work is identical to a
+    per-iteration barrier) and only materialize every
+    ``materialize_every`` rounds to bound plan depth for deep loops.
+    Round-13 change: the former per-iteration localCheckpoint cost
+    2 extra driver actions per round (checkpoint job + broadcast
+    re-collect of the checkpointed RDD) and left k-row RDD blocks for
+    ContextCleaner to chase — measured 27 driver jobs per j43 run,
+    pure orchestration at any scale. Chained, one action covers the
+    whole loop and the broadcast exchanges pipeline inside it."""
     emb = load(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", F.col("embedding").alias("v"))
 
@@ -415,7 +429,7 @@ def kmeans_assign(
         )
 
     for it in range(iters):
-        centroids = materialize(
+        centroids = (
             assign(centroids)
             .select("cluster", F.posexplode("v").alias("pos", "val"))
             .groupBy("cluster", "pos")
@@ -427,6 +441,8 @@ def kmeans_assign(
                 ).alias("c")
             )
         )
+        if materialize_every and (it + 1) % materialize_every == 0 and it + 1 < iters:
+            centroids = materialize(centroids)
     return assign(centroids)
 
 
@@ -437,11 +453,10 @@ def j21_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     window argmin, the update step is the posexplode/avg centroid agg.
     Deterministic: seeded from vec_id 0..9, ties broken by cluster id.
     At 100 TB each iteration is one broadcast pass + one hash agg over
-    (cluster, dim) — no driver-side math; the centroid table (k rows)
-    is materialized per iteration so every iteration's plan reads the
-    previous centroids flat instead of re-deriving the whole chain
-    (lineage would otherwise grow by one crossJoin+window+agg subtree
-    per iteration and re-execute it all at every step).
+    (cluster, dim) — no driver-side math. Iterations chain as ONE
+    lineage (each centroid subtree occurs once in the tree, so no
+    re-execution — see kmeans_assign); deep loops bound plan depth
+    via ``materialize_every``.
 
     FULLY hash-checked despite being iterative: centroid updates use
     the quantized-integer average (exact.QCENT_AVG) and distances are
