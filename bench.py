@@ -300,7 +300,12 @@ def main() -> None:
         if f is None or t <= 2.0 * f or t <= 1.0:
             continue
         ct = run_canary()
-        canary.append({"pos": pos0.get(name, -1), "t": ct})
+        # settle-time samples are tagged so position-proximity logic
+        # (the in-run `near` window below and bench_compare's
+        # canary_note) never mistakes an adjudication-time burst for
+        # in-run co-occurrence at this query's original position
+        # (ADVICE r12 #2).
+        canary.append({"pos": pos0.get(name, -1), "t": ct, "settle": True})
         ratio = ct / canary_ref if canary_ref > 0 else 0.0
         # BOTH host-state signals go into the record (round-12
         # adjudication finding): the settle-time sample above can read
@@ -313,12 +318,24 @@ def main() -> None:
         near = [
             c["t"]
             for c in canary
-            if c["pos"] >= 0 and abs(c["pos"] - qpos) <= 25
+            if not c.get("settle")
+            and c["pos"] >= 0
+            and abs(c["pos"] - qpos) <= 25
         ]
         near_ratio = (
             max(near) / canary_ref if near and canary_ref > 0 else 0.0
         )
-        if ratio > 1.5:
+        if canary_ref <= 0:
+            # no frozen canary reference (BASELINE.md line missing or
+            # unparsable): ratio/near_ratio are 0.0 by construction,
+            # which must NOT fall through to the clean-host wording —
+            # no host-state adjudication actually happened (ADVICE
+            # r12 #1).
+            verdict = (
+                "no frozen canary reference — unadjudicated; freeze a"
+                " canary floor in BASELINE.md and profile isolated"
+            )
+        elif ratio > 1.5:
             verdict = "host noise suspected (canary inflated at settle time)"
         elif near_ratio > 1.5:
             verdict = (

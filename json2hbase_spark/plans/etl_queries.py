@@ -1295,3 +1295,168 @@ def a25_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("s_name").alias("first_name"),
     )
+
+
+# ---------------------------------------------------------------- a28
+
+_A28_DIGEST_MOD = 1 << 60  # pipeline_queries.DIGEST_MOD (import at call time)
+
+_A28_HV = """('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                             || COALESCE(text, '')), 1, 15))::BIGINT"""
+
+# the three committed source states, as predicates on `documents` —
+# the SAME slice definitions the Spark side writes, so the oracle can
+# reconstruct every snapshot without seeing the commit log:
+#   v1: initial write           doc_id % 3 = 0
+#   v2: append                  + doc_id % 3 = 1
+#   v3: overwrite lang='en'     en slice replaced by its even doc_ids
+_A28_PREDS = {
+    1: "doc_id % 3 = 0",
+    2: "doc_id % 3 <= 1",
+    3: "(doc_id % 3 <= 1 AND lang != 'en')"
+    " OR (lang = 'en' AND doc_id % 3 <= 1 AND doc_id % 2 = 0)",
+}
+
+
+@query(
+    "a28_commit_log",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang, text, {_A28_HV} AS hv FROM documents
+    ),
+    states AS (
+      {" UNION ALL ".join(f"SELECT {v} AS version, lang, hv FROM h WHERE {p}" for v, p in _A28_PREDS.items())}
+    )
+    SELECT CAST(version AS INT) AS version, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(hv AS DECIMAL(38, 0)))
+                % {_A28_DIGEST_MOD} AS BIGINT) AS content_digest,
+           TRUE AS verified
+    FROM states
+    GROUP BY version, lang
+    """,
+)
+def a28_commit_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-table COMMIT LOG + time travel (round 13, VERDICT r12 #5)
+    — the lakehouse primitive a24's manifests were one layer short of:
+    a versioned snapshot log in the Delta/Iceberg mold, built from
+    exactly the pieces already proven (a24's per-partition digest
+    manifest, a21's partition-overwrite semantics), plus an AS-OF
+    reader that replays the log.
+
+    Protocol (the Delta pattern, reduced to its commit kernel):
+    - data files land under ``data/commit=N/lang=.../*.parquet`` —
+      writers never mutate existing files (append-only storage, the
+      property object stores give you);
+    - each commit then appends ``_commit_log/N.json`` with its `add`
+      and `remove` file actions (remove is LOGICAL — the files stay,
+      which is what makes time travel possible) plus the commit's
+      source-state manifest;
+    - a reader at version K replays actions 1..K into an active-file
+      set and reads exactly those files (`basePath` keeps the
+      partition columns). Readers never list the directory — the log
+      IS the table, so a half-written commit (no log entry yet) is
+      invisible: atomicity comes from the log append, not the data
+      write.
+
+    Three commits run here: initial write (doc_id%3=0), append
+    (+doc_id%3=1), and an overwrite of the lang='en' partition that
+    logically removes every active en file and adds the replacement
+    slice (en rows with even doc_id) — the action kind that breaks
+    naive directory readers. Each snapshot 1..3 is then AS-OF read
+    and verified: its per-lang (n_rows, content_digest) manifest must
+    equal the manifest computed from the source state the log claims
+    (a24's verify_manifest). The oracle reconstructs all three states
+    from `documents` via the same slice predicates — every digest is
+    hash-checked, and `verified` proves the replayed file sets lose/
+    duplicate nothing.
+
+    100 TB: the log is N tiny JSON records (driver-side metadata, the
+    same artifact class as Delta's _delta_log); data writes are plain
+    partitioned parquet appends; the AS-OF read prunes to the active
+    file list before any scan. Digest verification costs one
+    aggregation per read — a24's insurance, now per snapshot."""
+    import json as _json
+    import os
+
+    from json2hbase_spark.scratch import scratch_dir as _scratch
+
+    docs = load(spark, sf_dir, "documents")
+    table = _scratch("j2h_a28_table")
+    data_root = os.path.join(table, "data")
+    log_dir = os.path.join(table, "_commit_log")
+    os.makedirs(log_dir, exist_ok=True)
+
+    def _commit_files(commit_dir: str) -> list[str]:
+        out = []
+        for root, _dirs, files in os.walk(commit_dir):
+            for f in files:
+                if f.endswith(".parquet"):
+                    out.append(
+                        os.path.relpath(os.path.join(root, f), data_root)
+                    )
+        return sorted(out)
+
+    def commit(version: int, df: DataFrame, remove: list[str]) -> None:
+        cdir = os.path.join(data_root, f"commit={version}")
+        df.write.partitionBy("lang").mode("overwrite").parquet(cdir)
+        entry = {
+            "version": version,
+            "add": _commit_files(cdir),
+            "remove": sorted(remove),
+        }
+        # log append is the commit point (atomic rename on a real
+        # object store / HDFS; os.replace is the local analogue)
+        tmp = os.path.join(log_dir, f".{version}.json.tmp")
+        with open(tmp, "w") as fh:
+            _json.dump(entry, fh)
+        os.replace(tmp, os.path.join(log_dir, f"{version}.json"))
+
+    def active_files(version: int) -> list[str]:
+        active: set[str] = set()
+        for v in range(1, version + 1):
+            with open(os.path.join(log_dir, f"{v}.json")) as fh:
+                entry = _json.load(fh)
+            active -= set(entry["remove"])
+            active |= set(entry["add"])
+        return sorted(active)
+
+    d = F.col("doc_id")
+    # v1: initial write; v2: append; v3: partition overwrite of en
+    commit(1, docs.filter(d % 3 == 0), remove=[])
+    commit(2, docs.filter(d % 3 == 1), remove=[])
+    en_active = [f for f in active_files(2) if "/lang=en/" in f"/{f}"]
+    commit(
+        3,
+        docs.filter((d % 3 <= 1) & (F.col("lang") == "en") & (d % 2 == 0)),
+        remove=en_active,
+    )
+
+    expected = {
+        1: docs.filter(d % 3 == 0),
+        2: docs.filter(d % 3 <= 1),
+        3: docs.filter(
+            ((d % 3 <= 1) & (F.col("lang") != "en"))
+            | ((F.col("lang") == "en") & (d % 3 <= 1) & (d % 2 == 0))
+        ),
+    }
+    outs = []
+    for version in (1, 2, 3):
+        snap = spark.read.option("basePath", data_root).parquet(
+            *[os.path.join(data_root, f) for f in active_files(version)]
+        )
+        outs.append(
+            verify_manifest(snap, expected[version]).select(
+                F.lit(version).cast("int").alias("version"),
+                "lang",
+                "n_rows",
+                "content_digest",
+                "verified",
+            )
+        )
+    from functools import reduce as _reduce
+
+    out = _reduce(DataFrame.unionByName, outs)
+    # eager materialize so the scratch table can be reclaimed (a24's
+    # lifecycle pattern; scratch root is atexit-removed regardless)
+    return out.localCheckpoint(eager=True)

@@ -1691,8 +1691,21 @@ def j145_pca_orthobasis(spark: SparkSession, sf_dir: str) -> DataFrame:
 # later caller rebuilds the 4×64-row tables as local relations (which
 # broadcast even better than the localCheckpoint-backed originals:
 # AQE can size a LocalTableScan). Keyed by (applicationId, fixture
-# path) so fresh driver sessions and different fixtures never share.
-_GS_BASIS_CACHE: dict[tuple[str, str], list[list[tuple[int, int]]]] = {}
+# path, embeddings-parquet mtime+size) so fresh driver sessions,
+# different fixtures, AND a rewritten fixture at the SAME path (e.g.
+# a regenerated scaled-embeddings dir reused by scale_probe) never
+# share a stale basis (ADVICE r12 #3).
+_GS_BASIS_CACHE: dict[tuple, list[list[tuple[int, int]]]] = {}
+
+
+def _emb_content_marker(sf_dir: str) -> tuple[int, int]:
+    import os as _os
+
+    try:
+        st = _os.stat(_os.path.join(sf_dir, "embeddings.parquet"))
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (0, 0)
 
 
 def _gs_basis(spark: SparkSession, sf_dir: str, refresh: bool = False) -> list:
@@ -1713,7 +1726,12 @@ def _gs_basis(spark: SparkSession, sf_dir: str, refresh: bool = False) -> list:
     category)."""
     import os as _os
 
-    key = (spark.sparkContext.applicationId, _os.path.realpath(sf_dir))
+    real_dir = _os.path.realpath(sf_dir)
+    key = (
+        spark.sparkContext.applicationId,
+        real_dir,
+        _emb_content_marker(real_dir),
+    )
     if not refresh:
         cached = _GS_BASIS_CACHE.get(key)
         if cached is not None:
@@ -1981,7 +1999,11 @@ MRL_SELF_NUM, MRL_SELF_DEN = 9, 10  # "self-contained" = >= 90% energy
       SELECT vec_id, label, p.p,
              CAST(list_sum(list_transform(range(1, p.p + 1),
                   i -> q[i] * q[i])) AS BIGINT) AS pss,
-             CAST(list_sum(list_transform(range(1, 65),
+             -- total-sum range derives from the ACTUAL array length
+             -- (not a hard-coded 64) so a non-64-dim fixture matches
+             -- the Spark side's whole-array fold instead of silently
+             -- diverging (ADVICE r12 #4)
+             CAST(list_sum(list_transform(range(1, len(q) + 1),
                   i -> q[i] * q[i])) AS BIGINT) AS tss
       FROM qt, (SELECT unnest([{", ".join(str(p) for p in MRL_PREFIXES)}]) AS p) p
     )
@@ -2049,3 +2071,442 @@ def j157_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_selfcontained"),
     )
+
+
+# ---------------------------------------------------------------- j159
+
+GRAPH_M = 6  # neighbor-list size per node before symmetrization
+GRAPH_BEAM = 4  # beam width kept per hop
+GRAPH_HOPS = 3  # fixed hop count (unrolled in the oracle)
+GRAPH_K = 3  # recall@k audited vs exact brute force (j38's k)
+GRAPH_NQ = 10  # query set = vec_id < 10 (the j17/j18/j38 convention)
+
+
+def _duck_graph_d(a: str, b: str) -> str:
+    """Exact integer squared-L2 between two quantized BIGINT lists —
+    the walk's comparison metric in BOTH engines. Range derives from
+    the actual array length (the j157 lesson, ADVICE r12 #4)."""
+    return (
+        f"CAST(list_sum(list_transform(range(1, len({a}) + 1),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+    )
+
+
+def _duck_graph_ann_oracle() -> str:
+    d = _duck_graph_d
+    parts = [
+        f"""qt AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {COV_SCALE}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    topm AS (
+      SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {d("a.q", "b.q")}, b.vec_id) AS rn
+        FROM qt a JOIN qt b ON a.label = b.label AND a.vec_id != b.vec_id
+      ) WHERE rn <= {GRAPH_M}
+    ),
+    edges AS (SELECT src, dst FROM topm UNION SELECT dst, src FROM topm),
+    cent_long AS (
+      SELECT label, i.i AS pos,
+             {QCENT_AVG.format(v="embedding[i.i + 1]")} AS cv
+      FROM embeddings, (SELECT unnest(range(64)) AS i) i
+      GROUP BY 1, 2
+    ),
+    cq AS (
+      SELECT label,
+             list(CAST(floor(cv * {COV_SCALE}) AS BIGINT) ORDER BY pos) AS cq
+      FROM cent_long GROUP BY label
+    ),
+    qs AS (SELECT vec_id AS qid, q AS qq FROM qt WHERE vec_id < {GRAPH_NQ}),
+    assigned AS (
+      SELECT qid, qq, label FROM (
+        SELECT qs.qid, qs.qq, cq.label,
+               row_number() OVER (PARTITION BY qs.qid
+                                  ORDER BY {d("qs.qq", "cq.cq")}, cq.label) AS pr
+        FROM qs, cq
+      ) WHERE pr = 1
+    ),
+    cellmin AS (SELECT label, min(vec_id) AS cid FROM qt GROUP BY label),
+    v0 AS (
+      SELECT a.qid, cm.cid, {d("a.qq", "nq.q")} AS dd
+      FROM assigned a
+      JOIN cellmin cm ON cm.label = a.label
+      JOIN qt nq ON nq.vec_id = cm.cid
+    )"""
+    ]
+    prev = "v0"
+    for h in range(1, GRAPH_HOPS + 1):
+        parts.append(
+            f"""f{h} AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid ORDER BY dd, cid) AS rn
+        FROM {prev}
+      ) WHERE rn <= {GRAPH_BEAM}
+    ),
+    c{h} AS (SELECT DISTINCT f.qid, e.dst AS cid
+             FROM f{h} f JOIN edges e ON e.src = f.cid),
+    v{h} AS (
+      SELECT qid, cid, dd FROM {prev}
+      UNION
+      SELECT c.qid, c.cid, {d("qs.qq", "nq.q")} AS dd
+      FROM c{h} c JOIN qs ON qs.qid = c.qid JOIN qt nq ON nq.vec_id = c.cid
+    )"""
+        )
+        prev = f"v{h}"
+    parts.append(
+        f"""res AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid ORDER BY dd, cid) AS rn
+        FROM {prev} WHERE cid != qid
+      ) WHERE rn <= {GRAPH_K}
+    ),
+    ex AS (
+      SELECT qid, cid FROM (
+        SELECT qs.qid, c.vec_id AS cid,
+               row_number() OVER (PARTITION BY qs.qid
+                                  ORDER BY {d("qs.qq", "c.q")}, c.vec_id) AS rn
+        FROM qt c, qs WHERE c.vec_id != qs.qid
+      ) WHERE rn <= {GRAPH_K}
+    ),
+    nv AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_visited
+           FROM {prev} GROUP BY qid)
+    SELECT ex.qid, nv.n_visited,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(res.cid) AS BIGINT) AS n_hit,
+           CAST(COUNT(res.cid) AS DOUBLE) / COUNT(*) AS recall
+    FROM ex
+    LEFT JOIN res ON res.qid = ex.qid AND res.cid = ex.cid
+    JOIN nv ON nv.qid = ex.qid
+    GROUP BY ex.qid, nv.n_visited"""
+    )
+    return "WITH " + ",\n    ".join(parts)
+
+
+@query("j159_graph_ann", oracle=_duck_graph_ann_oracle())
+def j159_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH ANN (round 13, VERDICT r12 #4): the NSW/HNSW family rung
+    (Malkov & Yashunin 2016) the ANN ladder lacked. Single-layer NSW
+    with IVF-cell entry points standing in for the hierarchy's
+    top-layer descent: per-cell M-NN neighbor lists (candidate pairs
+    are CELL-bounded, j43's O(Σ cell²) budget — never all-pairs),
+    symmetrized for connectivity, then a fixed-hop greedy beam search
+    (beam {GRAPH_BEAM}, {GRAPH_HOPS} hops) from the query's
+    nearest-centroid cell's min-id node, recall@{GRAPH_K}-audited
+    against exact brute force the way j33/j38/j130 audit their index
+    families.
+
+    Exactness: every comparison the walk makes is an exact BIGINT
+    squared-L2 over {COV_SCALE}-quantized vectors (j97's fixed-point
+    convention), ties broken by vec_id — so edge lists, entry cells,
+    every hop's beam, and the final recall are bit-identical to the
+    unrolled DuckDB CTE replay. 100 TB: construction = one cell-keyed
+    pair stage + per-src top-M window (the j43 cost class); the edge
+    table is n·M rows bucketed by src (a16's layout), so each search
+    hop is a partition-pruned point lookup joined against a ≤
+    NQ·{GRAPH_BEAM}-row broadcast frontier — the scan never repeats
+    per hop on a cluster. Hops chain as ONE lineage (the kmeans_assign
+    round-13 lesson): each hop's subtree occurs once, no per-hop
+    barrier."""
+    emb = load(spark, sf_dir, "embeddings")
+    qt = emb.select("vec_id", "label", _graph_qcol().alias("q"))
+    dist = _graph_dist
+    # entry assignment for EXTERNAL-query semantics: nearest quantized
+    # cell centroid (the IVF descent standing in for HNSW's top layer)
+    from json2hbase_spark.operators.similarity import ivf_centroids
+
+    cq = ivf_centroids(emb).select(
+        "label",
+        F.transform(
+            "centroid", lambda x: F.floor(x * COV_SCALE).cast("long")
+        ).alias("cq"),
+    )
+    qs = qt.filter(F.col("vec_id") < GRAPH_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qq")
+    )
+    wq = Window.partitionBy("qid").orderBy("dcell", "label")
+    assigned = (
+        qs.crossJoin(F.broadcast(cq))
+        .withColumn("dcell", dist(F.col("qq"), F.col("cq")))
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") == 1)
+        .select("qid", "qq", "label")
+    )
+    return _nsw_recall_audit(qt, qs, assigned)
+
+
+def _graph_qcol():
+    return F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * COV_SCALE).cast("long")
+    )
+
+
+def _graph_dist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def graph_ann_plan(spark: SparkSession, sf_dir: str, k: int | None = None) -> DataFrame:
+    """Deployable graph ANN with the volume-adaptive cell dial (j43's
+    pattern): cells come from k-means with k ∝ n (auto_kmeans_k), so
+    cell sizes stay ≈TARGET_CELL and the M-NN construction budget
+    Σ C(cell,2) grows LINEARLY with the corpus — the registered j159
+    pins the fixture's label cells for bit-exact oracle parity, which
+    (like j43's pinned k=10) has the ×16-per-×4 fixed-cell envelope
+    this dial exists to avoid (tripwired in test_scale_tripwire).
+    Queries here are corpus members, so entry assignment is each
+    query's OWN cluster (external queries would descend via the
+    nearest centroid exactly as j159 does)."""
+    from json2hbase_spark.operators.scaling import auto_kmeans_k
+    from json2hbase_spark.plans.advanced_queries import kmeans_assign
+
+    emb = load(spark, sf_dir, "embeddings")
+    if k is None:
+        k = auto_kmeans_k(emb.count())
+    asg = materialize(
+        kmeans_assign(spark, sf_dir, iters=3, k=k).select("vec_id", "cluster")
+    )
+    qt = (
+        emb.join(asg, "vec_id")
+        .select("vec_id", F.col("cluster").alias("label"), _graph_qcol().alias("q"))
+    )
+    qs = qt.filter(F.col("vec_id") < GRAPH_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qq")
+    )
+    assigned = qt.filter(F.col("vec_id") < GRAPH_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qq"), "label"
+    )
+    return _nsw_recall_audit(qt, qs, assigned)
+
+
+def _nsw_edges(qt: DataFrame) -> DataFrame:
+    """Per-cell M-NN construction, symmetrized and materialized —
+    candidate pairs are cell-bounded (never all-pairs); the result is
+    ≤ 2·n·GRAPH_M rows."""
+    dist = _graph_dist
+    ea = qt.select("label", F.col("vec_id").alias("src"), F.col("q").alias("qa"))
+    eb = qt.select(
+        F.col("label").alias("lb"), F.col("vec_id").alias("dst"), F.col("q").alias("qb")
+    )
+    cand = ea.join(eb, (ea.label == eb.lb) & (ea.src != eb.dst)).select(
+        "src", "dst", dist(F.col("qa"), F.col("qb")).alias("dd")
+    )
+    wsrc = Window.partitionBy("src").orderBy("dd", "dst")
+    topm = (
+        cand.withColumn("rn", F.row_number().over(wsrc))
+        .filter(F.col("rn") <= GRAPH_M)
+        .select("src", "dst")
+    )
+    return materialize(
+        topm.unionByName(
+            topm.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    )
+
+
+def _nsw_recall_audit(
+    qt: DataFrame,
+    qs: DataFrame,
+    assigned: DataFrame,
+    edges: DataFrame | None = None,
+    beam: int = GRAPH_BEAM,
+) -> DataFrame:
+    """Shared NSW body: per-cell M-NN construction (symmetrized),
+    fixed-hop beam walk from the assigned cell's min-id node, recall@K
+    audit vs exact. ``qt`` = (vec_id, label, q); ``qs`` = (qid, qq);
+    ``assigned`` = (qid, qq, label) — the entry-cell choice is the
+    caller's (centroid descent for j159, own-cluster for
+    graph_ann_plan). ``edges`` lets a sweep (j161) build the graph
+    once and walk it at several ``beam`` widths."""
+    dist = _graph_dist
+    if edges is None:
+        edges = _nsw_edges(qt)
+
+    cellmin = qt.groupBy("label").agg(F.min("vec_id").alias("cid"))
+    nodes = qt.select(F.col("vec_id").alias("nid"), F.col("q").alias("nq"))
+    visited = (
+        assigned.join(F.broadcast(cellmin), "label")
+        .join(nodes, F.col("cid") == F.col("nid"))
+        .select("qid", "cid", dist(F.col("qq"), F.col("nq")).alias("dd"))
+    )
+
+    # --- fixed-hop beam walk (chained lineage, no per-hop barrier) --
+    wbeam = Window.partitionBy("qid").orderBy("dd", "cid")
+    for _ in range(GRAPH_HOPS):
+        frontier = (
+            visited.withColumn("rn", F.row_number().over(wbeam))
+            .filter(F.col("rn") <= beam)
+            .select("qid", "cid")
+        )
+        expand = (
+            frontier.join(edges, frontier.cid == edges.src)
+            .select("qid", F.col("dst").alias("cid"))
+            .distinct()
+            .join(F.broadcast(qs), "qid")
+            .join(nodes, F.col("cid") == F.col("nid"))
+            .select("qid", "cid", dist(F.col("qq"), F.col("nq")).alias("dd"))
+        )
+        visited = visited.unionByName(expand).distinct()
+    visited = materialize(visited)
+
+    # --- recall audit vs exact brute force (j38 shape) --------------
+    res = (
+        visited.filter(F.col("cid") != F.col("qid"))
+        .withColumn("rn", F.row_number().over(wbeam))
+        .filter(F.col("rn") <= GRAPH_K)
+        .select(F.col("qid").alias("aqid"), F.col("cid").alias("acid"))
+    )
+    exact = (
+        qs.crossJoin(nodes)
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", F.col("nid").alias("cid"), dist(F.col("qq"), F.col("nq")).alias("dd"))
+        .withColumn("rn", F.row_number().over(wbeam))
+        .filter(F.col("rn") <= GRAPH_K)
+        .select("qid", "cid")
+    )
+    nv = visited.groupBy("qid").agg(F.count("*").cast("bigint").alias("n_visited"))
+    hit = exact.join(
+        F.broadcast(res),
+        (F.col("qid") == F.col("aqid")) & (F.col("cid") == F.col("acid")),
+        "left",
+    )
+    return (
+        hit.groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.count("acid").cast("bigint").alias("n_hit"),
+            (F.count("acid").cast("double") / F.count(F.lit(1))).alias("recall"),
+        )
+        .join(F.broadcast(nv), "qid")
+        .select("qid", "n_visited", "n_exact", "n_hit", "recall")
+    )
+
+
+# ---------------------------------------------------------------- j161
+
+GRAPH_SWEEP_BEAMS = (1, 2, 4)  # beam widths swept; GRAPH_BEAM is the middle point
+
+
+def _duck_graph_beam_sweep_oracle() -> str:
+    """Shared construction/entry CTEs (identical to j159's), then one
+    unrolled hop chain PER swept beam width, finals UNION ALL'd with
+    the beam literal attached."""
+    d = _duck_graph_d
+    base = _duck_graph_ann_oracle()
+    # reuse j159's prefix verbatim up to and including v0
+    prefix = base.split(",\n    f1 AS")[0]
+    parts = [prefix]
+    for b in GRAPH_SWEEP_BEAMS:
+        prev = "v0"
+        for h in range(1, GRAPH_HOPS + 1):
+            parts.append(
+                f"""f{h}b{b} AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid ORDER BY dd, cid) AS rn
+        FROM {prev}
+      ) WHERE rn <= {b}
+    ),
+    c{h}b{b} AS (SELECT DISTINCT f.qid, e.dst AS cid
+             FROM f{h}b{b} f JOIN edges e ON e.src = f.cid),
+    v{h}b{b} AS (
+      SELECT qid, cid, dd FROM {prev}
+      UNION
+      SELECT c.qid, c.cid, {d("qs.qq", "nq.q")} AS dd
+      FROM c{h}b{b} c JOIN qs ON qs.qid = c.qid JOIN qt nq ON nq.vec_id = c.cid
+    )"""
+            )
+            prev = f"v{h}b{b}"
+        parts.append(
+            f"""resb{b} AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid ORDER BY dd, cid) AS rn
+        FROM {prev} WHERE cid != qid
+      ) WHERE rn <= {GRAPH_K}
+    ),
+    nvb{b} AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_visited
+           FROM {prev} GROUP BY qid)"""
+        )
+    parts.append(
+        f"""ex AS (
+      SELECT qid, cid FROM (
+        SELECT qs.qid, c.vec_id AS cid,
+               row_number() OVER (PARTITION BY qs.qid
+                                  ORDER BY {d("qs.qq", "c.q")}, c.vec_id) AS rn
+        FROM qt c, qs WHERE c.vec_id != qs.qid
+      ) WHERE rn <= {GRAPH_K}
+    )
+    """
+        + "\n    UNION ALL\n    ".join(
+            f"""SELECT * FROM (
+      SELECT CAST({b} AS INT) AS beam, ex.qid, nvb{b}.n_visited,
+             CAST(COUNT(resb{b}.cid) AS BIGINT) AS n_hit,
+             CAST(COUNT(resb{b}.cid) AS DOUBLE) / COUNT(*) AS recall
+      FROM ex
+      LEFT JOIN resb{b} ON resb{b}.qid = ex.qid AND resb{b}.cid = ex.cid
+      JOIN nvb{b} ON nvb{b}.qid = ex.qid
+      GROUP BY ex.qid, nvb{b}.n_visited)"""
+            for b in GRAPH_SWEEP_BEAMS
+        )
+    )
+    return ",\n    ".join(parts)
+
+
+@query("j161_graph_beam_sweep", oracle=_duck_graph_beam_sweep_oracle())
+def j161_graph_beam_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEAM-width/recall sweep over j159's NSW walk (round 13 —
+    j141's param-sweep discipline applied to the graph index): the
+    same graph, entry points, and hop budget walked at beam widths
+    {GRAPH_SWEEP_BEAMS}, reporting per (beam, qid) the visited-set
+    size (the COST axis) and recall@{GRAPH_K} (the QUALITY axis).
+    This is the table an operator reads to pick the ef_search dial —
+    HNSW's central tradeoff — before committing a cluster-wide
+    setting. Construction cost is paid ONCE: the symmetrized edge
+    table materializes a single time and every beam's walk (and the
+    shared exact side) rides it; each extra beam adds only its
+    frontier joins, which is exactly the marginal cost the sweep is
+    pricing. Bit-exact both engines for the same reason j159 is (all
+    comparisons integer, ties by id)."""
+    emb = load(spark, sf_dir, "embeddings")
+    qt = emb.select("vec_id", "label", _graph_qcol().alias("q"))
+    dist = _graph_dist
+    from json2hbase_spark.operators.similarity import ivf_centroids
+
+    cq = ivf_centroids(emb).select(
+        "label",
+        F.transform(
+            "centroid", lambda x: F.floor(x * COV_SCALE).cast("long")
+        ).alias("cq"),
+    )
+    qs = qt.filter(F.col("vec_id") < GRAPH_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qq")
+    )
+    wq = Window.partitionBy("qid").orderBy("dcell", "label")
+    assigned = (
+        qs.crossJoin(F.broadcast(cq))
+        .withColumn("dcell", dist(F.col("qq"), F.col("cq")))
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") == 1)
+        .select("qid", "qq", "label")
+    )
+    edges = _nsw_edges(qt)
+    outs = [
+        _nsw_recall_audit(qt, qs, assigned, edges=edges, beam=b).select(
+            F.lit(b).cast("int").alias("beam"),
+            "qid",
+            "n_visited",
+            "n_hit",
+            "recall",
+        )
+        for b in GRAPH_SWEEP_BEAMS
+    ]
+    return reduce(DataFrame.unionByName, outs)

@@ -585,3 +585,62 @@ def test_j143_gate_order_divergence_on_planted_cluster(spark):
     )
     # telescoping: per (ordering, lang), drops sum to tokens0 - final
     assert ff[("3_dedup_near", "fr")].tokens_dropped == 0
+
+
+def test_a28_commit_log_time_travel_and_overwrite(spark, tmp_path):
+    """Planted commits: every snapshot verifies against its source
+    state, and snapshot 2 still serves the pre-overwrite en rows after
+    commit 3 logically removed them (time travel over a logical
+    delete)."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    rows = [
+        (i, f"text-{i}", "en" if i % 2 == 0 else "de", "s", 6) for i in range(12)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    fx = str(tmp_path / "a28fix")
+    df.write.mode("overwrite").parquet(f"{fx}/documents.parquet")
+    out = {(r.version, r.lang): r for r in registry.QUERIES["a28_commit_log"](spark, fx).collect()}
+    assert all(r.verified for r in out.values())
+    # v1 = doc_id%3==0 -> {0,3,6,9}: en {0,6}, de {3,9}
+    assert out[(1, "en")].n_rows == 2 and out[(1, "de")].n_rows == 2
+    # v2 adds doc_id%3==1 -> {1,4,7,10}: en {4,10}, de {1,7}
+    assert out[(2, "en")].n_rows == 4 and out[(2, "de")].n_rows == 4
+    # v3 overwrites en with even doc_ids of the v2 en slice -> all 4
+    # v2 en ids {0,4,6,10} are even -> then filtered by doc_id%2==0 keeps all
+    assert out[(3, "en")].n_rows == 4
+    assert out[(3, "de")].n_rows == 4
+    # digests: de untouched by the overwrite, en rewritten in place
+    assert out[(2, "de")].content_digest == out[(3, "de")].content_digest
+    assert out[(2, "en")].content_digest == out[(3, "en")].content_digest
+
+
+def test_a28_overwrite_actually_removes(spark, tmp_path):
+    """With odd en doc_ids present in v2, the v3 overwrite drops them:
+    snapshot 2 keeps serving them (time travel), snapshot 3 does not."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    # en docs at ids 1,3 (odd, %3<=1) get removed by the v3 rewrite
+    rows = [
+        (0, "a", "en", "s", 1),
+        (1, "b", "en", "s", 1),
+        (3, "c", "en", "s", 1),
+        (4, "d", "en", "s", 1),
+        (6, "e", "de", "s", 1),
+        (7, "f", "de", "s", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    fx = str(tmp_path / "a28fix2")
+    df.write.mode("overwrite").parquet(f"{fx}/documents.parquet")
+    out = {(r.version, r.lang): r for r in registry.QUERIES["a28_commit_log"](spark, fx).collect()}
+    assert all(r.verified for r in out.values())
+    # v2 en = {0,1,3,4}; v3 en = evens only {0,4}
+    assert out[(2, "en")].n_rows == 4
+    assert out[(3, "en")].n_rows == 2
+    assert out[(2, "en")].content_digest != out[(3, "en")].content_digest

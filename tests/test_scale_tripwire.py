@@ -308,3 +308,87 @@ def test_streaming_family_stays_linear(spark, scaled_docs_dir, name, domain_boun
             f"{name}: complete-mode output rows grew {n1} → {n10} at ×{MULT} "
             "volume — streaming state is no longer domain-bounded"
         )
+
+
+def test_graph_ann_auto_cells_edge_budget_stays_linear(spark, scaled_emb_dir):
+    """j159's deployable dial (graph_ann_plan): NSW cells come from
+    auto-k k-means, so the M-NN construction's candidate-pair budget
+    Σ C(cell,2) stays in the linear envelope at ×4 volume — the same
+    designed quantity j43's tripwire measures (fixed label cells, the
+    registered j159's oracle pin, would read ≈×16). The edge-table
+    bound is structural (symmetrized top-M ≤ 2·n·GRAPH_M rows) and
+    checked on the scaled corpus."""
+    from json2hbase_spark.io import load
+    from json2hbase_spark.operators.scaling import auto_kmeans_k
+    from json2hbase_spark.plans.advanced_queries import kmeans_assign
+    from json2hbase_spark.plans.vector_queries import GRAPH_M
+
+    def pair_budget_and_n(sf_dir):
+        n = load(spark, sf_dir, "embeddings").count()
+        sizes = (
+            kmeans_assign(spark, sf_dir, iters=3, k=auto_kmeans_k(n))
+            .groupBy("cluster")
+            .count()
+            .collect()
+        )
+        return sum(r["count"] * (r["count"] - 1) // 2 for r in sizes), n
+
+    base_pairs, n_base = pair_budget_and_n("/root/testdata/sf0.01")
+    scaled_pairs, n_scaled = pair_budget_and_n(scaled_emb_dir)
+    ratio = scaled_pairs / max(base_pairs, 1)
+    assert ratio < 8.0, (
+        f"graph-ANN auto-cell pair budget grew ×{ratio:.1f} at ×4 volume "
+        f"({base_pairs} → {scaled_pairs}) — the cell dial is no longer "
+        f"tracking corpus size (linear ≈ ×4, fixed cells ≈ ×16)"
+    )
+    # edge bound is structural: top-M per src, symmetrized — count the
+    # ACTUAL scaled edge table against 2·n·M
+    from json2hbase_spark.io import load as _load
+    from json2hbase_spark.operators.scaling import auto_kmeans_k as _ak
+    from pyspark.sql import Window
+
+    emb = _load(spark, scaled_emb_dir, "embeddings")
+    from json2hbase_spark.plans.vector_queries import _graph_dist, _graph_qcol
+
+    asg = kmeans_assign(
+        spark, scaled_emb_dir, iters=3, k=_ak(n_scaled)
+    ).select("vec_id", "cluster")
+    qt = emb.join(asg, "vec_id").select(
+        "vec_id", F.col("cluster").alias("label"), _graph_qcol().alias("q")
+    )
+    ea = qt.select("label", F.col("vec_id").alias("src"), F.col("q").alias("qa"))
+    eb = qt.select(
+        F.col("label").alias("lb"), F.col("vec_id").alias("dst"), F.col("q").alias("qb")
+    )
+    cand = ea.join(eb, (ea.label == eb.lb) & (ea.src != eb.dst)).select(
+        "src", "dst", _graph_dist(F.col("qa"), F.col("qb")).alias("dd")
+    )
+    w = Window.partitionBy("src").orderBy("dd", "dst")
+    topm = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= GRAPH_M)
+        .select("src", "dst")
+    )
+    n_edges = (
+        topm.unionByName(
+            topm.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .count()
+    )
+    assert n_edges <= 2 * n_scaled * GRAPH_M
+
+
+def test_graph_ann_plan_runs_and_recalls_on_auto_cells(spark):
+    """graph_ann_plan at sf0.001: runs end-to-end on auto-k cells and
+    every query's recall is within [0, 1] with n_hit <= n_exact;
+    own-cluster entry means the walk starts inside the query's cell,
+    so each query must at least visit its entry."""
+    from json2hbase_spark.plans.vector_queries import graph_ann_plan
+
+    out = graph_ann_plan(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0.0 <= r.recall <= 1.0
+        assert r.n_hit <= r.n_exact
+        assert r.n_visited >= 1

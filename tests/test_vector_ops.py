@@ -412,3 +412,148 @@ def test_j157_matryoshka_energy_planted(spark, tmp_path):
         assert r1.n_vecs == 4
         assert abs(r1.energy_frac - p / 64) < 1e-12
         assert r1.n_selfcontained == (4 if p == 64 else 0)
+
+
+def test_j159_graph_ann_python_truth(spark, tmp_path):
+    """Full python replay of the NSW construction + beam walk on a
+    small planted fixture: edge lists, entry cells, every hop's beam,
+    and the final recall must match the DataFrame plan bit-for-bit
+    (the walk is exact integer math end to end)."""
+    import random
+
+    from json2hbase_spark import registry
+    from json2hbase_spark.plans.vector_queries import (
+        COV_SCALE,
+        GRAPH_BEAM,
+        GRAPH_HOPS,
+        GRAPH_K,
+        GRAPH_M,
+        GRAPH_NQ,
+    )
+
+    registry.load_all_query_modules()
+    rng = random.Random(159)
+    rows = []
+    for i in range(40):
+        vec = [round(rng.uniform(-1, 1), 3) for _ in range(64)]
+        rows.append((i, vec, i % 3))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    fx = str(tmp_path / "gannfix")
+    df.write.mode("overwrite").parquet(f"{fx}/embeddings.parquet")
+
+    # ---- python truth -------------------------------------------
+    # quantize exactly as Spark does: float32 storage, double*scale
+    import math
+    import struct
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    q = {i: [math.floor(f32(v) * COV_SCALE) for v in vec] for i, vec, _ in rows}
+    lab = {i: l for i, _, l in rows}
+
+    def d(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(q[a], q[b]))
+
+    ids = sorted(q)
+    topm = {}
+    for a in ids:
+        cand = sorted(
+            (b for b in ids if b != a and lab[b] == lab[a]),
+            key=lambda b: (d(a, b), b),
+        )[:GRAPH_M]
+        topm[a] = cand
+    edges = {}
+    for a, ns in topm.items():
+        for b in ns:
+            edges.setdefault(a, set()).add(b)
+            edges.setdefault(b, set()).add(a)
+    # centroids: QCENT_AVG = floor(x*1e6+0.5) bigint sum / (n*1e6)
+    cells = sorted(set(lab.values()))
+    cq = {}
+    for c in cells:
+        members = [i for i in ids if lab[i] == c]
+        cent = []
+        for p in range(64):
+            s = sum(math.floor(f32(rows[i][1][p]) * 1_000_000 + 0.5) for i in members)
+            cent.append(s / (len(members) * 1_000_000))
+        cq[c] = [math.floor(v * COV_SCALE) for v in cent]
+
+    def dq(qid, cqv):
+        return sum((x - y) * (x - y) for x, y in zip(q[qid], cqv))
+
+    truth = {}
+    for qid in [i for i in ids if i < GRAPH_NQ]:
+        cell = min(cells, key=lambda c: (dq(qid, cq[c]), c))
+        entry = min(i for i in ids if lab[i] == cell)
+        visited = {entry}
+        for _ in range(GRAPH_HOPS):
+            beam = sorted(visited, key=lambda c_: (d(qid, c_), c_))[:GRAPH_BEAM]
+            for node in beam:
+                visited |= edges.get(node, set())
+        res = sorted(
+            (c_ for c_ in visited if c_ != qid), key=lambda c_: (d(qid, c_), c_)
+        )[:GRAPH_K]
+        exact = sorted((c_ for c_ in ids if c_ != qid), key=lambda c_: (d(qid, c_), c_))[
+            :GRAPH_K
+        ]
+        hits = len(set(res) & set(exact))
+        truth[qid] = (len(visited), len(exact), hits, hits / len(exact))
+
+    out = {
+        r.qid: (r.n_visited, r.n_exact, r.n_hit, r.recall)
+        for r in registry.QUERIES["j159_graph_ann"](spark, fx).collect()
+    }
+    assert out == truth
+
+
+def test_j159_perfect_recall_in_complete_cell(spark, tmp_path):
+    """A single cell of <= GRAPH_M + 1 nodes yields a complete graph:
+    the walk visits everything reachable from the entry and recall@k
+    is exactly 1.0 for every query."""
+    from json2hbase_spark import registry
+
+    registry.load_all_query_modules()
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(64)], 0) for i in range(7)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    fx = str(tmp_path / "gannfull")
+    df.write.mode("overwrite").parquet(f"{fx}/embeddings.parquet")
+    out = registry.QUERIES["j159_graph_ann"](spark, fx).collect()
+    assert len(out) == 7
+    for r in out:
+        assert r.recall == 1.0
+        assert r.n_visited == 7  # complete graph: everything reached
+
+
+def test_j161_beam_sweep_consistent_with_j159_and_monotone_cost(spark, sf_dir):
+    """The sweep's beam=GRAPH_BEAM slice must be EXACTLY j159's result
+    (same graph, same walk), and the visited-set size (the cost axis)
+    must be non-decreasing in beam per query — a wider beam can only
+    expand more."""
+    from json2hbase_spark import registry
+    from json2hbase_spark.plans.vector_queries import GRAPH_BEAM
+
+    registry.load_all_query_modules()
+    sweep = registry.QUERIES["j161_graph_beam_sweep"](spark, sf_dir).collect()
+    base = {
+        r.qid: (r.n_visited, r.n_hit, r.recall)
+        for r in registry.QUERIES["j159_graph_ann"](spark, sf_dir).collect()
+    }
+    at_base_beam = {
+        r.qid: (r.n_visited, r.n_hit, r.recall)
+        for r in sweep
+        if r.beam == GRAPH_BEAM
+    }
+    assert at_base_beam == base
+    by_qid = {}
+    for r in sweep:
+        by_qid.setdefault(r.qid, []).append((r.beam, r.n_visited))
+    for qid, pts in by_qid.items():
+        pts.sort()
+        sizes = [n for _, n in pts]
+        assert sizes == sorted(sizes), f"visited not monotone in beam for {qid}: {pts}"

@@ -84,7 +84,15 @@ def main() -> None:
     def canary_note(name: str) -> str:
         if not canary or canary_ref <= 0:
             return ""
-        near = [c for c in canary if abs(c["pos"] - qpos.get(name, -99)) <= 25]
+        # settle-tagged samples were taken at adjudication time, not
+        # during the run near this position — a burst that starts only
+        # at adjudication must not read as in-run co-occurrence
+        # (ADVICE r12 #2)
+        near = [
+            c
+            for c in canary
+            if not c.get("settle") and abs(c["pos"] - qpos.get(name, -99)) <= 25
+        ]
         if not near:
             return ""
         worst = max(c["t"] / canary_ref for c in near)

@@ -126,6 +126,9 @@ AUDIT = {
     "j153_incremental_exsub": "index probes are LEFT SEMI + LEFT ANTI equi joins on the hashed key; the window machinery runs on the batch MISS slice only (the corpus side is index-shaped, never windowed)",
     "i40_stream_exsub_gate": "static gram index materialized once and broadcast into the stream-static equi join; arriving side scan-shaped per micro-batch; sink state = gram hits + a |sources|-row complete tally",
     "j155_retrieval_ndcg": "j60's term-filtered scan + TakeOrdered top-k, second term-filtered relevance scan, metric math on ≤40 rows with the idcg side broadcast-pinned",
+    "j159_graph_ann": "NSW construction = cell-keyed equi join (never cartesian) + per-src top-M window; every walk hop joins the n·M edge table against a broadcast ≤NQ·beam frontier (src-pruned lookup at scale); hops chain in ONE tree, exact-side audit is a bounded-query crossJoin",
+    "a28_commit_log": "as-of reads scan ONLY the log's active file list (pruning before any IO); per-snapshot digest manifests are hash aggs with the expected side broadcast (a24's verify shape); the commit log itself is driver-side metadata, never a Spark job",
+    "j161_graph_beam_sweep": "ONE materialized edge table walked at every beam width — the sweep pays construction once; each beam adds only its frontier joins (broadcast ≤NQ·beam rows) and the exact side is shared",
 }
 
 MARKERS = (
