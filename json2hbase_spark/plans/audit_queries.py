@@ -1373,10 +1373,17 @@ def _source_token_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(whitespace_tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
         normalize_text(F.col("text")).alias("norm"),
     )
-    s1 = normed.groupBy("norm").agg(
-        F.min("doc_id").alias("doc_id"),
-        F.min_by("source", "doc_id").alias("source"),
-        F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+    # round 13: s1 is consumed TWICE (the shingle table below and the
+    # `kept` tally) — unmaterialized, each consumer re-ran the corpus
+    # scan + normalize_text + the norm-keyed agg (so the normalize HOF
+    # pass executed 3× per kernel call counting `raw`). One checkpoint
+    # of the survivor table cuts that to one corpus pass for s1.
+    s1 = materialize(
+        normed.groupBy("norm").agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("source", "doc_id").alias("source"),
+            F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+        )
     )
     sh = materialize(
         s1.filter(F.length("norm") >= 8).select(
@@ -1474,7 +1481,13 @@ def j137_corrected_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows + one 1-row broadcast of the two normalizers — the dedup
     cascade underneath is the only corpus-sized work, shared with
     j136 at 100 TB (run once, feed both reports)."""
-    b = _source_token_budgets(spark, sf_dir)
+    from json2hbase_spark.materialize import materialize
+
+    # round 13: b is consumed twice (the z normalizers + the final
+    # select) — unmaterialized, the ENTIRE budgets kernel (corpus
+    # normalize, dedup cascade, blocked near-dup join) executed twice.
+    # b is a |sources|-row table; one checkpoint halves the query.
+    b = materialize(_source_token_budgets(spark, sf_dir))
     zs = b.agg(
         F.sum(F.pow(F.col("tokens_raw").cast("double"), MIX_ALPHA)).alias("z_raw"),
         F.sum(F.pow(F.col("tokens_near").cast("double"), MIX_ALPHA)).alias("z_near"),
@@ -1587,9 +1600,13 @@ def j140_dup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(inter.cast("double") / union >= 0.5)
         .select("doc_a", "doc_b")
     )
+    # round 13: the unionAll form consumed vp TWICE — each leg re-ran
+    # the banded candidate join + Jaccard confirm (the minhash agg
+    # chain above is NOT materialized past sh). explode([doc_a,
+    # doc_b]) is the same multiset from ONE consumption; distinct
+    # collapses identically.
     dup = (
-        vp.select(F.col("doc_a").alias("doc_id"))
-        .unionAll(vp.select(F.col("doc_b").alias("doc_id")))
+        vp.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
         .distinct()
         .withColumn("_dup", F.lit(1))
     )

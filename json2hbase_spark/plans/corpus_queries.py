@@ -766,7 +766,37 @@ def j142_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-sized (Heaps-bounded ≈100k-1M rows at 100 TB), never
     corpus-sized; the only corpus-scale work is the token explode +
     (lang, word) hash agg every vocab induction already pays."""
-    merges = j46_bpe_merges(spark, sf_dir)  # (pair, n) — ≤ BPE_TOP_K rows
+    # round 13: ONE corpus tokenize pass instead of two — calling
+    # j46_bpe_merges() re-ran the corpus explode + word agg that this
+    # op's own (lang, word) vocab table pays again. The vocab
+    # materializes once; j46's global word-frequency table is exactly
+    # its lang-marginal (Σ over langs of BIGINT counts — identical
+    # integers), so the merge table mined from it is bit-identical to
+    # j46's. merges also materializes (≤ BPE_TOP_K rows): the rank
+    # theta self-join below consumes it twice, and unmaterialized
+    # each side re-ran the vocab→pair agg.
+    docs = load(spark, sf_dir, "documents")
+    vocab = materialize(
+        widen(docs)
+        .select("lang", F.explode(whitespace_tokens(F.col("text"))).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    wf = vocab.groupBy("word").agg(F.sum("cnt").alias("cnt"))
+    ch = wf.filter(F.length("word") >= 2).select(
+        "cnt",
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.col("word").substr(i, F.lit(1)),
+        ).alias("c"),
+    )
+    mpairs = ch.select(F.explode(word_ngrams(F.col("c"), 2)).alias("pair"), "cnt")
+    merges = materialize(
+        mpairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(BPE_TOP_K)
+    )  # (pair, n) — ≤ BPE_TOP_K rows, bit-identical to j46's table
     a, b = merges.alias("_ma"), merges.alias("_mb")
     ranked = (
         a.join(
@@ -789,13 +819,6 @@ def j142_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max(F.when(F.col("rnk") == k, F.translate("pair", " ", ""))).alias(f"_ab{k}"),
             )
         ]
-    )
-    docs = load(spark, sf_dir, "documents")
-    vocab = (
-        widen(docs)
-        .select("lang", F.explode(whitespace_tokens(F.col("text"))).alias("word"))
-        .groupBy("lang", "word")
-        .agg(F.count("*").cast("bigint").alias("cnt"))
     )
     v = vocab.crossJoin(F.broadcast(mrow)).withColumn(
         "syms",
@@ -2091,13 +2114,21 @@ def j60_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def bm25_scores(toks: DataFrame) -> DataFrame:
+def bm25_scores(toks: DataFrame, pre_materialized: bool = False) -> DataFrame:
     """Full BM25 score table (doc_id, score) for the fixed BM25_TERMS
     query over (doc_id, token) rows — see j60's docstring for the
-    scale shape. Shared by j60 (top-k search) and j73 (hybrid RRF
-    fusion), so both rank from the identical score computation."""
-    toks = materialize(toks)
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("len"))
+    scale shape. Shared by j60 (top-k search), j73 (hybrid RRF
+    fusion) and j155 (ranking eval), so all rank from the identical
+    score computation. ``pre_materialized=True`` lets a caller that
+    already checkpointed the token table (j155, which also derives
+    relevance from it) skip the redundant second checkpoint copy."""
+    if not pre_materialized:
+        toks = materialize(toks)
+    # round 13: dl is consumed THREE times (stats for idf, stats for
+    # contrib, and contrib's own join) — each re-ran the doc-length
+    # agg over the full token table. The n_docs-row result
+    # checkpoints once instead (the j158 lesson).
+    dl = materialize(toks.groupBy("doc_id").agg(F.count("*").alias("len")))
     stats = dl.agg(
         F.count("*").alias("n_docs"),
         (F.sum("len").cast("double") / F.count("*")).alias("avgdl"),
@@ -3680,14 +3711,22 @@ def j146_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lm2_score"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = per.withColumn("cum", F.sum("c").over(w))
-    tot = lm.groupBy("lang").agg(F.count("*").cast("bigint").alias("n"))
+    # round 13: the per-lang total was a SECOND full consumption of lm
+    # (tot = lm.groupBy(lang).count() re-ran j44's whole corpus chain —
+    # three hash aggs + two joins — just to count docs). n = Σc over
+    # the lang's score groups is the identical BIGINT (count of docs =
+    # sum of score-group counts), computed as one more window over the
+    # SAME lang partitioning the cumulative window already shuffled
+    # for — no second corpus pass, no broadcast join (guide §2.4).
+    cum = per.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("lang"))
+    )
     bucket = (
         F.when(3 * (F.col("cum") - F.col("c")) < F.col("n"), F.lit("head"))
         .when(3 * (F.col("cum") - F.col("c")) < 2 * F.col("n"), F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
-    b = cum.join(F.broadcast(tot), "lang").withColumn("bucket", bucket)
+    b = cum.withColumn("bucket", bucket)
     return b.groupBy("lang", "bucket").agg(
         F.sum("c").cast("bigint").alias("n_docs"),
         F.sum("nb").cast("bigint").alias("n_bigrams"),
@@ -3975,7 +4014,14 @@ def j153_incremental_exsub(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = widen(docs).select(
         "doc_id", whitespace_tokens(F.col("text")).alias("w")
     )
-    grams = (
+    # round 13: the gram table was consumed THREE times (corpus-index
+    # distinct, batch semi-probe, batch anti-probe) and the index
+    # distinct TWICE (once per probe) — each re-ran the full
+    # tokenize + posexplode + xxhash64 pass over the corpus. The
+    # (doc_id, pos0, gk) table is 8-byte keys + ints (gram strings
+    # never materialize either — guide §2.3), so one checkpoint of it
+    # and one of the distinct index replace four re-tokenizations.
+    grams = materialize(
         toks.filter(F.size("w") >= EXSUB_W)
         .select(
             "doc_id",
@@ -3983,7 +4029,9 @@ def j153_incremental_exsub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "pos0", F.xxhash64("g").alias("gk"))
     )
-    cidx = grams.filter(F.col("doc_id") % 2 == 0).select("gk").distinct()
+    cidx = materialize(
+        grams.filter(F.col("doc_id") % 2 == 0).select("gk").distinct()
+    )
     batch = grams.filter(F.col("doc_id") % 2 == 1)
     hitc = batch.join(cidx, "gk", "left_semi").select("doc_id", "pos0")
     miss = batch.join(cidx, "gk", "left_anti")
@@ -4088,21 +4136,26 @@ def j155_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered over it); the metric math runs on ≤ {BM25_TOPK}×
     {len(NDCG_CUTS)} rows — constants at 100 TB."""
     docs = load(spark, sf_dir, "documents")
-    toks = widen(docs).select(
-        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("t")
+    # round 13: ONE tokenize pass — the corpus was scanned + exploded
+    # TWICE (once for the BM25 score table, once more for relevance);
+    # the shared token table checkpoints once and both ride it, and
+    # rel (consumed by the rank attach AND the ideal ranking)
+    # checkpoints its small term-filtered agg instead of running the
+    # corpus filter twice.
+    toks = materialize(
+        widen(docs).select(
+            "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("t")
+        )
     )
     w_rank = Window.orderBy(F.desc("score"), "doc_id")
     ranked = (
-        bm25_scores(toks)
+        bm25_scores(toks, pre_materialized=True)
         .orderBy(F.desc("score"), "doc_id")
         .limit(BM25_TOPK)
         .select("doc_id", F.row_number().over(w_rank).alias("pos"))
     )
-    toks2 = widen(docs).select(
-        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("t")
-    )
-    rel = (
-        toks2.filter(F.col("t").isin(*BM25_TERMS))
+    rel = materialize(
+        toks.filter(F.col("t").isin(*BM25_TERMS))
         .groupBy("doc_id")
         .agg(F.countDistinct("t").cast("int").alias("rel"))
     )
@@ -4265,7 +4318,11 @@ def j158_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("t")
     )
     toks = materialize(toks)
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("len"))
+    # round 13: dl is consumed THREE times (stats, base contrib,
+    # re-rank contrib) and each consumption re-ran the full-corpus
+    # doc-length agg over the token table — materialize the n_docs-row
+    # result once; stats and both contribs read it back
+    dl = materialize(toks.groupBy("doc_id").agg(F.count("*").alias("len")))
     stats = dl.agg(
         F.count("*").alias("n_docs"),
         (F.sum("len").cast("double") / F.count("*")).alias("avgdl"),
@@ -4322,9 +4379,13 @@ def j158_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     base_terms = spark.createDataFrame([(t,) for t in BM25_TERMS], "t string")
-    base = rank_topk(score_terms(base_terms), "pos_base")
+    # round 13: base is consumed twice (feedback-doc pick + the final
+    # rank attach) — unmaterialized, the whole base BM25 chain ran
+    # twice; the BM25_TOPK-row result checkpoints instead. Same for
+    # cand (feedback mine + its own df probe).
+    base = materialize(rank_topk(score_terms(base_terms), "pos_base"))
     fb = base.filter(F.col("pos_base") <= PRF_FB_DOCS).select("doc_id")
-    cand = (
+    cand = materialize(
         toks.join(F.broadcast(fb), "doc_id")
         .filter(~F.col("t").isin(*BM25_TERMS))
         .groupBy("t")

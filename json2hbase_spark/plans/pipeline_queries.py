@@ -1592,14 +1592,20 @@ def j143_gate_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     w = whitespace_tokens(F.col("text"))
-    s1 = materialize(
-        widen(docs.filter(F.col("doc_id") >= CAP_BENCH_CUT)).select(
-            "doc_id",
-            "lang",
-            w.alias("w"),
-            normalize_text(F.col("text")).alias("norm"),
-            F.size(w).alias("tokens"),
-        )
+    # round 13: ONE materialize instead of two — the token ARRAY
+    # column `w` was checkpointed in full (s1) and then a second
+    # checkpoint derived q_ok from it; folding the quality features
+    # into the same projection keeps the heavy array out of storage
+    # entirely (guide §2.3: shuffle/store keys and metadata, not
+    # payloads) and drops one eager driver action. `ing` (the
+    # pre-pipeline token tally) reads the same materialized table —
+    # same rows, identical sums.
+    s1 = widen(docs.filter(F.col("doc_id") >= CAP_BENCH_CUT)).select(
+        "doc_id",
+        "lang",
+        w.alias("w"),
+        normalize_text(F.col("text")).alias("norm"),
+        F.size(w).alias("tokens"),
     )
     wl = F.transform("w", lambda x: F.lower(x))
     stops = F.array(*[F.lit(s) for s in _CAP_STOPS])
@@ -1618,8 +1624,17 @@ def j143_gate_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def exact(df: DataFrame) -> DataFrame:
-        keep = df.groupBy("norm").agg(F.min("doc_id").alias("doc_id"))
-        return materialize(df.join(keep, ["norm", "doc_id"], "left_semi"))
+        # round 13: min-id keep as ONE window over the norm partition
+        # instead of agg + left-semi join — the join form consumed df
+        # twice and paid a second exchange for the keep table; the
+        # window computes the identical "doc_id == min(doc_id) per
+        # norm" predicate in the partition the shuffle already built.
+        wmin = Window.partitionBy("norm")
+        return materialize(
+            df.withColumn("_m", F.min("doc_id").over(wmin))
+            .filter(F.col("doc_id") == F.col("_m"))
+            .drop("_m")
+        )
 
     def near(df: DataFrame) -> DataFrame:
         sh = materialize(
@@ -1686,7 +1701,7 @@ def j143_gate_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit("dedup_first", "2_dedup_near", b3))
         .unionByName(audit("dedup_first", "3_quality", b4))
     )
-    ing = s1.groupBy("lang").agg(F.sum("tokens").cast("bigint").alias("tokens0"))
+    ing = feats.groupBy("lang").agg(F.sum("tokens").cast("bigint").alias("tokens0"))
     dw = Window.partitionBy("ordering", "lang").orderBy("stage")
     return (
         rows.join(F.broadcast(ing), "lang")

@@ -1956,28 +1956,27 @@ def j121_embed_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pi_rescaled(m: DataFrame) -> DataFrame:
     """Renormalize a (i, j, cov) integer matrix to entry scale _PI_A
     (floor of double division by max|cov| DIV _PI_A — IEEE-identical
-    in DuckDB) so matmul/matvec terms stay orders inside int64."""
-    d = m.agg(
-        F.greatest(
-            F.expr(f"max(abs(cov)) DIV {_PI_A}"), F.lit(1).cast("long")
-        ).alias("d")
+    in DuckDB) so matmul/matvec terms stay orders inside int64.
+
+    Round 13: the denominator is a SINGLE-PARTITION WINDOW over the
+    ≤ d² = 4,096-row matrix instead of a scalar agg crossJoined back —
+    the agg form made every caller evaluate the matrix subtree twice
+    (once under the agg, once under the crossJoin; ReuseExchange does
+    not reliably match the HOF/agg subtrees involved) and added one
+    broadcast exchange per call. The window computes the identical
+    greatest(max|cov| DIV _PI_A, 1) in the matrix's own pass, and its
+    output is already one partition — the layout the former
+    coalesce(1) existed to force (r10, ~35% off the iteration phase).
+    Every caller materializes the result immediately, so the
+    bounded-domain window funnel stays behind the materialize
+    boundary, out of every returned plan."""
+    d = F.greatest(
+        F.expr(f"max(abs(cov)) OVER () DIV {_PI_A}"), F.lit(1).cast("long")
     )
-    # coalesce(1): the matrix is ≤ d² = 4,096 rows at ANY corpus size
-    # (the corpus-dependent work all happens upstream in the covariance
-    # agg) — materializing it as 32 shuffle partitions just schedules
-    # 32 near-empty tasks per iteration job; one partition is the
-    # correct layout for a constant-size table at every scale (r10,
-    # measured ~35% off the iteration phase)
-    return (
-        m.crossJoin(F.broadcast(d))
-        .select(
-            "i",
-            "j",
-            F.floor(F.col("cov").cast("double") / F.col("d"))
-            .cast("bigint")
-            .alias("cov"),
-        )
-        .coalesce(1)
+    return m.select(
+        "i",
+        "j",
+        F.floor(F.col("cov").cast("double") / d).cast("bigint").alias("cov"),
     )
 
 
@@ -2035,64 +2034,72 @@ def _power_eigvec(spark: SparkSession, sf_dir: str):
 def _power_on(a: DataFrame):
     """POWER_ITERS renormalized matvec iterations + deterministic
     sign fix against an arbitrary materialized (i, j, cov) integer
-    matrix; returns (v_signed, wmax)."""
+    matrix; returns (v_signed, wmax).
+
+    Round 13 (the kmeans_assign chaining lesson): iterations CHAIN as
+    one lineage under a SINGLE materialize action. The former
+    per-iteration localCheckpoint existed only because the renorm
+    denominator was a scalar agg consumed NEXT TO the matvec it
+    aggregates — checkpointing stopped the subtree doubling per
+    round. A single-partition window (max(abs(w)) OVER () — 64 rows
+    at any corpus size) computes the identical
+    greatest(·DIV _PI_S, 1) denominator inside the matvec's own pass,
+    so each iteration's subtree occurs exactly once, nothing needs a
+    checkpoint until the final multi-consumer v_signed, and the
+    POWER_ITERS×(checkpoint job + broadcast re-collect) driver
+    round-trips disappear (j43's measured cost class: ~2 driver
+    actions per round, orchestration-fixed at every scale). The final
+    iterate carries w_max as a window column so wmax is a scalar agg
+    over the MATERIALIZED table, not a re-execution of the chain.
+    Bit-identical arithmetic throughout: same DIV / greatest / floor
+    ops on the same exact integers, so both engines' unrolled-CTE
+    oracles still hash-match. v is broadcast into the matvec join
+    explicitly — AQE cannot size the chained subtrees and would plan
+    SMJ (the _labels_converged lesson); the window funnels stay
+    behind the materialize boundary, out of every returned plan."""
     from json2hbase_spark.materialize import materialize
 
-    # ONE materialization per iteration (r10): the seed is a trivial
-    # distinct over the materialized matrix (no multi-consumer fan-out
-    # worth a checkpoint), and the matvec w is left INSIDE the v
-    # materialization's plan — its renorm denominator (a broadcast
-    # 1-row agg) re-evaluates the 64-row matvec subtree once more in
-    # the same job, which is far cheaper than a second eager
-    # checkpoint job per iteration (measured: j121 4.0 → 2.5 s warm,
-    # j127's 4-component loop 13.5 → ~8 s). v is broadcast into the
-    # matvec join explicitly — AQE cannot size localCheckpoint-backed
-    # scans and would plan SMJ (the _labels_converged lesson).
     v = a.select(F.col("i").alias("dim")).distinct().select(
         "dim", F.lit(_PI_S).cast("long").alias("v")
     )
-    w = None
-    for _ in range(POWER_ITERS):
+    d = F.greatest(
+        F.expr(f"max(abs(w)) OVER () DIV {_PI_S}"), F.lit(1).cast("long")
+    )
+    for it in range(POWER_ITERS):
         w = (
             a.join(F.broadcast(v.select(F.col("dim").alias("j"), "v")), "j")
             .groupBy(F.col("i").alias("dim"))
             .agg(F.sum(F.col("cov") * F.col("v")).cast("bigint").alias("w"))
         )
-        d = w.agg(
-            F.greatest(
-                F.expr(f"max(abs(w)) DIV {_PI_S}"), F.lit(1).cast("long")
-            ).alias("d")
-        )
-        v = materialize(
-            w.crossJoin(F.broadcast(d))
-            .select(
-                "dim",
-                F.floor(F.col("w").cast("double") / F.col("d"))
-                .cast("bigint")
-                .alias("v"),
+        cols = [
+            F.col("dim"),
+            F.floor(F.col("w").cast("double") / d).cast("bigint").alias("v"),
+        ]
+        if it == POWER_ITERS - 1:
+            cols.append(
+                F.expr("max(abs(w)) OVER ()").cast("bigint").alias("w_max")
             )
-            .coalesce(1)  # 64 rows at any scale — one task, not 32
+        v = w.select(*cols)
+    sg = F.when(
+        F.max(
+            F.struct(
+                F.abs("v").alias("av"),
+                (-F.col("dim")).alias("nd"),
+                F.col("v").alias("vv"),
+            )
         )
-    wmax = w.agg(F.max(F.abs("w")).cast("bigint").alias("w_max"))
-    sgn = (
-        v.agg(
-            F.max(
-                F.struct(
-                    F.abs("v").alias("av"),
-                    (-F.col("dim")).alias("nd"),
-                    F.col("v").alias("vv"),
-                )
-            ).alias("m")
-        )
-        .select(
-            F.when(F.col("m.vv") >= 0, F.lit(1)).otherwise(F.lit(-1)).alias("sg")
-        )
-    )
-    v_signed = materialize(
-        v.crossJoin(F.broadcast(sgn)).select(
-            "dim", (F.col("v") * F.col("sg")).cast("bigint").alias("v")
+        .over(Window.partitionBy())
+        .getField("vv")
+        >= 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    vfull = materialize(
+        v.select(
+            "dim", (F.col("v") * sg).cast("bigint").alias("v"), "w_max"
         )
     )
+    v_signed = vfull.select("dim", "v")
+    wmax = vfull.agg(F.max("w_max").alias("w_max"))
     return v_signed, wmax
 
 

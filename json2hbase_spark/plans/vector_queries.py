@@ -635,8 +635,15 @@ def _pq_train(spark: SparkSession, sf_dir: str, vectors: DataFrame | None = None
             )
         )
 
-    for _ in range(PQ_ITERS):
-        cents = materialize(
+    # Lloyd rounds CHAIN as one lineage (round 13, the kmeans_assign
+    # lesson): each round's centroid subtree is consumed exactly once
+    # by the next assign (subvecs is materialized, so the broadcast
+    # re-derives only the bounded PQ_M×PQ_K centroid arithmetic) —
+    # the per-round localCheckpoint bought nothing but 2 extra driver
+    # actions per round. Only the FINAL cents materializes: it is
+    # multi-consumed (codes here, the ADC LUT in j130/j134/j139).
+    for it in range(PQ_ITERS):
+        cents = (
             assign(cents)
             .select("sub", "cluster", F.posexplode("sv").alias("pos", "val"))
             .groupBy("sub", "cluster", "pos")
@@ -649,6 +656,8 @@ def _pq_train(spark: SparkSession, sf_dir: str, vectors: DataFrame | None = None
                 ).alias("ce")
             )
         )
+        if it == PQ_ITERS - 1:
+            cents = materialize(cents)
     codes = materialize(assign(cents).select("vec_id", "sub", "cluster", "d"))
     return subvecs, cents, codes
 
@@ -1760,43 +1769,44 @@ def _gs_basis_compute(spark: SparkSession, sf_dir: str) -> list:
         if c < PCA_R - 1:
             a = _deflate(a, v_signed)
 
+    # Round 13 (the _power_on chaining lesson): each projection step's
+    # three scalars — nn = uₖᵀuₖ, vu = tᵀuₖ, and the rescale bound —
+    # were scalar aggs crossJoined back, so every step needed its own
+    # localCheckpoint to stop subtree doubling (6 checkpoint jobs for
+    # PCA_R=4). Single-partition windows over the joined 64-row pass
+    # compute the identical values (the join on dim is 1:1-complete —
+    # both sides carry exactly the 64 dims — so sum(uk·uk) over the
+    # joined rows IS uₖᵀuₖ), each step's subtree occurs once, and the
+    # whole component chains under ONE materialize (kept because later
+    # components, j145's quality columns and the _gs_basis memo all
+    # re-consume uₖ). Bit-identical integer arithmetic throughout.
     us = [vs[0].select("dim", F.col("v").alias("u"))]
     for c in range(1, PCA_R):
         t = vs[c].select("dim", F.col("v").alias("u"))
         for k in range(c):
             uk = us[k].select("dim", F.col("u").alias("uk"))
-            nn = us[k].agg(F.sum(F.col("u") * F.col("u")).cast("bigint").alias("nn"))
             # 64-row sides: broadcast explicitly — AQE cannot size
             # localCheckpoint-backed scans and would plan SMJ
-            vu = (
-                t.join(F.broadcast(uk), "dim")
-                .agg(F.sum(F.col("u") * F.col("uk")).cast("bigint").alias("vu"))
+            proj = t.join(F.broadcast(uk), "dim").select(
+                "dim",
+                (
+                    F.col("u") * F.expr("sum(uk * uk) OVER ()")
+                    - F.expr("sum(u * uk) OVER ()") * F.col("uk")
+                ).alias("u"),
             )
-            proj = (
-                t.join(F.broadcast(uk), "dim")
-                .crossJoin(F.broadcast(nn))
-                .crossJoin(F.broadcast(vu))
-                .select(
-                    "dim",
-                    (F.col("u") * F.col("nn") - F.col("vu") * F.col("uk")).alias("u"),
+            t = proj.select(
+                "dim",
+                F.floor(
+                    F.col("u").cast("double")
+                    / F.greatest(
+                        F.expr(f"max(abs(u)) OVER () DIV {_PI_S}"),
+                        F.lit(1).cast("long"),
+                    )
                 )
+                .cast("bigint")
+                .alias("u"),
             )
-            e = proj.agg(
-                F.greatest(
-                    F.expr(f"max(abs(u)) DIV {_PI_S}"), F.lit(1).cast("long")
-                ).alias("e")
-            )
-            t = materialize(
-                proj.crossJoin(F.broadcast(e))
-                .select(
-                    "dim",
-                    F.floor(F.col("u").cast("double") / F.col("e"))
-                    .cast("bigint")
-                    .alias("u"),
-                )
-                .coalesce(1)  # 64 rows at any scale
-            )
-        us.append(t)
+        us.append(materialize(t))
     return us
 
 
@@ -2212,9 +2222,12 @@ def j159_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     NQ·{GRAPH_BEAM}-row broadcast frontier — the scan never repeats
     per hop on a cluster. Hops chain as ONE lineage (the kmeans_assign
     round-13 lesson): each hop's subtree occurs once, no per-hop
-    barrier."""
+    barrier. The quantized node table materializes ONCE (round 13):
+    edge construction (both self-join sides), the entry lookup, every
+    hop's probe and the exact audit side ride it instead of
+    re-deriving the scan+quantize subtree eight times."""
     emb = load(spark, sf_dir, "embeddings")
-    qt = emb.select("vec_id", "label", _graph_qcol().alias("q"))
+    qt = materialize(emb.select("vec_id", "label", _graph_qcol().alias("q")))
     dist = _graph_dist
     # entry assignment for EXTERNAL-query semantics: nearest quantized
     # cell centroid (the IVF descent standing in for HNSW's top layer)
@@ -2246,11 +2259,52 @@ def _graph_qcol():
     )
 
 
+GRAPH_DIMS = 64  # asserted per row — a non-64-dim fixture errors loudly
+
+
 def _graph_dist(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
+    )
+
+
+def _graph_dist_unrolled(a, b):
+    """Exact integer squared-L2, unrolled to a 64-term codegen sum:
+    bit-identical to _graph_dist's aggregate(zip_with(...)) fold —
+    BIGINT addition is associative, so term order is free — at ~2.3×
+    the throughput (HOF lambdas evaluate interpreted and allocate a
+    64-element array per pair). Used ONLY in the FLAT hot plan (the
+    ~n·cell-row edge stage): unrolling the walk's per-hop distances
+    instead multiplied the ~700-node expression through the chained
+    hop lineage and blew up Catalyst planning time ~4× (measured
+    round 13 — j159 8.6→36 s, planning-bound) — the compact HOF stays
+    in deep plans. The dimension is ASSERTED, not assumed (the j157
+    oracle lesson): callers wrap each INPUT array in _graph_guard_dims
+    — guarding the array column per node row, not the sum per pair:
+    wrapping this 700-node sum in CASE WHEN(assert…) forced it out of
+    whole-stage codegen into interpreted eval (measured: the edge
+    stage went 1.75 → 18.6 s)."""
+    terms = [
+        (F.element_at(a, i) - F.element_at(b, i))
+        * (F.element_at(a, i) - F.element_at(b, i))
+        for i in range(1, GRAPH_DIMS + 1)
+    ]
+    return reduce(lambda x, y: x + y, terms)
+
+
+def _graph_guard_dims(col):
+    """Dimension tripwire for the unrolled distance: errors loudly on
+    a non-{GRAPH_DIMS}-dim embedding (which would otherwise silently
+    diverge from the length-driven DuckDB oracle). Wraps the cheap
+    array column — one assert per node row, outside the hot sum."""
+    return F.when(
+        F.assert_true(
+            F.size(col) == GRAPH_DIMS,
+            F.lit(f"graph dist: embedding dimension != {GRAPH_DIMS}"),
+        ).isNull(),
+        col,
     )
 
 
@@ -2274,7 +2328,7 @@ def graph_ann_plan(spark: SparkSession, sf_dir: str, k: int | None = None) -> Da
     asg = materialize(
         kmeans_assign(spark, sf_dir, iters=3, k=k).select("vec_id", "cluster")
     )
-    qt = (
+    qt = materialize(
         emb.join(asg, "vec_id")
         .select("vec_id", F.col("cluster").alias("label"), _graph_qcol().alias("q"))
     )
@@ -2290,11 +2344,19 @@ def graph_ann_plan(spark: SparkSession, sf_dir: str, k: int | None = None) -> Da
 def _nsw_edges(qt: DataFrame) -> DataFrame:
     """Per-cell M-NN construction, symmetrized and materialized —
     candidate pairs are cell-bounded (never all-pairs); the result is
-    ≤ 2·n·GRAPH_M rows."""
-    dist = _graph_dist
-    ea = qt.select("label", F.col("vec_id").alias("src"), F.col("q").alias("qa"))
+    ≤ 2·n·GRAPH_M rows. The pair stage is the family's hot loop
+    (~n·cell distance evaluations in one flat plan) — it uses the
+    unrolled codegen distance (round 13, see _graph_dist_unrolled)."""
+    dist = _graph_dist_unrolled
+    ea = qt.select(
+        "label",
+        F.col("vec_id").alias("src"),
+        _graph_guard_dims(F.col("q")).alias("qa"),
+    )
     eb = qt.select(
-        F.col("label").alias("lb"), F.col("vec_id").alias("dst"), F.col("q").alias("qb")
+        F.col("label").alias("lb"),
+        F.col("vec_id").alias("dst"),
+        _graph_guard_dims(F.col("q")).alias("qb"),
     )
     cand = ea.join(eb, (ea.label == eb.lb) & (ea.src != eb.dst)).select(
         "src", "dst", dist(F.col("qa"), F.col("qb")).alias("dd")
@@ -2312,29 +2374,64 @@ def _nsw_edges(qt: DataFrame) -> DataFrame:
     )
 
 
+def _nsw_exact(qs: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Brute-force exact top-{GRAPH_K} per query — the audit's ground
+    truth: bounded-query broadcast crossJoin (j130's category), per-qid
+    window over candidate-bounded partitions. Flat NQ·n-row plan —
+    uses the unrolled codegen distance (see _graph_dist_unrolled)."""
+    dist = _graph_dist_unrolled
+    wbeam = Window.partitionBy("qid").orderBy("dd", "cid")
+    return (
+        nodes.select(F.col("nid"), _graph_guard_dims(F.col("nq")).alias("nq"))
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("nid").alias("cid"),
+            dist(F.col("qq"), F.col("nq")).alias("dd"),
+        )
+        .withColumn("rn", F.row_number().over(wbeam))
+        .filter(F.col("rn") <= GRAPH_K)
+        .select("qid", "cid")
+    )
+
+
 def _nsw_recall_audit(
     qt: DataFrame,
     qs: DataFrame,
     assigned: DataFrame,
     edges: DataFrame | None = None,
     beam: int = GRAPH_BEAM,
+    exact: DataFrame | None = None,
+    cellmin: DataFrame | None = None,
 ) -> DataFrame:
     """Shared NSW body: per-cell M-NN construction (symmetrized),
     fixed-hop beam walk from the assigned cell's min-id node, recall@K
     audit vs exact. ``qt`` = (vec_id, label, q); ``qs`` = (qid, qq);
     ``assigned`` = (qid, qq, label) — the entry-cell choice is the
     caller's (centroid descent for j159, own-cluster for
-    graph_ann_plan). ``edges`` lets a sweep (j161) build the graph
-    once and walk it at several ``beam`` widths."""
+    graph_ann_plan). ``edges``/``cellmin``/``exact`` let a sweep
+    (j161) build the graph, the entry table and the brute-force audit
+    side ONCE and ride them at several ``beam`` widths (round 13: the
+    exact side was recomputed per swept beam — the sweep's single
+    largest cost, identical every time).
+
+    Round-13 join shapes: the walk's per-hop joins put the BOUNDED
+    side (frontier ≤ NQ·beam rows, then candidates ≤ NQ·beam·M rows)
+    behind an explicit broadcast, so the corpus-sized edge and node
+    tables are probed map-side and never shuffle per hop — the plan
+    now matches the docstring's 100 TB claim (broadcast frontier
+    against the bucketed edge layout)."""
     dist = _graph_dist
     if edges is None:
         edges = _nsw_edges(qt)
+    if cellmin is None:
+        cellmin = qt.groupBy("label").agg(F.min("vec_id").alias("cid"))
 
-    cellmin = qt.groupBy("label").agg(F.min("vec_id").alias("cid"))
     nodes = qt.select(F.col("vec_id").alias("nid"), F.col("q").alias("nq"))
+    entry = assigned.join(F.broadcast(cellmin), "label")
     visited = (
-        assigned.join(F.broadcast(cellmin), "label")
-        .join(nodes, F.col("cid") == F.col("nid"))
+        nodes.join(F.broadcast(entry), F.col("cid") == F.col("nid"))
         .select("qid", "cid", dist(F.col("qq"), F.col("nq")).alias("dd"))
     )
 
@@ -2346,12 +2443,19 @@ def _nsw_recall_audit(
             .filter(F.col("rn") <= beam)
             .select("qid", "cid")
         )
-        expand = (
-            frontier.join(edges, frontier.cid == edges.src)
+        # no distinct here (round 13): a node reached from two frontier
+        # members duplicates its (qid, cid) pair, but dd is
+        # deterministic, so the per-hop union DISTINCT below collapses
+        # the same rows either way — the dropped exchange was one of
+        # three per hop, and the duplicate distance evals are bounded
+        # by beam·M per query
+        cand = (
+            edges.join(F.broadcast(frontier), F.col("src") == F.col("cid"))
             .select("qid", F.col("dst").alias("cid"))
-            .distinct()
             .join(F.broadcast(qs), "qid")
-            .join(nodes, F.col("cid") == F.col("nid"))
+        )
+        expand = (
+            nodes.join(F.broadcast(cand), F.col("cid") == F.col("nid"))
             .select("qid", "cid", dist(F.col("qq"), F.col("nq")).alias("dd"))
         )
         visited = visited.unionByName(expand).distinct()
@@ -2364,14 +2468,8 @@ def _nsw_recall_audit(
         .filter(F.col("rn") <= GRAPH_K)
         .select(F.col("qid").alias("aqid"), F.col("cid").alias("acid"))
     )
-    exact = (
-        qs.crossJoin(nodes)
-        .filter(F.col("nid") != F.col("qid"))
-        .select("qid", F.col("nid").alias("cid"), dist(F.col("qq"), F.col("nq")).alias("dd"))
-        .withColumn("rn", F.row_number().over(wbeam))
-        .filter(F.col("rn") <= GRAPH_K)
-        .select("qid", "cid")
-    )
+    if exact is None:
+        exact = _nsw_exact(qs, nodes)
     nv = visited.groupBy("qid").agg(F.count("*").cast("bigint").alias("n_visited"))
     hit = exact.join(
         F.broadcast(res),
@@ -2470,14 +2568,17 @@ def j161_graph_beam_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     size (the COST axis) and recall@{GRAPH_K} (the QUALITY axis).
     This is the table an operator reads to pick the ef_search dial —
     HNSW's central tradeoff — before committing a cluster-wide
-    setting. Construction cost is paid ONCE: the symmetrized edge
-    table materializes a single time and every beam's walk (and the
-    shared exact side) rides it; each extra beam adds only its
-    frontier joins, which is exactly the marginal cost the sweep is
-    pricing. Bit-exact both engines for the same reason j159 is (all
-    comparisons integer, ties by id)."""
+    setting. EVERYTHING beam-independent is paid ONCE (round 13): the
+    quantized node table, the symmetrized edge table, the entry table
+    and the exact brute-force audit side all materialize a single
+    time and every beam's walk rides them — the exact side was
+    recomputed per swept beam before, tripling the sweep's single
+    largest cost. Each extra beam adds only its frontier joins, which
+    is exactly the marginal cost the sweep is pricing. Bit-exact both
+    engines for the same reason j159 is (all comparisons integer,
+    ties by id)."""
     emb = load(spark, sf_dir, "embeddings")
-    qt = emb.select("vec_id", "label", _graph_qcol().alias("q"))
+    qt = materialize(emb.select("vec_id", "label", _graph_qcol().alias("q")))
     dist = _graph_dist
     from json2hbase_spark.operators.similarity import ivf_centroids
 
@@ -2499,8 +2600,14 @@ def j161_graph_beam_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "qq", "label")
     )
     edges = _nsw_edges(qt)
+    cellmin = qt.groupBy("label").agg(F.min("vec_id").alias("cid"))
+    exact = materialize(
+        _nsw_exact(qs, qt.select(F.col("vec_id").alias("nid"), F.col("q").alias("nq")))
+    )
     outs = [
-        _nsw_recall_audit(qt, qs, assigned, edges=edges, beam=b).select(
+        _nsw_recall_audit(
+            qt, qs, assigned, edges=edges, beam=b, exact=exact, cellmin=cellmin
+        ).select(
             F.lit(b).cast("int").alias("beam"),
             "qid",
             "n_visited",

@@ -379,7 +379,17 @@ def test_gs_basis_memo_bit_equals_recompute(spark):
     assert memo == fresh
     import os
 
-    key = (spark.sparkContext.applicationId, os.path.realpath(SF))
+    # the memo key carries the fixture content marker since ADVICE
+    # r12 #3 (a rewritten fixture at the same path must not share a
+    # stale basis)
+    from json2hbase_spark.plans.vector_queries import _emb_content_marker
+
+    real = os.path.realpath(SF)
+    key = (
+        spark.sparkContext.applicationId,
+        real,
+        _emb_content_marker(real),
+    )
     assert _GS_BASIS_CACHE[key] == fresh
 
 

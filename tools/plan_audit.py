@@ -105,12 +105,12 @@ AUDIT = {
     "j118_pack_ffd": "token-count map pass → ONE FlatMapGroupsInPandas per lang (the declared sequential FFD kernel) → partial-combined hash agg on (lang, bin); no join, no corpus shuffle beyond the lang regroup",
     "j119_nfc_normalize": "codegen'd dirt concat → ONE Arrow MapInPandas (vectorized NFC) → JVM-side lengths/md5 into a |langs|-row hash agg; no row-Python, no join",
     "j120_kcenter_coreset": "quantize scan materialized once; per step ONE broadcast of the single newest center folded into the running min-distance state + a 1-row max(struct) argmax — never a point×point stage",
-    "j121_embed_top_eigvec": "j97's pair-explode covariance agg (shuffle ≤ d(d+1)/2 rows) → 4 in-plan matrix squarings + 5 matvecs over ≤d²-row tables, each materialized; all post-covariance exchanges dimension-bounded",
+    "j121_embed_top_eigvec": "j97's pair-explode covariance agg (shuffle ≤ d(d+1)/2 rows) → 4 materialized matrix squarings, then 5 matvecs CHAINED as one lineage (window renorms, r13) under a single materialize; all post-covariance exchanges dimension-bounded",
     "j122_common_dir_removal": "eigvec collapsed to ONE broadcast 64-element array folded per row (codegen HOF, no UDF); DECIMAL(38,0) exact energy sums into a |labels|-row agg",
     "j123_coreset_coverage": "corpus × K-row center table broadcast crossJoin (never point×point) → min(struct) argmin per point → K-row hash agg",
-    "j127_pca_topr": "j121's covariance + squarings, then per component POWER_ITERS matvecs and one Hotelling deflation — every post-covariance stage a ≤d²-row materialized job with explicit broadcasts and coalesce(1) (constant-size tables at any corpus)",
+    "j127_pca_topr": "j121's covariance + squarings, then per component a CHAINED POWER_ITERS matvec lineage (one materialize per component, r13) and one materialized Hotelling deflation — every post-covariance stage ≤d² rows with explicit broadcasts",
     "j128_whiten_rescore": "eigvec = ONE broadcast 64-array; residual rewrite a per-row codegen fold materialized once; pair join blocked on the LSH bucket (SMJ justified, j43's category); all dots order-free BIGINT folds",
-    "j129_pq_codebook": "ONE grouped Lloyd plan for all 8 subspaces: per round a 64-row centroid broadcast + min(struct) hash-agg argmin + QCENT_AVG update; distortion quantized to BIGINT before the (sub, cluster) agg",
+    "j129_pq_codebook": "ONE grouped Lloyd plan for all 8 subspaces: rounds chain as one lineage (r13) — per round a 64-row centroid broadcast + min(struct) hash-agg argmin + QCENT_AVG update; only the final codebook materializes; distortion quantized to BIGINT before the (sub, cluster) agg",
     "j130_pq_adc_recall": "640-row query LUT broadcast onto the code table (8 integer rows per vector — the compressed scan) into a (qid, cid) hash agg; exact side a bounded-query broadcast crossJoin; per-qid top-k windows over candidate-bounded partitions",
     "j131_corpus_pipeline": "six materialized stage boundaries (each stage its standalone op's shape: hash aggs, one norm window, one blocked pair join, broadcast gram semi-joins, one pack window); audit rows are |langs|-row aggs over tables already in hand",
     "j133_residual_energy": "eigvec = ONE broadcast 64-array (j122's shape); per-vector energy a per-row codegen fold over one corpus scan — no shuffle beyond j121's covariance pass",
@@ -231,14 +231,16 @@ def _nonscalar_singlepart(plan: str) -> int:
     """Count Exchange SinglePartition nodes whose child is NOT a
     scalar (keys=[]) aggregate. In the tree toString the child is the
     next line; a grand-total funnel reads 'Exchange SinglePartition'
-    over '...Aggregate(keys=[], ...)'."""
+    over '...HashAggregate(keys=[], ...)' — or, when the aggregation
+    buffer holds non-mutable types (e.g. partial_max over STRING),
+    '...SortAggregate(key=[], ...)' (singular in that toString)."""
     lines = plan.splitlines()
     n = 0
     for i, line in enumerate(lines):
         if "Exchange SinglePartition" not in line:
             continue
         child = lines[i + 1] if i + 1 < len(lines) else ""
-        if "Aggregate(keys=[]" not in child:
+        if "Aggregate(keys=[]" not in child and "Aggregate(key=[]" not in child:
             n += 1
     return n
 
