@@ -1654,7 +1654,13 @@ def j143_gate_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         inter = F.size(F.array_intersect("sh_a", "sh_b"))
         union = F.size("sh_a") + F.size("sh_b") - inter
-        drop = (
+        # round 13 second pass: materialize the TINY drop list (≤ dup
+        # candidates), not the full anti-join survivor table — the
+        # survivor copy rewrote the whole stage to storage for one or
+        # two cheap consumers, while the expensive pair join lives
+        # entirely in `drop`. Consumers re-run only a scan of the
+        # already-materialized df side + a broadcast lookup.
+        drop = materialize(
             a.join(
                 b,
                 (F.col("block") == F.col("block_b"))
@@ -1664,14 +1670,18 @@ def j143_gate_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("doc_b").alias("doc_id"))
             .distinct()
         )
-        return materialize(df.join(F.broadcast(drop), "doc_id", "left_anti"))
+        return df.join(F.broadcast(drop), "doc_id", "left_anti")
 
-    a2 = materialize(feats.filter("q_ok"))
+    # a2/b4 stay LAZY (round 13 second pass): both are cheap filters
+    # over already-materialized tables (feats / b3's materialized
+    # inputs) — checkpointing them copied the table once per stage for
+    # consumers that only re-scan it.
+    a2 = feats.filter("q_ok")
     a3 = exact(a2)
     a4 = near(a3)
     b2 = exact(feats)
     b3 = near(b2)
-    b4 = materialize(b3.filter("q_ok"))
+    b4 = b3.filter("q_ok")
 
     def audit(ordering: str, stage: str, df: DataFrame) -> DataFrame:
         return (

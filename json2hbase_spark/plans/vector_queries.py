@@ -254,10 +254,9 @@ def j127_pca_topr(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-iteration checkpoint cadence). At 100 TB the corpus cost is
     identical to j121's; the extra components cost O(r·(d²·iters))
     — constants."""
-    a = _accel_matrix(spark, sf_dir)
+    comps = _pca_components(spark, sf_dir, refresh=True)
     out = []
-    for c in range(PCA_R):
-        v_signed, wmax = _power_on(a)
+    for c, (v_signed, wmax) in enumerate(comps):
         out.append(
             v_signed.crossJoin(F.broadcast(wmax)).select(
                 F.lit(c).alias("component"),
@@ -266,9 +265,48 @@ def j127_pca_topr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "w_max",
             )
         )
-        if c < PCA_R - 1:
-            a = _deflate(a, v_signed)
     return reduce(DataFrame.unionByName, out)
+
+
+# Session-scoped deflated-components memo (round 13 — one level above
+# the _gs_basis memo): j127 (the components DEFINER — "pca_topr" IS
+# the top-r component table) and j145's Gram-Schmidt chain both re-ran
+# the identical covariance + {MATPOW_SQUARINGS} squarings +
+# PCA_R×({POWER_ITERS} matvecs + deflation) chain. The components are
+# DIMENSION-bounded (PCA_R × 64 exact-integer rows + one scalar each),
+# so the collect→local-relation round-trip is bit-lossless — the same
+# payer/consumer split VERDICT r11 #1 directed for j145→j147, applied
+# to j127→j145: j127 recomputes (its bench time IS the chain), j145
+# rides the components and pays only its own GS + quality columns.
+_PCA_COMP_CACHE: dict[tuple, list[tuple[list[tuple[int, int]], int]]] = {}
+
+
+def _pca_components(spark: SparkSession, sf_dir: str, refresh: bool = False):
+    """j127's deflated power-iteration chain: PCA_R (v_signed, wmax)
+    pairs as local relations. Memoized per (session, fixture) with
+    j127 as the refreshing definer; _gs_basis_compute consumes."""
+    from json2hbase_spark.plans.selection_queries import _eig_cache_key
+
+    key = _eig_cache_key(spark, sf_dir)
+    stored = None if refresh else _PCA_COMP_CACHE.get(key)
+    if stored is None:
+        a = _accel_matrix(spark, sf_dir)
+        stored = []
+        for c in range(PCA_R):
+            v_signed, wmax = _power_on(a)
+            rows = sorted((int(r["dim"]), int(r["v"])) for r in v_signed.collect())
+            wm = int(wmax.collect()[0]["w_max"])
+            stored.append((rows, wm))
+            if c < PCA_R - 1:
+                a = _deflate(a, v_signed)
+        _PCA_COMP_CACHE[key] = stored
+    return [
+        (
+            spark.createDataFrame(rows, "dim INT, v BIGINT"),
+            spark.createDataFrame([(wm,)], "w_max BIGINT"),
+        )
+        for rows, wm in stored
+    ]
 
 
 # --------------------------------------------------------------- j128
@@ -578,7 +616,50 @@ def _pq_sqdist(a, b):
     )
 
 
-def _pq_train(spark: SparkSession, sf_dir: str, vectors: DataFrame | None = None):
+def assign_to(subvecs: DataFrame, c: DataFrame) -> DataFrame:
+    """One PQ assignment pass: nearest codebook entry per (vec, sub)
+    as a map-side-combinable min(struct(d, cluster, sv)) hash agg."""
+    return (
+        subvecs.join(F.broadcast(c), "sub")
+        .groupBy("vec_id", "sub")
+        .agg(
+            F.min(
+                F.struct(
+                    _pq_sqdist(F.col("sv"), F.col("ce")).alias("d"),
+                    F.col("cluster").alias("cluster"),
+                    F.col("sv").alias("sv"),
+                )
+            ).alias("s")
+        )
+        .select(
+            "vec_id",
+            "sub",
+            F.col("s.sv").alias("sv"),
+            F.col("s.cluster").alias("cluster"),
+            F.col("s.d").alias("d"),
+        )
+    )
+
+
+# Session-scoped codebook memo (round 13 — the _gs_basis/_power_eigvec
+# pattern): five trainer calls (j129, j130, j134, i34, j139's raw leg)
+# each re-ran the {PQ_ITERS} Lloyd rounds over the corpus to converge
+# the SAME {PQ_M}×{PQ_K} codebook. The codebook is BOUNDED (64 rows of
+# 8 doubles, deterministic for a fixture) and doubles round-trip
+# bit-exactly through collect/createDataFrame, so consumers ride a
+# local relation and pay only their own subvec + final-assign pass.
+# j129 (the codebook DEFINER) passes refresh=True — its bench time IS
+# the training cost. Keyed like _EIG_CACHE; the ``vectors`` override
+# (j139's whitened leg) never touches the memo.
+_PQ_CENTS_CACHE: dict[tuple, list[tuple[int, int, list[float]]]] = {}
+
+
+def _pq_train(
+    spark: SparkSession,
+    sf_dir: str,
+    vectors: DataFrame | None = None,
+    refresh: bool = False,
+):
     """Shared PQ trainer: returns (subvecs, cents, codes) — the
     materialized (vec_id, sub, sv) table, the final (sub, cluster, ce)
     codebooks and the (vec_id, sub, cluster, d) code assignment. The
@@ -587,6 +668,8 @@ def _pq_train(spark: SparkSession, sf_dir: str, vectors: DataFrame | None = None
     (sub rides every key), not {PQ_M} sequential jobs. ``vectors``
     (vec_id, embedding) overrides the default embeddings scan —
     j139 trains on the whitened residual table through this hook."""
+    from json2hbase_spark.plans.selection_queries import _eig_cache_key
+
     emb = (
         widen(load(spark, sf_dir, "embeddings")) if vectors is None else vectors
     )
@@ -609,39 +692,35 @@ def _pq_train(spark: SparkSession, sf_dir: str, vectors: DataFrame | None = None
             ).alias("ss"),
         ).select("vec_id", "ss.sub", "ss.sv")
     )
+    key = None if vectors is not None else _eig_cache_key(spark, sf_dir)
+    if key is not None and not refresh:
+        hit = _PQ_CENTS_CACHE.get(key)
+        if hit is not None:
+            cents = spark.createDataFrame(
+                hit, "sub INT, cluster INT, ce ARRAY<DOUBLE>"
+            )
+            codes = materialize(
+                assign_to(subvecs, cents).select("vec_id", "sub", "cluster", "d")
+            )
+            return subvecs, cents, codes
+
     cents = subvecs.filter(F.col("vec_id") < PQ_K).select(
         "sub", F.col("vec_id").cast("int").alias("cluster"), F.col("sv").alias("ce")
     )
 
     def assign(c: DataFrame) -> DataFrame:
-        return (
-            subvecs.join(F.broadcast(c), "sub")
-            .groupBy("vec_id", "sub")
-            .agg(
-                F.min(
-                    F.struct(
-                        _pq_sqdist(F.col("sv"), F.col("ce")).alias("d"),
-                        F.col("cluster").alias("cluster"),
-                        F.col("sv").alias("sv"),
-                    )
-                ).alias("s")
-            )
-            .select(
-                "vec_id",
-                "sub",
-                F.col("s.sv").alias("sv"),
-                F.col("s.cluster").alias("cluster"),
-                F.col("s.d").alias("d"),
-            )
-        )
+        return assign_to(subvecs, c)
 
     # Lloyd rounds CHAIN as one lineage (round 13, the kmeans_assign
     # lesson): each round's centroid subtree is consumed exactly once
     # by the next assign (subvecs is materialized, so the broadcast
     # re-derives only the bounded PQ_M×PQ_K centroid arithmetic) —
     # the per-round localCheckpoint bought nothing but 2 extra driver
-    # actions per round. Only the FINAL cents materializes: it is
-    # multi-consumed (codes here, the ADC LUT in j130/j134/j139).
+    # actions per round. The FINAL cents collects to a local relation
+    # (the collect is the chain's one action): it is bounded,
+    # multi-consumed (codes here, the ADC LUT in j130/j134/j139), and
+    # doubles round-trip bit-exactly — same plan shape on compute and
+    # memo paths.
     for it in range(PQ_ITERS):
         cents = (
             assign(cents)
@@ -656,8 +735,13 @@ def _pq_train(spark: SparkSession, sf_dir: str, vectors: DataFrame | None = None
                 ).alias("ce")
             )
         )
-        if it == PQ_ITERS - 1:
-            cents = materialize(cents)
+    rows = sorted(
+        (int(r["sub"]), int(r["cluster"]), [float(x) for x in r["ce"]])
+        for r in cents.collect()
+    )
+    if key is not None:
+        _PQ_CENTS_CACHE[key] = rows
+    cents = spark.createDataFrame(rows, "sub INT, cluster INT, ce ARRAY<DOUBLE>")
     codes = materialize(assign(cents).select("vec_id", "sub", "cluster", "d"))
     return subvecs, cents, codes
 
@@ -689,7 +773,7 @@ def j129_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     + one hash agg over (vec, sub) — scan-shaped, no shuffle grows
     with corpus size beyond the {PQ_M}·{PQ_K}·{PQ_SUBDIM}-cell
     centroid table."""
-    _, _, codes = _pq_train(spark, sf_dir)
+    _, _, codes = _pq_train(spark, sf_dir, refresh=True)
     qd = F.floor(F.col("d") * PQ_DIST_SCALE + 0.5).cast("long")
     return (
         codes.groupBy("sub", "cluster")
@@ -1759,15 +1843,10 @@ def _gs_basis(spark: SparkSession, sf_dir: str, refresh: bool = False) -> list:
 
 
 def _gs_basis_compute(spark: SparkSession, sf_dir: str) -> list:
-    from json2hbase_spark.plans.selection_queries import _accel_matrix, _power_on
-
-    a = _accel_matrix(spark, sf_dir)
-    vs = []
-    for c in range(PCA_R):
-        v_signed, _ = _power_on(a)
-        vs.append(v_signed)
-        if c < PCA_R - 1:
-            a = _deflate(a, v_signed)
+    # round 13: the raw deflated components come from j127's memo
+    # (j127 is their definer; first touch in a fresh session computes
+    # and stores) — j145 pays only the Gram-Schmidt chain below.
+    vs = [v for v, _ in _pca_components(spark, sf_dir)]
 
     # Round 13 (the _power_on chaining lesson): each projection step's
     # three scalars — nn = uₖᵀuₖ, vu = tᵀuₖ, and the rescale bound —
@@ -2488,6 +2567,95 @@ def _nsw_recall_audit(
     )
 
 
+def _nsw_sweep_audit(
+    qt: DataFrame,
+    qs: DataFrame,
+    assigned: DataFrame,
+    edges: DataFrame,
+    exact: DataFrame,
+    cellmin: DataFrame,
+    beams: tuple[int, ...],
+) -> DataFrame:
+    """All swept beam widths walk as ONE keyed lineage (round 13,
+    second pass): `beam` rides every row as a partition key, so the
+    three formerly-separate per-beam chains (3 × GRAPH_HOPS hop
+    stages, each scanning the edge and node tables and paying its own
+    union-DISTINCT exchange and final materialize) collapse into one
+    chain — per hop, edges and nodes are scanned ONCE for every beam
+    and the per-hop set semantics are enforced per (beam, qid), which
+    is bit-identical to the standalone walks because every window,
+    distinct and join below is keyed by (beam, qid): the per-beam row
+    groups never interact. Output identical to the per-beam
+    _nsw_recall_audit union (the unrolled per-beam DuckDB oracle is
+    unchanged and hash-checks it)."""
+    dist = _graph_dist
+    bdf = F.broadcast(
+        # one row per swept width; the frontier filter reads the value
+        qt.sparkSession.createDataFrame([(b,) for b in beams], "beam INT")
+    )
+    nodes = qt.select(F.col("vec_id").alias("nid"), F.col("q").alias("nq"))
+    entry = assigned.join(F.broadcast(cellmin), "label")
+    visited = (
+        nodes.join(F.broadcast(entry), F.col("cid") == F.col("nid"))
+        .select("qid", "cid", dist(F.col("qq"), F.col("nq")).alias("dd"))
+        .crossJoin(bdf)
+    )
+    wbeam = Window.partitionBy("beam", "qid").orderBy("dd", "cid")
+    for _ in range(GRAPH_HOPS):
+        frontier = (
+            visited.withColumn("rn", F.row_number().over(wbeam))
+            .filter(F.col("rn") <= F.col("beam"))
+            .select("beam", "qid", "cid")
+        )
+        cand = (
+            edges.join(F.broadcast(frontier), F.col("src") == F.col("cid"))
+            .select("beam", "qid", F.col("dst").alias("cid"))
+            .join(F.broadcast(qs), "qid")
+        )
+        expand = (
+            nodes.join(F.broadcast(cand), F.col("cid") == F.col("nid"))
+            .select("beam", "qid", "cid", dist(F.col("qq"), F.col("nq")).alias("dd"))
+        )
+        visited = visited.unionByName(expand).distinct()
+    visited = materialize(visited)
+
+    res = (
+        visited.filter(F.col("cid") != F.col("qid"))
+        .withColumn("rn", F.row_number().over(wbeam))
+        .filter(F.col("rn") <= GRAPH_K)
+        .select(
+            F.col("beam").alias("abeam"),
+            F.col("qid").alias("aqid"),
+            F.col("cid").alias("acid"),
+        )
+    )
+    nv = visited.groupBy("beam", "qid").agg(
+        F.count("*").cast("bigint").alias("n_visited")
+    )
+    hit = exact.crossJoin(bdf).join(
+        F.broadcast(res),
+        (F.col("beam") == F.col("abeam"))
+        & (F.col("qid") == F.col("aqid"))
+        & (F.col("cid") == F.col("acid")),
+        "left",
+    )
+    return (
+        hit.groupBy("beam", "qid")
+        .agg(
+            F.count("acid").cast("bigint").alias("n_hit"),
+            (F.count("acid").cast("double") / F.count(F.lit(1))).alias("recall"),
+        )
+        .join(F.broadcast(nv), ["beam", "qid"])
+        .select(
+            F.col("beam").cast("int").alias("beam"),
+            "qid",
+            "n_visited",
+            "n_hit",
+            "recall",
+        )
+    )
+
+
 # ---------------------------------------------------------------- j161
 
 GRAPH_SWEEP_BEAMS = (1, 2, 4)  # beam widths swept; GRAPH_BEAM is the middle point
@@ -2604,16 +2772,6 @@ def j161_graph_beam_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = materialize(
         _nsw_exact(qs, qt.select(F.col("vec_id").alias("nid"), F.col("q").alias("nq")))
     )
-    outs = [
-        _nsw_recall_audit(
-            qt, qs, assigned, edges=edges, beam=b, exact=exact, cellmin=cellmin
-        ).select(
-            F.lit(b).cast("int").alias("beam"),
-            "qid",
-            "n_visited",
-            "n_hit",
-            "recall",
-        )
-        for b in GRAPH_SWEEP_BEAMS
-    ]
-    return reduce(DataFrame.unionByName, outs)
+    return _nsw_sweep_audit(
+        qt, qs, assigned, edges, exact, cellmin, GRAPH_SWEEP_BEAMS
+    )

@@ -567,3 +567,54 @@ def test_j161_beam_sweep_consistent_with_j159_and_monotone_cost(spark, sf_dir):
         pts.sort()
         sizes = [n for _, n in pts]
         assert sizes == sorted(sizes), f"visited not monotone in beam for {qid}: {pts}"
+
+
+def test_power_eigvec_memo_bit_equals_recompute(spark):
+    """Round-13 eigvec memo (_gs_basis's payer/consumer split applied
+    to the _power_eigvec chain): the memoized 64-row table and wmax
+    must equal a fresh recompute bit-for-bit — bigints round-trip
+    losslessly through collect → local relation — and the refresh
+    path (j121, the definer) repopulates the same values."""
+    from json2hbase_spark.plans.selection_queries import (
+        _EIG_CACHE,
+        _eig_cache_key,
+        _power_eigvec,
+    )
+
+    v_f, w_f = _power_eigvec(spark, SF, refresh=True)
+    fresh = sorted((r.dim, r.v) for r in v_f.collect())
+    wm_f = w_f.collect()[0]["w_max"]
+    v_m, w_m = _power_eigvec(spark, SF)
+    memo = sorted((r.dim, r.v) for r in v_m.collect())
+    assert memo == fresh
+    assert w_m.collect()[0]["w_max"] == wm_f
+    assert _EIG_CACHE[_eig_cache_key(spark, SF)] == (fresh, wm_f)
+
+
+def test_pq_cents_memo_bit_equals_recompute(spark):
+    """Round-13 PQ codebook memo: the memoized centroid table must be
+    the byte-identical codebook a fresh Lloyd run converges to
+    (doubles round-trip exactly through collect/createDataFrame), and
+    the code assignment derived from it must match per (vec, sub)."""
+    from json2hbase_spark.plans.vector_queries import (
+        _PQ_CENTS_CACHE,
+        _pq_train,
+    )
+    from json2hbase_spark.plans.selection_queries import _eig_cache_key
+
+    _, cents_f, codes_f = _pq_train(spark, SF, refresh=True)
+    fresh_c = sorted(
+        (r.sub, r.cluster, tuple(r.ce)) for r in cents_f.collect()
+    )
+    fresh_codes = sorted(
+        (r.vec_id, r.sub, r.cluster, r.d) for r in codes_f.collect()
+    )
+    _, cents_m, codes_m = _pq_train(spark, SF)
+    memo_c = sorted((r.sub, r.cluster, tuple(r.ce)) for r in cents_m.collect())
+    memo_codes = sorted(
+        (r.vec_id, r.sub, r.cluster, r.d) for r in codes_m.collect()
+    )
+    assert memo_c == fresh_c
+    assert memo_codes == fresh_codes
+    cached = _PQ_CENTS_CACHE[_eig_cache_key(spark, SF)]
+    assert sorted((s, c, tuple(ce)) for s, c, ce in cached) == fresh_c
