@@ -97,6 +97,18 @@ def main() -> None:
         # unique codegen on first touch (isolated profile: 43.7 s cold,
         # 19-20 s steady) — j127's category; also warms j145/_gs_basis
         "j147_subspace_energy",
+        # round-14 adjudication of the i6/j119 driver breaches
+        # (VERDICT r13 #2): both isolated-profile CLEAN at steady state
+        # (i6 median 2.14 vs 2.10 frozen; j119 0.85 vs 1.08) — the
+        # breach component is first-touch: i6's applyInPandasWithState
+        # path spins its own stateful Python workers + state-store
+        # instances (i4 warms the micro-batch engine but NOT this
+        # worker mode), and j119's pandas Series.str.normalize loads
+        # the unicodedata tables per reused worker on first call (m4
+        # warms the mapInPandas pool but not the NFC path). Warm both
+        # at sf0.001 like their family precedents.
+        "i6_stateful",
+        "j119_nfc_normalize",
     ):
         registry.QUERIES[warm](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
@@ -108,6 +120,27 @@ def main() -> None:
     # tools/bench_compare.py annotates gate breaches that co-occur
     # with canary inflation at nearby run positions.
     canary_path = os.path.join(sf_dir, "orders.parquet")
+
+    # Single-core host canary (round 14, VERDICT r13 #10/BASELINE.md
+    # host-epoch note): the degradation mode that produced the r13
+    # i6/j159 false breaches is INVISIBLE to the scan canary (wide-
+    # stage throughput unchanged, single-core ~1.6x slower — it hits
+    # driver planning and per-key Python stages). A pure-Python spin
+    # loop timed at suite start and end records that mode machine-
+    # readably next to the run, so a breach in a degraded epoch is
+    # adjudicated from the record. Metadata only — nothing about the
+    # timed region changes.
+    def run_burn() -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            x = 0
+            for i in range(2_000_000):
+                x += i * i
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
+
+    burn_start = run_burn()
 
     def run_canary() -> float:
         t0 = time.perf_counter()
@@ -376,6 +409,7 @@ def main() -> None:
         "reruns": reruns,
         "canary": canary,
         "breaches": breaches,
+        "host_burn": {"start": burn_start, "end": run_burn()},
         "sf": sf_dir,
     }
     # the driver's BENCH_r{N}.json keeps only a truncated stdout tail;

@@ -1623,18 +1623,22 @@ def j143_gate_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         s1.select("doc_id", "lang", "norm", "tokens", q_ok.alias("q_ok"))
     )
 
-    def exact(df: DataFrame) -> DataFrame:
-        # round 13: min-id keep as ONE window over the norm partition
-        # instead of agg + left-semi join — the join form consumed df
-        # twice and paid a second exchange for the keep table; the
-        # window computes the identical "doc_id == min(doc_id) per
-        # norm" predicate in the partition the shuffle already built.
-        wmin = Window.partitionBy("norm")
-        return materialize(
-            df.withColumn("_m", F.min("doc_id").over(wmin))
-            .filter(F.col("doc_id") == F.col("_m"))
-            .drop("_m")
+    # Round 14 (VERDICT r13 #6): BOTH orderings' exact-dedup stages
+    # share ONE window pass over the norm partition — the overall
+    # min doc_id (dedup_first's keep) and the min among quality
+    # survivors (filter_first's keep) ride the same shuffle, because
+    # min over the q_ok SUBSET of a partition equals
+    # min(CASE WHEN q_ok THEN doc_id END) over the full partition.
+    # One materialized table replaces the two per-ordering exact()
+    # barriers (7 -> 6 driver actions, one fewer corpus-sized
+    # window+exchange); a3/b2 become cheap filters over it, the
+    # round-13 a2/b4 posture.
+    wmin = Window.partitionBy("norm")
+    mins = materialize(
+        feats.withColumn("_m_all", F.min("doc_id").over(wmin)).withColumn(
+            "_m_q", F.min(F.when(F.col("q_ok"), F.col("doc_id"))).over(wmin)
         )
+    )
 
     def near(df: DataFrame) -> DataFrame:
         sh = materialize(
@@ -1675,11 +1679,14 @@ def j143_gate_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a2/b4 stay LAZY (round 13 second pass): both are cheap filters
     # over already-materialized tables (feats / b3's materialized
     # inputs) — checkpointing them copied the table once per stage for
-    # consumers that only re-scan it.
+    # consumers that only re-scan it. a3/b2 are now lazy filters over
+    # the shared `mins` pass (round 14, above).
     a2 = feats.filter("q_ok")
-    a3 = exact(a2)
+    a3 = mins.filter(F.col("q_ok") & (F.col("doc_id") == F.col("_m_q"))).drop(
+        "_m_all", "_m_q"
+    )
     a4 = near(a3)
-    b2 = exact(feats)
+    b2 = mins.filter(F.col("doc_id") == F.col("_m_all")).drop("_m_all", "_m_q")
     b3 = near(b2)
     b4 = b3.filter("q_ok")
 

@@ -2048,6 +2048,16 @@ def _eig_cache_key(spark: SparkSession, sf_dir: str) -> tuple:
     return (spark.sparkContext.applicationId, real, marker)
 
 
+def _evict_stale_sessions(cache: dict, app_id: str) -> None:
+    """Session-memo hygiene (ADVICE r13): keys are applicationId-
+    scoped, so entries from ENDED sessions can never hit again —
+    drop them on insert so long-lived multi-session processes (test
+    runs spawning several sessions) don't accumulate dead payloads.
+    Payloads are ≤4×64 rows; this is hygiene, not a leak fix."""
+    for k in [k for k in cache if k[0] != app_id]:
+        del cache[k]
+
+
 def _power_eigvec(spark: SparkSession, sf_dir: str, refresh: bool = False):
     """Shared accelerated power iteration (j121's engine): returns
     (v_signed, wmax) — the 64-row signed eigvec table (dim, v) at
@@ -2071,6 +2081,7 @@ def _power_eigvec(spark: SparkSession, sf_dir: str, refresh: bool = False):
     v_signed, wmax = _power_on(_accel_matrix(spark, sf_dir))
     rows = sorted((int(r["dim"]), int(r["v"])) for r in v_signed.collect())
     wm = int(wmax.collect()[0]["w_max"])
+    _evict_stale_sessions(_EIG_CACHE, key[0])
     _EIG_CACHE[key] = (rows, wm)
     # rebuild as local relations even on the compute path: identical
     # integers, and AQE can size a LocalTableScan for broadcast where

