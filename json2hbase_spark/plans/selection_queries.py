@@ -2078,9 +2078,12 @@ def _power_eigvec(spark: SparkSession, sf_dir: str, refresh: bool = False):
             v_signed = spark.createDataFrame(rows, "dim INT, v BIGINT")
             wmax = spark.createDataFrame([(wm,)], "w_max BIGINT")
             return v_signed, wmax
-    v_signed, wmax = _power_on(_accel_matrix(spark, sf_dir))
-    rows = sorted((int(r["dim"]), int(r["v"])) for r in v_signed.collect())
-    wm = int(wmax.collect()[0]["w_max"])
+    _v_signed, _wmax, vfull = _power_on(_accel_matrix(spark, sf_dir))
+    # ONE collect carries the vector AND w_max (identical on every row
+    # — the window column); max over equal values == any row's value
+    data = vfull.collect()
+    rows = sorted((int(r["dim"]), int(r["v"])) for r in data)
+    wm = int(data[0]["w_max"])
     _evict_stale_sessions(_EIG_CACHE, key[0])
     _EIG_CACHE[key] = (rows, wm)
     # rebuild as local relations even on the compute path: identical
@@ -2161,7 +2164,12 @@ def _power_on(a: DataFrame):
     )
     v_signed = vfull.select("dim", "v")
     wmax = vfull.agg(F.max("w_max").alias("w_max"))
-    return v_signed, wmax
+    # vfull is returned too (round 14): the memoizing callers used to
+    # collect v_signed AND wmax as two separate actions over this same
+    # 64-row checkpoint — one vfull.collect() carries both (w_max rides
+    # every row as the window column), halving the per-chain collect
+    # actions (2 per component in j127's definer path).
+    return v_signed, wmax, vfull
 
 
 # --------------------------------------------------------------- j122

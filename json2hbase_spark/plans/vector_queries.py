@@ -293,12 +293,18 @@ def _pca_components(spark: SparkSession, sf_dir: str, refresh: bool = False):
         a = _accel_matrix(spark, sf_dir)
         stored = []
         for c in range(PCA_R):
-            v_signed, wmax = _power_on(a)
-            rows = sorted((int(r["dim"]), int(r["v"])) for r in v_signed.collect())
-            wm = int(wmax.collect()[0]["w_max"])
+            _v_signed, _wmax, vfull = _power_on(a)
+            data = vfull.collect()  # one action: vector + w_max column
+            rows = sorted((int(r["dim"]), int(r["v"])) for r in data)
+            wm = int(data[0]["w_max"])
             stored.append((rows, wm))
             if c < PCA_R - 1:
-                a = _deflate(a, v_signed)
+                # deflate against the collected rows as a local
+                # relation — identical integers, and the broadcast
+                # sides size better than the checkpoint-backed scan
+                a = _deflate(
+                    a, spark.createDataFrame(rows, "dim INT, v BIGINT")
+                )
         from json2hbase_spark.plans.selection_queries import (
             _EIG_CACHE,
             _evict_stale_sessions,

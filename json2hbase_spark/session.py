@@ -12,6 +12,7 @@ Defaults are chosen for correctness + scale posture:
 from __future__ import annotations
 
 import os
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
@@ -58,6 +59,7 @@ def get_spark(app_name: str = "json2hbase_spark", master: str | None = None) -> 
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
+_STREAM_CONF_LOCK = threading.RLock()
 _rocksdb_available: bool | None = None
 
 
@@ -90,20 +92,32 @@ def scoped_stream_confs(spark: SparkSession, partitions: str | None = None):
       whenever the provider class is present; falls back silently to the
       default HDFS-backed in-memory provider when not.
     """
-    parts = partitions or os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4")
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    prev_prov = spark.conf.get(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
-    )
-    spark.conf.set("spark.sql.shuffle.partitions", parts)
-    if rocksdb_available(spark):
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev_prov)
+    # Session confs are GLOBAL mutable state: two scopes interleaving
+    # from different driver threads (e.g. the guide-§2.6 overlapping
+    # pattern, or the round-14 threaded plan-fingerprint sweep) would
+    # capture each other's in-scope values as "prev" and leak them on
+    # exit (observed: RocksDB provider left set session-wide). The
+    # re-entrant lock serializes whole scopes — semantically required,
+    # not just hygiene.
+    with _STREAM_CONF_LOCK:
+        parts = partitions or os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4")
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        prev_prov = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        if rocksdb_available(spark):
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+            )
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_prov
+            )
 
 
 def apply_engine_confs(spark: SparkSession) -> SparkSession:

@@ -145,6 +145,7 @@ def test_materialize_strategies(spark, strategy):
         out.unpersist()
 
 
+@pytest.mark.slow  # round-14 test split: heavy planted-fixture run; in the full-suite invocation
 def test_near_dup_pairs_durable_strategy(spark, sf_dir, monkeypatch):
     """The dedup pipeline runs identically under the durable strategy
     (reliable checkpoint) — the one-config cluster hardening switch."""
@@ -447,6 +448,7 @@ def test_stream_file_sink_exactly_once_across_restarts(spark):
     assert back.select("id").distinct().count() == 150
 
 
+@pytest.mark.slow  # round-14 test split: heavy planted-fixture run; in the full-suite invocation
 def test_watermark_drops_late_rows_across_batches(spark):
     """A late row arriving AFTER its window's state was evicted must be
     dropped from an append-mode windowed aggregation — the eviction
@@ -745,6 +747,16 @@ def test_python_writer_abort_cleans_staged_files(spark, tmp_path):
             with open(staged, "w") as f:
                 for row in iterator:
                     if row.id == 7:  # poison row: fail AFTER staging some data
+                        # let the sibling tasks finish staging first:
+                        # if the poison fails while another task is
+                        # mid-write, that task's staged file can land
+                        # AFTER abort()'s sweep and flake the
+                        # leftovers assert (a zombie-task race this
+                        # test is not about — real committers handle
+                        # it with attempt-scoped staging dirs)
+                        import time as _t
+
+                        _t.sleep(1.0)
                         raise RuntimeError("simulated partition failure")
                     f.write(json.dumps({"id": row.id}) + "\n")
             return _Staged(staged)

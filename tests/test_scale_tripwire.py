@@ -25,6 +25,11 @@ import time
 import pytest
 from pyspark.sql import functions as F
 
+# Whole module = x4-volume linearity reruns (~5 min of the suite):
+# `slow` per the round-14 test split (pytest.ini) — covered by the
+# full-suite invocation each round, not the driver's default gate.
+pytestmark = pytest.mark.slow
+
 TRIPWIRE_QUERIES = [
     "j40_ngram_jaccard",
     "j53_span_dedup",

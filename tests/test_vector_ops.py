@@ -38,6 +38,7 @@ def _emb_dir(spark, tmp_path, name, rows):
     return d
 
 
+@pytest.mark.slow  # round-14 test split: heavy planted-fixture run; in the full-suite invocation
 def test_j127_first_component_is_j121_and_subspace_is_usable(spark):
     from json2hbase_spark import registry
 
@@ -62,6 +63,7 @@ def test_j127_first_component_is_j121_and_subspace_is_usable(spark):
             assert abs(dot / (na * nb)) < 0.5, (a, b, dot / (na * nb))
 
 
+@pytest.mark.slow  # round-14 test split: heavy planted-fixture run; in the full-suite invocation
 def test_j128_releases_planted_common_axis_pairs(spark, tmp_path):
     """Vectors = ±BIG·e0 + small per-vector orthogonal noise: every
     same-sign pair is near-dup BEFORE whitening (cos ≈ 0.99, pure
@@ -86,6 +88,7 @@ def test_j128_releases_planted_common_axis_pairs(spark, tmp_path):
         assert r.still_dup is False, r
 
 
+@pytest.mark.slow  # round-14 test split: heavy planted-fixture run; in the full-suite invocation
 def test_j129_zero_distortion_on_planted_patterns(spark, tmp_path):
     """8 distinct constant patterns × 10 copies: the Lloyd seeds
     (vec_id 0..7) ARE the patterns, so training converges immediately,
@@ -107,6 +110,7 @@ def test_j129_zero_distortion_on_planted_patterns(spark, tmp_path):
         assert r.sum_qdist == 0 and r.mean_dist == 0.0, r
 
 
+@pytest.mark.slow  # round-14 test split: heavy planted-fixture run; in the full-suite invocation
 def test_j130_perfect_recall_on_planted_patterns(spark, tmp_path):
     """Same planted table: exact copies make both the exact scan and
     the ADC ranking tie at distance 0 on the query's own pattern,
@@ -127,6 +131,7 @@ def test_j130_perfect_recall_on_planted_patterns(spark, tmp_path):
         assert r.n_hits == 3 and r.recall == 1.0, r
 
 
+@pytest.mark.slow  # round-14 test split: heavy planted-fixture run; in the full-suite invocation
 def test_j133_planted_axis_vectors_read_high_noise_vectors_low(spark, tmp_path):
     """j128's planted-axis corpus: ±BIG·e0 vectors are ~99.7% common
     axis (decile 9); two pure-noise vectors with NO e0 component must
@@ -153,6 +158,7 @@ def test_j133_planted_axis_vectors_read_high_noise_vectors_low(spark, tmp_path):
         assert out[k].energy_frac < 0.05 and out[k].decile == 0, out[k]
 
 
+@pytest.mark.slow  # round-14 test split: heavy planted-fixture run; in the full-suite invocation
 def test_j134_perfect_recall_and_cell_pruning_on_planted_blocks(spark, tmp_path):
     """8 ORTHOGONAL one-hot-block patterns × 10 copies (pattern p
     lights dims 8p..8p+7; label = p): the coarse probe must rank the
@@ -178,6 +184,7 @@ def test_j134_perfect_recall_and_cell_pruning_on_planted_blocks(spark, tmp_path)
         assert r.n_scanned == 19, r
 
 
+@pytest.mark.slow  # round-14 test split: heavy planted-fixture run; in the full-suite invocation
 def test_j139_raw_side_consistent_with_j130(spark):
     """j139's recall_raw column IS j130's pipeline — the two must
     agree per query on the shared fixture."""
@@ -200,6 +207,7 @@ def test_j139_raw_side_consistent_with_j130(spark):
         assert r.delta == round(r.recall_white - r.recall_raw, 4)
 
 
+@pytest.mark.slow  # round-14 test split: heavy planted-fixture run; in the full-suite invocation
 def test_j139_whitened_chain_preserves_planted_patterns(spark, tmp_path):
     """8 one-hot block patterns × 10 copies riding a strong common
     axis (+5 on every dim): the whitened chain must still separate
@@ -263,6 +271,7 @@ def test_j144_incremental_merge_equals_oneshot_and_handles_empty_delta(
     assert all(r.n_base == 20 and r.n_delta == 0 for r in out2)
 
 
+@pytest.mark.slow  # round-14 test split: heavy planted-fixture run; in the full-suite invocation
 def test_j145_orthobasis_cross_cosines_are_rounding_only(spark):
     """The GS output's cross_q (max floor(cos²·1e6) vs earlier
     components) must be rounding residue (< 100, i.e. |cos| < 0.01)
